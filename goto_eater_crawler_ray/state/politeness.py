@@ -1,0 +1,184 @@
+"""Per-host politeness scheduler: robots.txt, crawl-delay budgets, visit order.
+
+Reference semantics being reproduced (SURVEY.md §2.5, §4.1):
+  - strict per-host serialization (CONCURRENT_REQUESTS_PER_DOMAIN=1,
+    reference: goto_eat_scrapy/settings.py:34),
+  - per-host crawl delay (DOWNLOAD_DELAY=3 default, per-spider overrides
+    1-4 s, settings.py:32 + spider custom_settings),
+  - robots.txt obeyed (ROBOTSTXT_OBEY, settings.py:21; the kochi spider is
+    excluded because robots disallows, main.py:32),
+  - visit order = priority heap by (depth, host-budget, discovery-time)
+    (BASELINE.json north_rule).
+
+The scheduler keeps a *virtual clock* per host: ``next_free_ts`` advances by
+``crawl_delay`` per scheduled fetch.  This makes visit order deterministic
+and testable without wall-clock sleeps; the simulated fetch layer turns the
+virtual schedule into (scaled) latency.  Sharding: hosts are hash-routed to
+scheduler shards, so ALL requests for one host serialize through one shard
+actor even when the fetch/parse stages are salted across partitions for a
+mega-host (SURVEY.md §7.4).
+
+``PolitenessScheduler`` is a plain class (unit-testable Ray-free); wrap
+with ``ray.remote`` for the engine.  Checkpointable to bytes.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_CRAWL_DELAY = 3.0  # reference settings.py:32
+
+
+def parse_robots(robots_txt: str, user_agent: str = "goto-eater-crawler") -> tuple[list[str], float | None]:
+    """Minimal robots.txt parse -> (disallow prefixes for our UA, crawl-delay).
+
+    Groups are matched for exact UA or '*'; a specific-UA group overrides
+    '*' (standard REP semantics, public spec).  Empty Disallow = allow all.
+    """
+    groups: dict[str, tuple[list[str], float | None]] = {}
+    current_agents: list[str] = []
+    pending_new_group = True
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if pending_new_group:
+                current_agents = []
+                pending_new_group = False
+            current_agents.append(val.lower())
+            for a in current_agents:
+                groups.setdefault(a, ([], None))
+        elif key in ("disallow", "allow", "crawl-delay"):
+            pending_new_group = True
+            for a in current_agents:
+                dis, cd = groups.get(a, ([], None))
+                if key == "disallow" and val:
+                    dis = dis + [val]
+                elif key == "crawl-delay":
+                    try:
+                        cd = float(val)
+                    except ValueError:
+                        pass
+                groups[a] = (dis, cd)
+    ua = user_agent.lower()
+    if ua in groups:
+        return groups[ua]
+    return groups.get("*", ([], None))
+
+
+def robots_allowed(path: str, disallow_prefixes: list[str]) -> bool:
+    return not any(path.startswith(p) for p in disallow_prefixes)
+
+
+@dataclass
+class HostState:
+    crawl_delay: float = DEFAULT_CRAWL_DELAY
+    disallow: list[str] = field(default_factory=list)
+    next_free_ts: float = 0.0  # virtual clock
+    visit_count: int = 0  # per-host visit_seq counter
+    is_mega: bool = False
+
+
+class PolitenessScheduler:
+    """One shard of the politeness control plane (hosts hash-routed here)."""
+
+    def __init__(self, default_delay: float = DEFAULT_CRAWL_DELAY, user_agent: str = "goto-eater-crawler"):
+        self.default_delay = default_delay
+        self.user_agent = user_agent
+        self.hosts: dict[str, HostState] = {}
+
+    def configure(self, rows: list[dict]) -> int:
+        """Load the per-host budget table (FIXTURES.md §6):
+        {host, crawl_delay_s, robots_txt, is_mega_host}."""
+        for r in rows:
+            dis, robots_delay = parse_robots(r.get("robots_txt") or "", self.user_agent)
+            delay = r.get("crawl_delay_s")
+            if delay is None:
+                delay = robots_delay if robots_delay is not None else self.default_delay
+            st = self.hosts.setdefault(r["host"], HostState())
+            st.crawl_delay = float(delay)
+            st.disallow = dis
+            st.is_mega = bool(r.get("is_mega_host", False))
+        return len(self.hosts)
+
+    def _state(self, host: str) -> HostState:
+        st = self.hosts.get(host)
+        if st is None:
+            st = HostState(crawl_delay=self.default_delay)
+            self.hosts[host] = st
+        return st
+
+    def schedule(
+        self,
+        hosts: list[str],
+        paths: list[str],
+        depths: np.ndarray,
+        discovered_at: np.ndarray,
+    ) -> dict:
+        """Assign visit order + virtual fetch times to a frontier batch.
+
+        Ordering per host = priority heap (depth, host-budget=next_free_ts
+        at admission, discovery-time) — north_rule.  Returns dict of numpy
+        arrays aligned with the input: ``allowed`` (robots), ``visit_seq``
+        (per-host, -1 if disallowed), ``sched_ts`` (virtual fetch time).
+        """
+        n = len(hosts)
+        allowed = np.ones(n, dtype=bool)
+        visit_seq = np.full(n, -1, dtype=np.int64)
+        sched_ts = np.full(n, -1.0, dtype=np.float64)
+        depths = np.asarray(depths)
+        discovered_at = np.asarray(discovered_at)
+
+        order = np.argsort(discovered_at, kind="stable")
+        by_host: dict[str, list[int]] = {}
+        for i in order:
+            by_host.setdefault(hosts[i], []).append(int(i))
+        for host, idxs in by_host.items():
+            st = self._state(host)
+            # robots gate
+            live = []
+            for i in idxs:
+                if robots_allowed(paths[i], st.disallow):
+                    live.append(i)
+                else:
+                    allowed[i] = False
+            # heap order: (depth, host-budget-at-admission, discovery-time)
+            live.sort(key=lambda i: (int(depths[i]), st.next_free_ts, float(discovered_at[i])))
+            for i in live:
+                visit_seq[i] = st.visit_count
+                sched_ts[i] = st.next_free_ts
+                st.visit_count += 1
+                st.next_free_ts += st.crawl_delay
+        return {"allowed": allowed, "visit_seq": visit_seq, "sched_ts": sched_ts}
+
+    def host_budgets(self) -> dict[str, float]:
+        return {h: s.next_free_ts for h, s in self.hosts.items()}
+
+    # --- checkpoint ----------------------------------------------------
+    def checkpoint(self) -> bytes:
+        return pickle.dumps(
+            {
+                "default_delay": self.default_delay,
+                "user_agent": self.user_agent,
+                "hosts": self.hosts,
+            }
+        )
+
+    def _restore_inplace(self, blob: bytes) -> bool:
+        d = pickle.loads(blob)
+        self.default_delay = d["default_delay"]
+        self.user_agent = d["user_agent"]
+        self.hosts = d["hosts"]
+        return True
+
+    @classmethod
+    def restore(cls, blob: bytes) -> "PolitenessScheduler":
+        obj = cls()
+        obj._restore_inplace(blob)
+        return obj
