@@ -1,0 +1,401 @@
+"""Parse dispatch: fetched pages -> (items, interleaved spans, discovered links).
+
+Each parser family reproduces one reference spider family's semantics
+(SURVEY.md §2.9) over the synthetic corpus formats of
+``sources/pagestore.py``.  All parsers are pure functions
+``(url, body, meta, depth) -> ParseResult`` called from a stateless
+``map_batches`` stage (compiled regexes at module import = once per worker
+process, never per batch/row — SURVEY.md §7.2).
+
+Outputs:
+  items  — flat ShopItem rows (reference 12-col order, settings.py:100-113)
+           + (prefecture, source_url, row_in_page); normalized downstream by
+           stages/normalize.py.
+  spans  — interleaved text+media span documents per BASELINE.json
+           input_hint: (doc_id, [(kind, text, media_ref, offset), ...]);
+           span text is emitted post-normalize so the per-row invariant
+           (kind, text, media_ref, order) is checked against the final form.
+  links  — discovered frontier rows (url/method/form/meta/callback/depth+1)
+           for the wave loop's admission stage.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from ..functions.extract import (
+    extract_latlng,
+    join_genres,
+    map_code,
+    normalize_tel,
+    split_zip_address,
+)
+from ..stages.normalize import normalize_text
+
+# --- compiled page-structure patterns (synthetic-corpus formats) -----------
+_SHOP_DIV = re.compile(r'<div class="shop">(.*?)</div>', re.S)
+_H3 = re.compile(r"<h3>(.*?)</h3>", re.S)
+_PLACE = re.compile(r'<p class="place">(.*?)</p>', re.S)
+_TEL_P = re.compile(r'<p class="tel">(.*?)</p>', re.S)
+_GENRE_P = re.compile(r'<p class="genre">(.*?)</p>', re.S)
+_MAP_A = re.compile(r'<a class="map" href="([^"]+)"')
+_HP_A = re.compile(r'<a class="hp" href="([^"]+)"')
+_HOURS = re.compile(r'<p class="hours">営業時間: (.*?)</p>', re.S)
+_CLOSED = re.compile(r'<p class="closed">定休日: (.*?)</p>', re.S)
+_REL_NEXT = re.compile(r'<a rel="next" href="([^"]+)"')
+_JS_PAGER = re.compile(r'href="javascript:on_events\((\d+)\)"')
+_DETAIL_A = re.compile(r'<a class="detail" href="([^"]+)">(.*?)</a>', re.S)
+_TH_TD = re.compile(r"<tr><th>(.*?)</th><td>(.*?)</td></tr>", re.S)
+_IFRAME = re.compile(r'<iframe src="([^"]+)"')
+_AREA_H2 = re.compile(r"<h2>\[ (.*?) \]</h2>")
+_FILE_A = re.compile(r'<a class="file" href="([^"]+)">(.*?)</a>', re.S)
+_TOKEN = re.compile(r'name="_token" value="([^"]+)"')
+
+_EMPTY_ITEM = {
+    "shop_name": None,
+    "address": None,
+    "tel": None,
+    "genre_name": None,
+    "zip_code": None,
+    "official_page": None,
+    "opening_hours": None,
+    "closing_day": None,
+    "area_name": None,
+    "detail_page": None,
+    "provided_lat": None,
+    "provided_lng": None,
+}
+
+# fukuoka-style genre code table (reference: fukuoka.py:20-37)
+GENRE_CODE_TABLE = ["居酒屋", "寿司", "ラーメン", "カフェ", "焼肉", "定食", "イタリアン", "中華"]
+
+
+@dataclass
+class ParseResult:
+    items: list[dict] = field(default_factory=list)
+    spans: list[tuple[str, str, str]] = field(default_factory=list)  # (kind, text, media_ref)
+    links: list[dict] = field(default_factory=list)  # frontier rows (no depth/url resolution yet)
+
+
+def _link(url: str, callback: str = "parse", method: str = "GET", form: dict | None = None, meta: dict | None = None) -> dict:
+    return {"url": url, "callback": callback, "method": method, "form": form or {}, "meta": meta or {}}
+
+
+def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tuple[str, str, str]]]:
+    """Shared shop-card extractor: one div -> (raw item, span sub-sequence)."""
+    item = dict(_EMPTY_ITEM)
+    m = _H3.search(inner)
+    item["shop_name"] = m.group(1) if m else None
+    m = _PLACE.search(inner)
+    place = m.group(1) if m else None
+    item["zip_code"], item["address"] = split_zip_address(place)
+    m = _TEL_P.search(inner)
+    item["tel"] = normalize_tel(m.group(1)) if m else None
+    m = _GENRE_P.search(inner)
+    item["genre_name"] = join_genres(m.group(1)) if m else None
+    m = _MAP_A.search(inner)
+    map_href = m.group(1) if m else None
+    item["provided_lat"], item["provided_lng"] = extract_latlng(map_href)
+    m = _HP_A.search(inner)
+    item["official_page"] = m.group(1) if m else None
+    m = _HOURS.search(inner)
+    item["opening_hours"] = m.group(1) if m else None
+    m = _CLOSED.search(inner)
+    item["closing_day"] = m.group(1) if m else None
+    item["area_name"] = area
+    spans: list[tuple[str, str, str]] = [
+        ("text", normalize_text(item["shop_name"]) or "", ""),
+        ("text", normalize_text(item["address"]) or "", ""),
+        ("text", (item["tel"] or "").strip(), ""),
+    ]
+    if map_href:
+        spans.append(("link", "地図", map_href))
+    if item["official_page"]:
+        spans.append(("link", "HP", item["official_page"]))
+    return item, spans
+
+
+def _shop_div_page(html: str, area: str | None = None) -> ParseResult:
+    res = ParseResult()
+    for m in _SHOP_DIV.finditer(html):
+        item, spans = _parse_shop_div(m.group(1), area)
+        res.items.append(item)
+        res.spans.extend(spans)
+    return res
+
+
+# --- family parsers ---------------------------------------------------------
+
+
+def parse_paginated(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """rel=next chain (reference family: tochigi.py:62-70, osaka.py:84-92)."""
+    html = body.decode("utf-8", "replace")
+    res = _shop_div_page(html)
+    m = _REL_NEXT.search(html)
+    if m:
+        res.links.append(_link(m.group(1)))
+        res.spans.append(("link", "次へ", m.group(1)))
+    return res
+
+
+def parse_pagesynth(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """URL synthesis from javascript: pager (reference: aomori.py:50-58,
+    shizuoka.py:49-58 — construct next URL from page counter)."""
+    html = body.decode("utf-8", "replace")
+    res = _shop_div_page(html)
+    m = _JS_PAGER.search(html)
+    if m:
+        nxt = f"/p/{m.group(1)}"
+        res.links.append(_link(nxt))
+        res.spans.append(("link", "次へ", nxt))
+    return res
+
+
+def parse_listdetail(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """List page: detail fan-out + next (reference: kyoto.py:24-38)."""
+    html = body.decode("utf-8", "replace")
+    res = ParseResult()
+    for m in _DETAIL_A.finditer(html):
+        res.links.append(_link(m.group(1), callback="detail"))
+        res.spans.append(("link", normalize_text(m.group(2)) or "", m.group(1)))
+    m = _REL_NEXT.search(html)
+    if m:
+        res.links.append(_link(m.group(1)))
+        res.spans.append(("link", "次へ", m.group(1)))
+    return res
+
+
+def parse_listdetail_detail(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Detail page: th-label table extraction (reference: kyoto.py:45-82)."""
+    html = body.decode("utf-8", "replace")
+    res = ParseResult()
+    item = dict(_EMPTY_ITEM)
+    labels = {m.group(1): m.group(2) for m in _TH_TD.finditer(html)}
+    item["shop_name"] = labels.get("店名")
+    item["zip_code"], item["address"] = split_zip_address(labels.get("所在地"))
+    item["tel"] = normalize_tel(labels.get("電話番号"))
+    item["genre_name"] = join_genres(labels.get("ジャンル"))
+    item["opening_hours"] = labels.get("営業時間")
+    item["closing_day"] = labels.get("定休日")
+    m = _IFRAME.search(html)
+    map_href = m.group(1) if m else None
+    item["provided_lat"], item["provided_lng"] = extract_latlng(map_href)
+    m = _HP_A.search(html)
+    item["official_page"] = m.group(1) if m else None
+    item["detail_page"] = url
+    res.items.append(item)
+    res.spans = [
+        ("text", normalize_text(item["shop_name"]) or "", ""),
+        ("text", normalize_text(item["address"]) or "", ""),
+        ("text", (item["tel"] or "").strip(), ""),
+    ]
+    if map_href:
+        res.spans.append(("link", "地図", map_href))
+    if item["official_page"]:
+        res.spans.append(("link", "公式", item["official_page"]))
+    return res
+
+
+def parse_areafanout(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """POST-area page; area from [ ... ] header (reference: miyagi.py:67-69)."""
+    html = body.decode("utf-8", "replace")
+    m = _AREA_H2.search(html)
+    area = m.group(1) if m else meta.get("area_name")
+    return _shop_div_page(html, area=area)
+
+
+def parse_mesh(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Geo-mesh JSON API `data` array (reference: abstract_liny.py:51-66)."""
+    res = ParseResult()
+    payload = json.loads(body)
+    for row in payload.get("data", []):
+        item = dict(_EMPTY_ITEM)
+        item["shop_name"] = row.get("name")
+        item["address"] = row.get("address")
+        item["tel"] = row.get("tel")
+        genres = row.get("genre") or []
+        item["genre_name"] = "|".join(genres) if genres else None
+        lat, lng = row.get("lat"), row.get("lng")
+        # JSON floats -> strings (reference keeps all-string items,
+        # abstract_liny.py:62-63)
+        item["provided_lat"] = None if lat is None else f"{lat}"
+        item["provided_lng"] = None if lng is None else f"{lng}"
+        res.items.append(item)
+        res.spans.append(("text", (item["shop_name"] or "").strip(), ""))
+        res.spans.append(("text", (item["address"] or "").strip(), ""))
+    return res
+
+
+def parse_jsonapi(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Positional-array JSON rows (reference: kochi.py:22-39)."""
+    res = ParseResult()
+    for row in json.loads(body).get("shops", []):
+        item = dict(_EMPTY_ITEM)
+        item["shop_name"], item["address"], item["tel"] = row[0], row[1], normalize_tel(row[2])
+        item["genre_name"] = join_genres(row[3])
+        item["opening_hours"], item["closing_day"] = row[4], row[5]
+        res.items.append(item)
+        res.spans.append(("text", (item["shop_name"] or "").strip(), ""))
+        res.spans.append(("text", (item["address"] or "").strip(), ""))
+    return res
+
+
+def parse_jsonhtml(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """JSON-wrapped HTML re-entering the HTML parser; POST-pager stop when
+    active == next (reference: yamagata.py:82-84, 115-143)."""
+    payload = json.loads(body)
+    res = _shop_div_page(payload.get("html", ""))
+    pager = payload.get("pager", {})
+    if pager and pager.get("active") != pager.get("next"):
+        nxt = f"/api/page/{pager['next']}"
+        res.links.append(_link(nxt))
+        res.spans.append(("link", "次へ", nxt))
+    return res
+
+
+def parse_files_index(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """File-link index page: media spans + typed file fan-out
+    (reference file sources: akita.py:18, fukuoka.py:18, nara.py:19,
+    tokyo.py:26-31)."""
+    html = body.decode("utf-8", "replace")
+    res = ParseResult()
+    kind_by_ext = {".csv": "csv", ".xlsx": "xlsx", ".pdf": "pdf"}
+    for m in _FILE_A.finditer(html):
+        href, text = m.group(1), normalize_text(m.group(2)) or ""
+        ext = href[href.rfind(".") :]
+        kind = kind_by_ext.get(ext, "link")
+        callback = {"csv": "file_csv", "xlsx": "file_xlsx", "pdf": "file_pdf"}.get(kind, "parse")
+        if href.endswith("_coded.csv"):
+            callback = "file_csv_coded"
+        res.links.append(_link(href, callback=callback))
+        res.spans.append((kind, text, href))
+    return res
+
+
+def parse_file_csv(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Headerless CSV with furigana comment rows + empty-address drop
+    (reference: akita.py:29-44 names=, drop rows, comment strip)."""
+    res = ParseResult()
+    for line in body.decode("utf-8", "replace").splitlines():
+        parts = line.split(",")
+        if len(parts) < 3:
+            continue
+        name, addr, tel = parts[0], parts[1], parts[2]
+        if not addr.strip():  # furigana/comment rows have empty address
+            continue
+        item = dict(_EMPTY_ITEM)
+        item["shop_name"], item["address"], item["tel"] = name, addr, normalize_tel(tel)
+        res.items.append(item)
+        res.spans.append(("text", name.strip(), ""))
+        res.spans.append(("text", addr.strip(), ""))
+    return res
+
+
+def parse_file_csv_coded(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """CSV with genre int codes -> names (reference: fukuoka.py:47-65)."""
+    res = ParseResult()
+    lines = body.decode("utf-8", "replace").splitlines()
+    for line in lines[1:]:  # header row
+        parts = line.split(",")
+        if len(parts) < 4:
+            continue
+        item = dict(_EMPTY_ITEM)
+        item["shop_name"], item["address"], item["tel"] = parts[0], parts[1], normalize_tel(parts[2])
+        item["genre_name"] = map_code(parts[3], GENRE_CODE_TABLE)
+        res.items.append(item)
+        res.spans.append(("text", parts[0].strip(), ""))
+        res.spans.append(("text", parts[1].strip(), ""))
+    return res
+
+
+def parse_file_xlsx(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """XLSX sheet parse — STUB decode (no openpyxl in container): the body is
+    a deterministic TSV fake produced by the page store; real plumbing
+    (binary body -> tabular rows) mirrors nara.py:31 (sheet 'リスト',
+    dtype=str)."""
+    res = ParseResult()
+    lines = body.decode("utf-8", "replace").splitlines()
+    if not lines or not lines[0].startswith("FAKE-XLSX"):
+        raise NotImplementedError("real .xlsx decode requires openpyxl (stubbed in this container)")
+    for line in lines[1:]:
+        parts = line.split("\t")
+        if len(parts) < 3:
+            continue
+        item = dict(_EMPTY_ITEM)
+        item["shop_name"], item["address"], item["tel"] = parts[0], parts[1], normalize_tel(parts[2])
+        res.items.append(item)
+        res.spans.append(("text", parts[0].strip(), ""))
+        res.spans.append(("text", parts[1].strip(), ""))
+    return res
+
+
+def parse_file_pdf(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """PDF table parse — STUB decode (no tabula/JVM): form-feed-separated
+    CSV 'pages' with a header row per page to drop; mirrors the per-page
+    fan-out + df repair of tokyo.py:50-98."""
+    res = ParseResult()
+    text = body.decode("utf-8", "replace")
+    for page in text.split("\f"):
+        lines = page.splitlines()
+        for line in lines[1:]:  # header row per page (tokyo.py:84-89)
+            parts = line.split(",")
+            if len(parts) < 3 or not parts[1].strip():
+                continue
+            item = dict(_EMPTY_ITEM)
+            item["shop_name"], item["address"], item["tel"] = parts[0], parts[1], normalize_tel(parts[2])
+            res.items.append(item)
+            res.spans.append(("text", parts[0].strip(), ""))
+            res.spans.append(("text", parts[1].strip(), ""))
+    return res
+
+
+def parse_scripted(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Session/CSRF handshake + paged search (reference: hokkaido.py:44-104):
+    first response carries the token form; follow-ups are shop pages."""
+    html = body.decode("utf-8", "replace")
+    m = _TOKEN.search(html)
+    if m:
+        token = m.group(1)
+        res = ParseResult()
+        res.links.append(_link(f"/search?page=1&_token={token}", meta={"_token": token}))
+        return res
+    res = _shop_div_page(html)
+    m = _REL_NEXT.search(html)
+    if m:
+        res.links.append(_link(m.group(1), meta=dict(meta)))
+        res.spans.append(("link", "次へ", m.group(1)))
+    return res
+
+
+# --- registry + dispatch ----------------------------------------------------
+
+PARSERS: dict[tuple[str, str], callable] = {
+    ("paginated", "parse"): parse_paginated,
+    ("pagesynth", "parse"): parse_pagesynth,
+    ("listdetail", "parse"): parse_listdetail,
+    ("listdetail", "detail"): parse_listdetail_detail,
+    ("areafanout", "parse"): parse_areafanout,
+    ("mesh", "parse"): parse_mesh,
+    ("jsonapi", "parse"): parse_jsonapi,
+    ("jsonhtml", "parse"): parse_jsonhtml,
+    ("filetab", "parse"): parse_files_index,
+    ("filetab", "file_csv"): parse_file_csv,
+    ("filetab", "file_csv_coded"): parse_file_csv_coded,
+    ("filetab", "file_xlsx"): parse_file_xlsx,
+    ("filetab", "file_pdf"): parse_file_pdf,
+    ("scripted", "parse"): parse_scripted,
+}
+
+
+def family_of(prefecture: str) -> str:
+    """paginated3 -> paginated; names map 1:1 to parser families."""
+    return prefecture.rstrip("0123456789")
+
+
+def parse_page(prefecture: str, callback: str, url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    fn = PARSERS.get((family_of(prefecture), callback))
+    if fn is None:
+        return ParseResult()
+    return fn(url, body, meta, depth)

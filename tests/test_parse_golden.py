@@ -1,0 +1,138 @@
+"""Golden parser-parity tests (SURVEY.md §5, FIXTURES.md §3-4).
+
+For EVERY page reachable from the golden-scale seed list: run the family
+parser + the global normalize stage and compare against the page store's
+independently-derived ground truth — flat ShopItem rows AND the per-row
+span-sequence invariant (kind, text, media_ref, order) from BASELINE.json.
+"""
+
+import pyarrow as pa
+import pytest
+
+from goto_eater_crawler_ray.sources.pagestore import PageStore, ScaleSpec
+from goto_eater_crawler_ray.stages.normalize import normalize_batch, normalize_text
+from goto_eater_crawler_ray.stages.parse import parse_page
+
+ITEM_COLS = [
+    "shop_name",
+    "address",
+    "tel",
+    "genre_name",
+    "zip_code",
+    "official_page",
+    "opening_hours",
+    "closing_day",
+    "area_name",
+    "detail_page",
+    "provided_lat",
+    "provided_lng",
+]
+
+
+def _crawl_closure(store):
+    """(prefecture, callback, url, method, form) for every reachable page."""
+    from collections import deque
+    from urllib.parse import urlencode, urljoin
+
+    out, seen = [], set()
+    q = deque()
+    for s in store.seeds():
+        if s["url"].startswith("http://blocked."):
+            continue
+        q.append((s["prefecture"], s["callback"], s["url"], s["method"], tuple(sorted(s["form"].items())), s["meta"]))
+    while q:
+        pref, cb, url, method, form, meta = q.popleft()
+        key = (url, method, form)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((pref, cb, url, method, dict(form), meta))
+        page = store.get(url, method, dict(form))
+        res = parse_page(pref, cb, url, page.body, dict(meta), 0)
+        for link in res.links:
+            q.append((pref, link["callback"], urljoin(url, link["url"]), link["method"], tuple(sorted(link["form"].items())), link["meta"]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def store():
+    return PageStore(ScaleSpec.golden())
+
+
+@pytest.fixture(scope="module")
+def closure(store):
+    return _crawl_closure(store)
+
+
+def _normalize_items(raw_items, prefecture, url):
+    rows = []
+    for r, it in enumerate(raw_items):
+        row = dict(it)
+        row["prefecture"] = prefecture
+        row["source_url"] = url
+        row["row_in_page"] = r
+        rows.append(row)
+    if not rows:
+        return []
+    schema = pa.schema([(c, pa.string()) for c in ITEM_COLS] + [("prefecture", pa.string()), ("source_url", pa.string()), ("row_in_page", pa.int32())])
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    return normalize_batch(tbl).to_pylist()
+
+
+def test_closure_covers_every_family(closure, store):
+    families = {p for p, *_ in closure}
+    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsonhtml", "filetab", "scripted"]:
+        assert fam in families, f"family {fam} unreachable"
+    # blocked host never enters the closure
+    assert not any("blocked" in u for _, _, u, _, _, _ in closure)
+    assert len(closure) == len(store.expected_reachable())
+
+
+def test_golden_items_and_spans(closure, store):
+    n_items = n_spans = 0
+    for pref, cb, url, method, form, meta in closure:
+        page = store.get(url, method, form)
+        res = parse_page(pref, cb, url, page.body, dict(meta), 0)
+        got_items = _normalize_items(res.items, pref, url)
+        exp_items, exp_spans = store.expected_parse(pref, cb, url, method, form)
+        assert len(got_items) == len(exp_items), f"{url}: item count {len(got_items)} != {len(exp_items)}"
+        for g, e in zip(got_items, exp_items):
+            for col in ITEM_COLS:
+                assert g[col] == e[col], f"{url} row {g['row_in_page']} col {col}: {g[col]!r} != {e[col]!r}"
+        # span-sequence equality (kind, text, media_ref, order) — the
+        # BASELINE.json per-row invariant
+        got_spans = [(k, t, m) for (k, t, m) in res.spans]
+        assert got_spans == exp_spans, f"{url}: span sequence mismatch\n got={got_spans[:6]}\n exp={exp_spans[:6]}"
+        n_items += len(got_items)
+        n_spans += len(got_spans)
+    assert n_items > 100, "golden corpus too small to be meaningful"
+    assert n_spans > 300
+
+
+def test_normalize_reference_vector():
+    # verbatim reference unit vector (pipelines.py:53-54)
+    assert normalize_text("山下<br>町12-12\r\n  一二三ビル1F") == "山下町12-12  一二三ビル1F"
+
+
+def test_normalize_batch_strip_fields():
+    tbl = pa.table(
+        {
+            "shop_name": ["  店<br>名\r\nA  "],
+            "tel": ["  012-345-6789 "],
+            "genre_name": [" 寿司|カフェ "],
+            "address": ["住所<b>X</b>"],
+        }
+    )
+    out = normalize_batch(tbl).to_pylist()[0]
+    assert out["shop_name"] == "店名A"
+    assert out["tel"] == "012-345-6789"
+    assert out["genre_name"] == "寿司|カフェ"
+    assert out["address"] == "住所X"
+
+
+def test_retryable_failures_deterministic(store):
+    p1 = store.get("http://paginated0.example.jp/list?page=1")
+    p2 = store.get("http://paginated0.example.jp/list?page=1")
+    assert p1.body == p2.body
+    assert p1.retryable_failures == p2.retryable_failures
+    assert p1.latency_ms == p2.latency_ms
