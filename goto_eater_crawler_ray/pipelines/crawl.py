@@ -1,0 +1,664 @@
+"""The wave-structured crawl engine (SURVEY.md §3.4, §7.0).
+
+Crawling is iterative — page N+1 is only discoverable after page N is
+fetched — so the engine is a driver loop where each wave is ONE lazy Ray
+Dataset pipeline:
+
+    frontier_w (parquet)
+      -> map_batches(fetch)                       # deterministic corpus + retry
+      -> map_batches(parse_emit)                  # body dropped HERE (narrow out)
+      -> .materialize()                           # wave-bounded, body-free
+      -> items    (vectorized list-flatten)  -> write parquet  out/items/wave=w
+      -> documents (doc_id, spans[])         -> write parquet  out/documents/wave=w
+      -> lineage / metrics (partial agg + groupby) -> write
+      -> links -> groupby(url_key) dedup -> admit (seen shards)
+              -> groupby(sched_shard).map_groups(schedule)     # politeness actors
+      -> frontier_{w+1} (parquet)  + shard checkpoints + manifest
+
+Determinism at any parallelism level (the scaling invariant):
+  * within-wave duplicate discoveries are deduped to the (min discovered_at,
+    min parent_key) row BEFORE seen-set admission, so which task saw a URL
+    first cannot change the frontier;
+  * scheduling is one ``map_groups`` call per politeness shard per wave
+    (all rows of a host co-located), and the scheduler sorts by the north-
+    rule heap key (depth, host-budget, discovery-time) — so ``visit_seq``
+    is a pure function of the crawl graph, not of task interleaving.
+
+Scale notes (SURVEY.md §7.3-7.4): the only shuffled table is the *links*
+control plane (~100 B/row, no bodies); page bodies live for exactly one
+stage (fetch->parse, fused by Ray into a single task — they never hit the
+object store); mega-hosts are salted across output partitions while their
+politeness stays serialized in one shard actor; outputs are per-wave
+parquet directories => a rerun skips completed waves (resume()).
+
+Fetch state: ``FetchWorker`` (stages/fetch.py) is the actor-pool form for
+expensive per-worker state.  The default engine path uses a plain function
+with a *process-level* PageStore cache instead: Ray reuses worker
+processes across waves, so the state amortizes like an actor pool without
+paying actor-pool re-creation per wave (map_batches creates a fresh pool
+per dataset execution — a per-wave cost a many-wave crawl cannot afford).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from urllib.parse import urlencode, urljoin, urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import (
+    DOCUMENT_SCHEMA,
+    FRONTIER_SCHEMA,
+    ITEM_STRUCT,
+    LINEAGE_SCHEMA,
+    LINK_STRUCT,
+    PARSED_SCHEMA,
+    SPAN_STRUCT,
+)
+from ..sources.pagestore import PageStore, ScaleSpec
+from ..stages.normalize import normalize_batch
+from ..stages.parse import parse_page
+from ..state.canonical import canonicalize
+from ..state.politeness import PolitenessScheduler
+from ..state.seen import SeenShard, ShardedSeenSet, shard_of
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def request_key(method: str, canon_url: str, form: dict) -> bytes:
+    """Request fingerprint = sha1(method|canonical|sorted form) — the
+    Scrapy-fingerprint equivalent (SURVEY.md §2.2 URL dedup)."""
+    payload = f"{method}|{canon_url}|{urlencode(sorted(form.items()))}"
+    return hashlib.sha1(payload.encode("utf-8")).digest()
+
+
+# ---------------------------------------------------------------------------
+# stateless fetch with process-level store cache
+# ---------------------------------------------------------------------------
+
+_STORE_CACHE: dict[tuple, PageStore] = {}
+
+
+def _cached_store(spec: ScaleSpec) -> PageStore:
+    key = tuple(sorted(spec.__dict__.items()))
+    st = _STORE_CACHE.get(key)
+    if st is None:
+        st = _STORE_CACHE[key] = PageStore(spec)
+    return st
+
+
+def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
+    from ..stages.fetch import _backoff_s
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        store = _cached_store(spec)
+        urls = batch.column("url").to_pylist()
+        methods = batch.column("method").to_pylist()
+        forms = batch.column("form_json").to_pylist()
+        scheds = batch.column("sched_ts").to_pylist()
+        n = len(urls)
+        status, ctype, body, latency, attempts, fetched_at = (
+            [0] * n,
+            [""] * n,
+            [b""] * n,
+            [0] * n,
+            [0] * n,
+            [0.0] * n,
+        )
+        for i in range(n):
+            form = json.loads(forms[i]) if forms[i] else {}
+            page = store.get(urls[i], methods[i], form)
+            t = scheds[i]
+            att = 1
+            while att <= page.retryable_failures and att <= max_retries:
+                t += _backoff_s(att, urls[i])
+                att += 1
+            ok = att > page.retryable_failures
+            status[i] = page.status if ok else 503
+            ctype[i] = page.content_type
+            body[i] = page.body if ok else b""
+            latency[i] = page.latency_ms
+            attempts[i] = att
+            fetched_at[i] = t + page.latency_ms / 1000.0
+        return (
+            batch.append_column("status", pa.array(status, pa.int32()))
+            .append_column("content_type", pa.array(ctype, pa.string()))
+            .append_column("body", pa.array(body, pa.binary()))
+            .append_column("latency_ms", pa.array(latency, pa.int32()))
+            .append_column("attempts", pa.array(attempts, pa.int32()))
+            .append_column("fetched_at", pa.array(fetched_at, pa.float64()))
+        )
+
+    return fetch_batch
+
+
+# ---------------------------------------------------------------------------
+# parse + emit (body dropped)
+# ---------------------------------------------------------------------------
+
+
+def parse_emit_batch(batch: pa.Table) -> pa.Table:
+    """Page rows -> PARSED_SCHEMA rows (items/spans/links nested; no body)."""
+    out = {name: [] for name in PARSED_SCHEMA.names}
+    cols = {n: batch.column(n).to_pylist() for n in ("prefecture", "url", "url_key", "parent_key", "host", "part", "depth", "visit_seq", "sched_ts", "fetched_at", "status", "attempts", "callback", "meta_json", "body", "form_json", "method")}
+    n = len(batch)
+    for i in range(n):
+        status = cols["status"][i]
+        body = cols["body"][i] or b""
+        meta = json.loads(cols["meta_json"][i]) if cols["meta_json"][i] else {}
+        if status == 200:
+            res = parse_page(cols["prefecture"][i], cols["callback"][i], cols["url"][i], body, meta, cols["depth"][i])
+        else:
+            from ..stages.parse import ParseResult
+
+            res = ParseResult()
+        form = json.loads(cols["form_json"][i]) if cols["form_json"][i] else {}
+        doc_id = cols["url"][i] if cols["method"][i] == "GET" else f"{cols['url'][i]}#{urlencode(sorted(form.items()))}"
+        out["doc_id"].append(doc_id)
+        out["prefecture"].append(cols["prefecture"][i])
+        out["url"].append(cols["url"][i])
+        out["url_key"].append(cols["url_key"][i])
+        out["parent_key"].append(cols["parent_key"][i])
+        out["host"].append(cols["host"][i])
+        out["part"].append(cols["part"][i])
+        out["depth"].append(cols["depth"][i])
+        out["visit_seq"].append(cols["visit_seq"][i])
+        out["sched_ts"].append(cols["sched_ts"][i])
+        out["fetched_at"].append(cols["fetched_at"][i])
+        out["status"].append(status)
+        out["attempts"].append(cols["attempts"][i])
+        out["bytes"].append(len(body))
+        out["callback"].append(cols["callback"][i])
+        out["items"].append(res.items)
+        out["spans"].append([{"kind": k, "text": t, "media_ref": m, "offset": j} for j, (k, t, m) in enumerate(res.spans)])
+        out["links"].append(
+            [
+                {
+                    "url": lk["url"],
+                    "callback": lk["callback"],
+                    "method": lk["method"],
+                    "form_json": json.dumps(lk["form"], sort_keys=True) if lk["form"] else "",
+                    "meta_json": json.dumps(lk["meta"], sort_keys=True) if lk["meta"] else "",
+                }
+                for lk in res.links
+            ]
+        )
+    return pa.Table.from_pydict(out, schema=PARSED_SCHEMA)
+
+
+# --- vectorized exploders ---------------------------------------------------
+
+
+def explode_items(batch: pa.Table) -> pa.Table:
+    """list<struct> items -> flat normalized item rows (zero Python loop)."""
+    items_col = batch.column("items").combine_chunks()
+    flat = pc.list_flatten(items_col)
+    parents = pc.list_parent_indices(items_col)
+    row_in_page = np.concatenate([np.arange(n, dtype=np.int32) for n in pc.list_value_length(items_col).fill_null(0).to_numpy(zero_copy_only=False)]) if len(flat) else np.array([], dtype=np.int32)
+    tbl = pa.table(
+        {f.name: flat.field(f.name) for f in ITEM_STRUCT}
+        | {
+            "prefecture": pc.take(batch.column("prefecture"), parents),
+            "source_url": pc.take(batch.column("url"), parents),
+            "row_in_page": pa.array(row_in_page, pa.int32()),
+            "visit_seq": pc.take(batch.column("visit_seq"), parents),
+        }
+    )
+    return normalize_batch(tbl)
+
+
+def explode_documents(batch: pa.Table) -> pa.Table:
+    return batch.select(["doc_id", "spans"]).cast(DOCUMENT_SCHEMA)
+
+
+def make_lineage_fn(wave: int):
+    def lineage(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_key": batch.column("url_key"),
+                "url": batch.column("url"),
+                "parent_key": batch.column("parent_key"),
+                "prefecture": batch.column("prefecture"),
+                "depth": batch.column("depth"),
+                "wave": pa.array([wave] * len(batch), pa.int32()),
+                "visit_seq": batch.column("visit_seq"),
+                "host": batch.column("host"),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+    return lineage
+
+
+def make_metrics_partial_fn(wave: int):
+    """Per-batch partial aggregation (combiner) — the groupby downstream
+    only shuffles one row per (host, batch), not per page (SURVEY.md §2.7)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "host": batch.column("host").to_pylist(),
+                "pages": 1,
+                "items": pc.list_value_length(batch.column("items").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
+                "links": pc.list_value_length(batch.column("links").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
+                "bytes": batch.column("bytes").to_pylist(),
+                "errors": pc.not_equal(batch.column("status"), 200).to_pylist(),
+                "retries": pc.subtract(batch.column("attempts"), 1).to_pylist(),
+            }
+        )
+        g = df.groupby("host", as_index=False).sum()
+        g.insert(0, "wave", np.int32(wave))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return partial
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """Parsed pages -> flat discovered-link rows with parent context.
+
+    Virtual discovery time = parent fetched_at + in-page link index *
+    epsilon: preserves in-page discovery order (pagination chains are
+    sequential by construction, SURVEY.md §2.2)."""
+    links_col = batch.column("links").combine_chunks()
+    flat = pc.list_flatten(links_col)
+    if len(flat) == 0:
+        return pa.Table.from_pydict(
+            {n: [] for n in ("url", "callback", "method", "form_json", "meta_json", "parent_url", "parent_key", "prefecture", "depth", "discovered_at")},
+            schema=pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("callback", pa.string()),
+                    ("method", pa.string()),
+                    ("form_json", pa.string()),
+                    ("meta_json", pa.string()),
+                    ("parent_url", pa.string()),
+                    ("parent_key", pa.binary(20)),
+                    ("prefecture", pa.string()),
+                    ("depth", pa.int32()),
+                    ("discovered_at", pa.float64()),
+                ]
+            ),
+        )
+    parents = pc.list_parent_indices(links_col)
+    lengths = pc.list_value_length(links_col).fill_null(0).to_numpy(zero_copy_only=False)
+    link_idx = np.concatenate([np.arange(n) for n in lengths if n is not None]) if lengths.sum() else np.array([])
+    disc = pc.take(batch.column("fetched_at"), parents).to_numpy(zero_copy_only=False) + link_idx * 1e-6
+    return pa.table(
+        {
+            "url": flat.field("url"),
+            "callback": flat.field("callback"),
+            "method": flat.field("method"),
+            "form_json": flat.field("form_json"),
+            "meta_json": flat.field("meta_json"),
+            "parent_url": pc.take(batch.column("url"), parents),
+            "parent_key": pc.take(batch.column("url_key"), parents),
+            "prefecture": pc.take(batch.column("prefecture"), parents),
+            "depth": pc.cast(pc.add(pc.take(batch.column("depth"), parents), 1), pa.int32()),
+            "discovered_at": pa.array(disc, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# admission + scheduling
+# ---------------------------------------------------------------------------
+
+
+def make_admit_fn(seen_shards: list, n_sched_shards: int):
+    """Canonicalize + fingerprint + seen-set admission (per batch).
+
+    Input: exploded link rows (post within-wave dedup). Output: admitted
+    rows + host/sched_shard columns, NOT yet scheduled."""
+
+    def admit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _empty_admitted()
+        urls = batch.column("url").to_pylist()
+        bases = batch.column("parent_url").to_pylist()
+        methods = batch.column("method").to_pylist()
+        forms = batch.column("form_json").to_pylist()
+        canon, keys, hosts = [], [], []
+        for u, b, m, f in zip(urls, bases, methods, forms):
+            c = canonicalize(u, base=b or None)
+            canon.append(c)
+            keys.append(request_key(m, c, json.loads(f) if f else {}))
+            hosts.append(urlsplit(c).netloc)
+        key_arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 20)
+        novel = ShardedSeenSet(seen_shards).admit(key_arr)
+        mask = pa.array(novel)
+        kept = batch.filter(mask)
+        idx = np.flatnonzero(novel)
+        return (
+            kept.append_column("canon_url", pa.array([canon[i] for i in idx], pa.string()))
+            .append_column("url_key", pa.array([keys[i] for i in idx], pa.binary(20)))
+            .append_column("host", pa.array([hosts[i] for i in idx], pa.string()))
+            .append_column(
+                "sched_shard",
+                pa.array([_h64(hosts[i]) % n_sched_shards for i in idx], pa.int32()),
+            )
+        )
+
+    return admit
+
+
+def _empty_admitted() -> pa.Table:
+    return pa.Table.from_pydict(
+        {n: [] for n in ("url", "callback", "method", "form_json", "meta_json", "parent_url", "parent_key", "prefecture", "depth", "discovered_at", "canon_url", "url_key", "host", "sched_shard")},
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("callback", pa.string()),
+                ("method", pa.string()),
+                ("form_json", pa.string()),
+                ("meta_json", pa.string()),
+                ("parent_url", pa.string()),
+                ("parent_key", pa.binary(20)),
+                ("prefecture", pa.string()),
+                ("depth", pa.int32()),
+                ("discovered_at", pa.float64()),
+                ("canon_url", pa.string()),
+                ("url_key", pa.binary(20)),
+                ("host", pa.string()),
+                ("sched_shard", pa.int32()),
+            ]
+        ),
+    )
+
+
+def make_schedule_fn(sched_actors: list, n_parts: int, mega_hosts: frozenset[str]):
+    """One map_groups call per politeness shard: assigns (visit_seq,
+    sched_ts), applies robots gate, computes the salted output partition
+    (mega-hosts spread by url_key, politeness still per-host serialized —
+    SURVEY.md §7.4)."""
+    import ray
+
+    def schedule_group(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame()
+        shard = int(df["sched_shard"].iloc[0])
+        hosts = df["host"].tolist()
+        paths = [urlsplit(u).path or "/" for u in df["canon_url"].tolist()]
+        depths = df["depth"].to_numpy()
+        disc = df["discovered_at"].to_numpy()
+        actor = sched_actors[shard]
+        if hasattr(actor.schedule, "remote"):
+            out = ray.get(actor.schedule.remote(hosts, paths, depths, disc))
+        else:
+            out = actor.schedule(hosts, paths, depths, disc)
+        df = df.assign(visit_seq=out["visit_seq"], sched_ts=out["sched_ts"])
+        df = df[out["allowed"] & (df["visit_seq"] >= 0)]
+        parts = [
+            (_h64(k.hex()) if h in mega_hosts else _h64(h)) % n_parts
+            for h, k in zip(df["host"], df["url_key"])
+        ]
+        df = df.assign(part=np.array(parts, dtype=np.int32))
+        return df
+
+    return schedule_group
+
+
+def to_frontier_table(df_batch) -> pa.Table:
+    """Scheduled pandas rows -> FRONTIER_SCHEMA arrow table."""
+    import pandas as pd
+
+    if len(df_batch) == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    return pa.Table.from_pydict(
+        {
+            "prefecture": df_batch["prefecture"].tolist(),
+            "url": df_batch["canon_url"].tolist(),
+            "url_key": df_batch["url_key"].tolist(),
+            "host": df_batch["host"].tolist(),
+            "part": df_batch["part"].to_numpy(dtype=np.int32),
+            "depth": df_batch["depth"].to_numpy(dtype=np.int32),
+            "discovered_at": df_batch["discovered_at"].to_numpy(),
+            "visit_seq": df_batch["visit_seq"].to_numpy(dtype=np.int64),
+            "sched_ts": df_batch["sched_ts"].to_numpy(),
+            "method": df_batch["method"].tolist(),
+            "form_json": df_batch["form_json"].tolist(),
+            "meta_json": df_batch["meta_json"].tolist(),
+            "callback": df_batch["callback"].tolist(),
+            "parent_key": df_batch["parent_key"].tolist(),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+class CrawlEngine:
+    """Driver-side wave loop with checkpoint/resume.
+
+    Seen/politeness shards are ALWAYS Ray actors: the wave pipeline runs
+    distributed, and shard state must be shared+mutable across tasks
+    (plain objects captured in a task closure deserialize as read-only
+    copies — observed failure mode, not a theory)."""
+
+    def __init__(
+        self,
+        spec: ScaleSpec,
+        out_dir: str,
+        n_seen_shards: int = 4,
+        n_sched_shards: int = 2,
+        n_parts: int = 8,
+        seen_capacity: int = 1_000_000,
+        fetch_batch_size: int = 256,
+        max_waves: int = 10_000,
+    ):
+        self.spec = spec
+        self.out_dir = out_dir
+        self.n_seen_shards = n_seen_shards
+        self.n_sched_shards = n_sched_shards
+        self.n_parts = n_parts
+        self.seen_capacity = seen_capacity
+        self.fetch_batch_size = fetch_batch_size
+        self.max_waves = max_waves
+        self.store = PageStore(spec)
+        self.mega_hosts = frozenset(r["host"] for r in self.store.politeness_rows() if r.get("is_mega_host"))
+        self.seen_shards: list = []
+        self.sched_actors: list = []
+        self.totals = {"pages": 0, "items": 0, "waves": 0}
+
+    # --- state management ------------------------------------------------
+    def _init_state(self, seen_blobs=None, sched_blobs=None):
+        import ray
+
+        pol_rows = self.store.politeness_rows()
+        RemoteSeen = ray.remote(num_cpus=0.25)(SeenShard)
+        RemoteSched = ray.remote(num_cpus=0.25)(PolitenessScheduler)
+        self.seen_shards = [RemoteSeen.remote(self.seen_capacity) for _ in range(self.n_seen_shards)]
+        self.sched_actors = [RemoteSched.remote() for _ in range(self.n_sched_shards)]
+        if seen_blobs:
+            ray.get([a._restore_inplace.remote(b) for a, b in zip(self.seen_shards, seen_blobs)])
+        if sched_blobs:
+            ray.get([a._restore_inplace.remote(b) for a, b in zip(self.sched_actors, sched_blobs)])
+        else:
+            ray.get([a.configure.remote(pol_rows) for a in self.sched_actors])
+
+    def _checkpoint_state(self, wave: int):
+        import ray
+
+        ckpt = os.path.join(self.out_dir, "checkpoint", f"wave={wave}")
+        os.makedirs(ckpt, exist_ok=True)
+        seen_blobs = ray.get([a.checkpoint.remote() for a in self.seen_shards])
+        sched_blobs = ray.get([a.checkpoint.remote() for a in self.sched_actors])
+        for i, b in enumerate(seen_blobs):
+            with open(os.path.join(ckpt, f"seen_{i}.bin"), "wb") as f:
+                f.write(b)
+        for i, b in enumerate(sched_blobs):
+            with open(os.path.join(ckpt, f"sched_{i}.bin"), "wb") as f:
+                f.write(b)
+        manifest = {"wave": wave, "totals": dict(self.totals), "n_seen_shards": self.n_seen_shards, "n_sched_shards": self.n_sched_shards}
+        tmp = os.path.join(ckpt, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(ckpt, "manifest.json"))  # atomic completion marker
+
+    def _latest_checkpoint(self) -> int | None:
+        base = os.path.join(self.out_dir, "checkpoint")
+        if not os.path.isdir(base):
+            return None
+        waves = []
+        for d in os.listdir(base):
+            if d.startswith("wave=") and os.path.exists(os.path.join(base, d, "manifest.json")):
+                waves.append(int(d.split("=")[1]))
+        return max(waves) if waves else None
+
+    # --- seeds -----------------------------------------------------------
+    def _seed_frontier(self) -> pa.Table:
+        rows = self.store.seeds()
+        batch = pa.Table.from_pydict(
+            {
+                "url": [r["url"] for r in rows],
+                "callback": [r["callback"] for r in rows],
+                "method": [r["method"] for r in rows],
+                "form_json": [json.dumps(r["form"], sort_keys=True) if r["form"] else "" for r in rows],
+                "meta_json": [json.dumps(r["meta"], sort_keys=True) if r["meta"] else "" for r in rows],
+                "parent_url": ["" for _ in rows],
+                "parent_key": [b"\x00" * 20 for _ in rows],
+                "prefecture": [r["prefecture"] for r in rows],
+                "depth": pa.array([0] * len(rows), pa.int32()),
+                "discovered_at": pa.array([i * 1e-6 for i in range(len(rows))], pa.float64()),
+            }
+        )
+        admitted = make_admit_fn(self.seen_shards, self.n_sched_shards)(batch)
+        sched_fn = make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts)
+        frames = []
+        df = admitted.to_pandas()
+        for _, g in df.groupby("sched_shard", sort=True):
+            frames.append(sched_fn(g))
+        import pandas as pd
+
+        merged = pd.concat(frames) if frames else pd.DataFrame()
+        return to_frontier_table(merged)
+
+    # --- one wave --------------------------------------------------------
+    def _run_wave(self, wave: int, frontier_path: str) -> tuple[int, int]:
+        """Execute wave: fetch -> parse -> outputs -> next frontier.
+        Returns (pages fetched, links admitted to next wave)."""
+        import ray
+        import ray.data as rd
+
+        fetch_fn = make_fetch_fn(self.spec)
+        frontier_ds = rd.read_parquet(frontier_path)
+        parsed = (
+            frontier_ds.map_batches(fetch_fn, batch_format="pyarrow", batch_size=self.fetch_batch_size)
+            .map_batches(parse_emit_batch, batch_format="pyarrow", batch_size=self.fetch_batch_size)
+            .materialize()  # wave-bounded, body-free (bodies died inside the fused fetch->parse task)
+        )
+        n_pages = parsed.count()
+        # outputs (streaming from the materialized narrow table)
+        parsed.map_batches(explode_items, batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "items", f"wave={wave}"))
+        parsed.map_batches(explode_documents, batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "documents", f"wave={wave}"))
+        parsed.map_batches(make_lineage_fn(wave), batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "lineage", f"wave={wave}"))
+        from ray.data.aggregate import Sum
+
+        metrics = (
+            parsed.map_batches(make_metrics_partial_fn(wave), batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(
+                Sum("pages", alias_name="pages"),
+                Sum("items", alias_name="items"),
+                Sum("links", alias_name="links"),
+                Sum("bytes", alias_name="bytes"),
+                Sum("errors", alias_name="errors"),
+                Sum("retries", alias_name="retries"),
+            )
+        )
+        metrics.map_batches(lambda t: t.append_column("wave", pa.array([wave] * len(t), pa.int32())), batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "metrics", f"wave={wave}"))
+
+        # next frontier: dedup -> admit -> schedule
+        links = parsed.map_batches(explode_links, batch_format="pyarrow")
+
+        def dedup_group(df):
+            # deterministic within-wave first-discovery (min discovered_at,
+            # tie-break parent_key/url bytes)
+            return df.sort_values(["discovered_at", "parent_key", "url"]).head(1)
+
+        deduped = (
+            links.map_batches(lambda t: t.append_column("dedup_key", _dedup_key(t)), batch_format="pyarrow")
+            .groupby("dedup_key")
+            .map_groups(dedup_group, batch_format="pandas")
+        )
+        admitted = deduped.map_batches(make_admit_fn(self.seen_shards, self.n_sched_shards), batch_format="pyarrow")
+        scheduled = admitted.groupby("sched_shard").map_groups(
+            make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts), batch_format="pandas"
+        )
+        next_frontier = scheduled.map_batches(to_frontier_table, batch_format="pandas")
+        next_path = os.path.join(self.out_dir, "frontier", f"wave={wave + 1}")
+        next_frontier.write_parquet(next_path)
+        n_next = rd.read_parquet(next_path).count() if os.path.isdir(next_path) else 0
+        self.totals["pages"] += n_pages
+        self.totals["waves"] = wave + 1
+        return n_pages, n_next
+
+    # --- public API ------------------------------------------------------
+    def run(self, resume: bool = False) -> dict:
+        os.makedirs(self.out_dir, exist_ok=True)
+        start_wave = 0
+        seen_blobs = sched_blobs = None
+        if resume:
+            last = self._latest_checkpoint()
+            if last is not None:
+                ckpt = os.path.join(self.out_dir, "checkpoint", f"wave={last}")
+                with open(os.path.join(ckpt, "manifest.json")) as f:
+                    manifest = json.load(f)
+                seen_blobs = [open(os.path.join(ckpt, f"seen_{i}.bin"), "rb").read() for i in range(manifest["n_seen_shards"])]
+                sched_blobs = [open(os.path.join(ckpt, f"sched_{i}.bin"), "rb").read() for i in range(manifest["n_sched_shards"])]
+                self.totals = manifest["totals"]
+                start_wave = last + 1
+        self._init_state(seen_blobs, sched_blobs)
+
+        if start_wave == 0:
+            frontier = self._seed_frontier()
+            path0 = os.path.join(self.out_dir, "frontier", "wave=0")
+            os.makedirs(path0, exist_ok=True)
+            import pyarrow.parquet as pq
+
+            pq.write_table(frontier, os.path.join(path0, "seed.parquet"))
+
+        wave = start_wave
+        while wave < self.max_waves:
+            fpath = os.path.join(self.out_dir, "frontier", f"wave={wave}")
+            if not os.path.isdir(fpath) or not os.listdir(fpath):
+                break
+            import pyarrow.parquet as pq
+            import pyarrow.dataset as pads
+
+            n_rows = pads.dataset(fpath).count_rows()
+            if n_rows == 0:
+                break
+            n_pages, n_next = self._run_wave(wave, fpath)
+            self._checkpoint_state(wave)
+            wave += 1
+            if n_next == 0:
+                break
+        return dict(self.totals)
+
+
+def _dedup_key(t: pa.Table) -> pa.Array:
+    """Within-wave dedup key: method|url|form (resolved url comes later —
+    dedup on the raw href + parent base is conservative but deterministic;
+    the seen set is the exact global gate)."""
+    vals = []
+    urls = t.column("url").to_pylist()
+    parents = t.column("parent_url").to_pylist()
+    methods = t.column("method").to_pylist()
+    forms = t.column("form_json").to_pylist()
+    for u, p, m, f in zip(urls, parents, methods, forms):
+        c = canonicalize(u, base=p or None)
+        vals.append(f"{m}|{c}|{f}")
+    return pa.array(vals, pa.string())

@@ -1,0 +1,85 @@
+"""Simulated-fetch actor stage: politeness-aware retry + deterministic corpus.
+
+The reference's downloader = Scrapy engine + CustomRetryMiddleware
+(reference: goto_eat_scrapy/middlewares.py:109-130 — exponential backoff
+``2**n + rand(0,1)`` seconds, RETRY_TIMES=8, settings.py:119).  Here the
+fetch stage is a ``map_batches`` CALLABLE CLASS — one PageStore + retry
+policy per actor, built once in ``__init__`` (SURVEY.md §7.2) — that:
+
+  * synthesizes the page for each frontier row from the deterministic
+    corpus (zero-copy in: ``batch_format="pyarrow"``),
+  * retries retryable statuses in-line with a *virtual-time* backoff
+    (blind Ray task retries would re-hammer a host, SURVEY.md §4.2 —
+    retry must stay politeness-aware inside the worker),
+  * emits terminal failures as error rows (status kept), never exceptions,
+  * optionally sleeps ``latency_ms * time_scale`` to emulate network for
+    scheduling realism (0 by default: the bench measures engine, not
+    sleeps — BASELINE.md).
+
+Fetch completion time is virtual: ``fetched_at = sched_ts + latency +
+backoff``; downstream discovery times derive from it, which is what makes
+visit ordering reproducible across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..sources.pagestore import PageStore, ScaleSpec
+
+RETRY_TIMES = 8  # reference settings.py:119
+
+
+def _backoff_s(attempt: int, url: str) -> float:
+    # deterministic stand-in for `2**n + random()` (middlewares.py:123-127)
+    frac = (hash((url, attempt)) & 0xFFFF) / 0xFFFF
+    return (2**attempt) + frac
+
+
+class FetchWorker:
+    """Actor-pool fetch stage: frontier batch -> page batch."""
+
+    def __init__(self, scale_spec: ScaleSpec, time_scale: float = 0.0, max_retries: int = RETRY_TIMES):
+        self.store = PageStore(scale_spec)  # per-actor, once
+        self.time_scale = time_scale
+        self.max_retries = max_retries
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        urls = batch.column("url").to_pylist()
+        methods = batch.column("method").to_pylist()
+        forms = batch.column("form_json").to_pylist()
+        scheds = batch.column("sched_ts").to_pylist()
+        n = len(urls)
+        status = [0] * n
+        ctype = [""] * n
+        body: list[bytes] = [b""] * n
+        latency = [0] * n
+        attempts = [0] * n
+        fetched_at = [0.0] * n
+        for i in range(n):
+            form = json.loads(forms[i]) if forms[i] else {}
+            page = self.store.get(urls[i], methods[i], form)
+            t = scheds[i]
+            att = 1
+            while att <= page.retryable_failures and att <= self.max_retries:
+                t += _backoff_s(att, urls[i])  # virtual backoff
+                att += 1
+            ok = att > page.retryable_failures
+            status[i] = page.status if ok else 503
+            ctype[i] = page.content_type
+            body[i] = page.body if ok else b""
+            latency[i] = page.latency_ms
+            attempts[i] = att
+            fetched_at[i] = t + page.latency_ms / 1000.0
+            if self.time_scale > 0:
+                time.sleep(page.latency_ms * self.time_scale / 1000.0)
+        return batch.append_column("status", pa.array(status, pa.int32())) \
+            .append_column("content_type", pa.array(ctype, pa.string())) \
+            .append_column("body", pa.array(body, pa.binary())) \
+            .append_column("latency_ms", pa.array(latency, pa.int32())) \
+            .append_column("attempts", pa.array(attempts, pa.int32())) \
+            .append_column("fetched_at", pa.array(fetched_at, pa.float64()))

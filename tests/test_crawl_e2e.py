@@ -1,0 +1,152 @@
+"""End-to-end crawl: seen-set equality, visit ordering, robots, resume.
+
+SURVEY.md §5 'End-to-end' plan: run the full wave loop over the synthetic
+corpus and assert
+  * final URL-seen set == BFS closure ground truth (exact set equality),
+  * per-host visit order respects the (depth, host-budget, discovery-time)
+    heap: pagination chains strictly sequential, details after their list
+    page,
+  * robots-disallowed host never fetched,
+  * determinism: a second engine run yields identical visit_seq assignment,
+  * kill-after-wave-k resume produces the identical final state.
+"""
+
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from goto_eater_crawler_ray.pipelines.crawl import CrawlEngine, request_key
+from goto_eater_crawler_ray.sources.pagestore import PageStore, ScaleSpec
+from goto_eater_crawler_ray.state.canonical import canonicalize
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl"))
+    eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
+    totals = eng.run()
+    return out, totals
+
+
+def _expected_keys(store):
+    keys = set()
+    for k in store.expected_reachable():
+        method, url, form_enc = k.split("|", 2)
+        canon = canonicalize(url)
+        form = dict(p.split("=", 1) for p in form_enc.split("&")) if form_enc else {}
+        keys.add(request_key(method, canon, form))
+    return keys
+
+
+def test_seen_set_equality(crawl_out):
+    out, totals = crawl_out
+    store = PageStore(ScaleSpec.golden())
+    lineage = pads.dataset(os.path.join(out, "lineage")).to_table()
+    got = set(lineage.column("url_key").to_pylist())
+    expected = _expected_keys(store)
+    assert got == expected, f"visited {len(got)} vs expected {len(expected)}; missing={len(expected - got)}, extra={len(got - expected)}"
+    assert totals["pages"] == len(expected)
+
+
+def test_robots_blocked_never_fetched(crawl_out):
+    out, _ = crawl_out
+    lineage = pads.dataset(os.path.join(out, "lineage")).to_table()
+    hosts = set(lineage.column("host").to_pylist())
+    assert "blocked.example.jp" not in hosts
+
+
+def test_visit_order_invariants(crawl_out):
+    out, _ = crawl_out
+    lineage = pads.dataset(os.path.join(out, "lineage")).to_table().to_pandas()
+    # (a) visit_seq is a dense 0..n-1 sequence per host
+    for host, g in lineage.groupby("host"):
+        seqs = sorted(g["visit_seq"].tolist())
+        assert seqs == list(range(len(seqs))), f"{host}: non-dense visit_seq {seqs[:5]}..."
+    # (b) pagination chains strictly increasing: page N+1 visited after N
+    pag = lineage[lineage["host"] == "paginated0.example.jp"].copy()
+    pag["page_no"] = pag["url"].str.extract(r"page=(\d+)").astype(int)
+    pag = pag.sort_values("page_no")
+    assert pag["visit_seq"].is_monotonic_increasing
+    # (c) details visited after their list page (depth ordering within host)
+    det = lineage[lineage["host"] == "listdetail0.example.jp"]
+    lists = det[det["url"].str.contains("/list/")].set_index("url_key")["visit_seq"]
+    parent_of = det.set_index("url_key")["parent_key"]
+    for _, row in det[det["url"].str.contains("/detail/")].iterrows():
+        parent_seq = lists.get(row["parent_key"])
+        assert parent_seq is not None and row["visit_seq"] > parent_seq
+
+
+def test_items_match_golden_totals(crawl_out):
+    out, _ = crawl_out
+    store = PageStore(ScaleSpec.golden())
+    items = pads.dataset(os.path.join(out, "items")).to_table()
+    # expected total: sum of expected items over the closure
+    from tests.test_parse_golden import _crawl_closure
+
+    exp_total = 0
+    for pref, cb, url, method, form, meta in _crawl_closure(store):
+        exp_items, _ = store.expected_parse(pref, cb, url, method, form)
+        exp_total += len(exp_items)
+    assert len(items) == exp_total
+    # spot-check golden equality on one page's rows
+    page_url = "http://paginated0.example.jp/list?page=2"
+    exp_items, _ = store.expected_parse("paginated0", "parse", page_url)
+    got = items.to_pandas()
+    got = got[got["source_url"] == page_url].sort_values("row_in_page")
+    assert len(got) == len(exp_items)
+    for (_, g), e in zip(got.iterrows(), exp_items):
+        for col in ("shop_name", "address", "tel", "genre_name", "zip_code"):
+            assert g[col] == e[col] or (g[col] is None and e[col] is None)
+
+
+def test_documents_span_invariant(crawl_out):
+    out, _ = crawl_out
+    store = PageStore(ScaleSpec.golden())
+    docs = pads.dataset(os.path.join(out, "documents")).to_table().to_pandas().set_index("doc_id")
+    page_url = "http://pagesynth.example.jp/p/1"
+    _, exp_spans = store.expected_parse("pagesynth", "parse", page_url)
+    got = docs.loc[page_url, "spans"]
+    got_seq = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got]
+    exp_seq = [(k, t, m, i) for i, (k, t, m) in enumerate(exp_spans)]
+    assert got_seq == exp_seq
+
+
+def test_metrics_totals(crawl_out):
+    out, totals = crawl_out
+    import pandas as pd
+
+    m = pads.dataset(os.path.join(out, "metrics")).to_table().to_pandas()
+    assert m["pages"].sum() == totals["pages"]
+    assert (m.groupby("host")["pages"].sum() > 0).all()
+
+
+def test_determinism_second_run(ray_session, crawl_out, tmp_path):
+    out1, _ = crawl_out
+    out2 = str(tmp_path / "crawl2")
+    eng = CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4)
+    eng.run()
+    l1 = pads.dataset(os.path.join(out1, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
+
+
+def test_resume_after_kill(ray_session, tmp_path):
+    """Kill after wave 1, resume, final state equals an uninterrupted run."""
+    full_out = str(tmp_path / "full")
+    CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2).run()
+
+    part_out = str(tmp_path / "partial")
+    eng = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, max_waves=2)
+    eng.run()  # stops after wave 1 (simulated kill)
+    assert eng._latest_checkpoint() == 1
+    # resume to completion with a FRESH engine object
+    eng2 = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2)
+    totals2 = eng2.run(resume=True)
+
+    l_full = pads.dataset(os.path.join(full_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    l_part = pads.dataset(os.path.join(part_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    assert len(l_full) == len(l_part)
+    assert l_full[["url_key", "visit_seq", "depth"]].equals(l_part[["url_key", "visit_seq", "depth"]])
