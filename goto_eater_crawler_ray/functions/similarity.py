@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (list<float>), Ray-Data-first.
+
+Two paths over the ``embeddings`` table (vec_id, embedding, label):
+
+  brute-force cosine top-k  — baseline: one numpy matmul per batch against
+      a query matrix broadcast ONCE with ``ray.put`` (never re-shipped per
+      batch); exact, SQL-oracle-twin-able via DuckDB list_cosine_similarity.
+  LSH-bucketed ANN          — scale path: random-hyperplane signatures
+      (sign-LSH, Charikar 2002) bucket both corpus and queries; search only
+      within matching buckets via a groupby co-location. Approximate; the
+      test measures recall against brute force instead of an SQL oracle.
+
+Embedding cosine near-dup (threshold pairs) reuses the same matmul shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 contiguous matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _l2_normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5, round_dp: int = 4):
+    """Exact cosine top-k: (query_id, neighbor_id, rank, score).
+
+    Self-matches excluded.  Scores rounded so the DuckDB oracle twin
+    hash-matches bit-for-bit."""
+    import ray
+
+    q_rows = emb_ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = _l2_normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(q_ref)
+        c_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c_mat = _l2_normalize(_as_matrix(batch.column("embedding")))
+        sims = c_mat @ mat.T  # (n_corpus, n_query)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(ids):
+            mask = c_ids != qid
+            out_q.append(np.full(mask.sum(), qid))
+            out_n.append(c_ids[mask])
+            out_s.append(sims[mask, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def topk_per_query(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break on neighbor_id
+        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64), score=np.round(df["score"].to_numpy(), round_dp))
+        return df
+
+    scored = emb_ds.map_batches(score_batch, batch_format="pyarrow")
+    return scored.groupby("query_id").map_groups(topk_per_query, batch_format="pandas")
+
+
+class SignLSH:
+    """Random-hyperplane signature stage (actor pool: planes built once)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes) > 0
+        return (signs.astype(np.uint64) * self.weights[None, :]).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch.column("embedding"))
+        return batch.append_column("bucket", pa.array(self.bucket_of(mat), pa.uint64()))
+
+
+def lsh_ann_topk(emb_ds, query_ids: list[int], dim: int, k: int = 5, n_planes: int = 8):
+    """Approximate top-k: sign-LSH buckets -> per-bucket exact rerank.
+    Queries whose bucket lacks k neighbors return fewer rows (documented
+    approximation; recall measured against brute force in tests)."""
+    bucketed = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes}, batch_format="pyarrow", concurrency=2)
+    qset = set(query_ids)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        qs = df[df["vec_id"].isin(qset)]
+        if qs.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [], "score": []})
+        mat = _l2_normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
+        ids = df["vec_id"].to_numpy()
+        out = []
+        for _, q in qs.iterrows():
+            qv = _l2_normalize(np.array([q["embedding"]], dtype=np.float64))[0]
+            sims = mat @ qv
+            order = np.lexsort((ids, -sims))
+            taken = 0
+            for idx in order:
+                if ids[idx] == q["vec_id"]:
+                    continue
+                taken += 1
+                out.append((q["vec_id"], ids[idx], taken, round(float(sims[idx]), 4)))
+                if taken == k:
+                    break
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "score"])
+
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def cosine_near_dup_pairs(emb_ds, threshold: float = 0.95, id_limit: int | None = None, round_dp: int = 4):
+    """Embedding-cosine near-duplicate pairs (a<b, sim>=threshold): corpus
+    matmul against a broadcast (optionally id-bounded) reference matrix."""
+    import ray
+
+    ref_ds = emb_ds
+    if id_limit is not None:
+        ref_ds = emb_ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], id_limit)), batch_format="pyarrow"
+        )
+    rows = ref_ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = _l2_normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    _empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        r_ids, r_mat = ray.get(ref)
+        c_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if id_limit is not None:
+            keep = c_ids < id_limit
+            batch = batch.filter(pa.array(keep))
+            c_ids = c_ids[keep]
+        if len(c_ids) == 0:
+            return _empty
+        c_mat = _l2_normalize(_as_matrix(batch.column("embedding")))
+        sims = c_mat @ r_mat.T
+        ii, jj = np.nonzero((sims >= threshold) & (c_ids[:, None] < r_ids[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(c_ids[ii], pa.int64()),
+                "vec_b": pa.array(r_ids[jj], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[ii, jj], round_dp), pa.float64()),
+            }
+        )
+
+    return emb_ds.map_batches(pairs, batch_format="pyarrow")

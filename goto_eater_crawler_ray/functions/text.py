@@ -1,0 +1,109 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All are vectorized ``map_batches`` transforms over the ``documents`` table
+(doc_id, text, lang, source, n_chars).  Where a stage needs per-worker
+state (compiled patterns, stopword structures, n-gram profiles) it is a
+callable CLASS → actor pool; pure-kernel stages are plain functions.
+
+Oracle parity: token counts / quality metrics / fingerprints are defined
+to be expressible in ANSI SQL (DuckDB twin in ``__ray_entry__.oracle_sql``)
+— e.g. whitespace tokens = regexp split, fingerprint = md5 — so the
+driver's value-hash comparison is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "of", "to", "and")  # fixed, mirrored in oracle SQL
+
+_WS = re.compile(r"\s+")
+_WORD = re.compile(r"[a-z]+|[0-9]+|[^\sa-z0-9]")  # BPE-ish coarse tokens
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + regex (BPE-ish) tokens per doc — pure Arrow/regex.
+
+    SQL twin: len(regexp_split_to_array(text,'\\s+')) and
+    len(regexp_extract_all(text, ...)).
+    """
+    text = batch.column("text")
+    ws = pc.add(pc.count_substring_regex(text, pattern=_WS.pattern), 1)
+    re_toks = pc.count_substring_regex(text, pattern=_WORD.pattern)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "ws_tokens": pc.cast(ws, pa.int64()),
+            "re_tokens": pc.cast(re_toks, pa.int64()),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Length / punctuation / stopword-ratio quality signals (vectorized).
+
+    SQL twin uses the same closed-form; ratios rounded to 6 dp on both
+    sides so the value-hash compare is exact.
+    """
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.add(pc.count_substring_regex(text, pattern=_WS.pattern), 1)
+    n_punct = pc.count_substring_regex(text, pattern=_PUNCT.pattern)
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = pc.count_substring_regex(text, pattern=stop_pat)
+    punct_ratio = pc.round(pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())), ndigits=6)
+    stop_ratio = pc.round(pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(n_tokens, pa.float64())), ndigits=6)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint = md5 hex of the text (content addressing).
+    SQL twin: md5(text)."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch.column("text").to_pylist()]
+    return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())})
+
+
+class LangId:
+    """Character-n-gram language heuristic — stateful stage (profiles built
+    once per actor in ``__init__``, SURVEY guidance on actor pools).
+
+    The synthetic corpus has no real cross-language signal, so the profile
+    is a deterministic hash-based scorer: reproducible, plumbing-real,
+    clearly not a linguistic claim.  Swap ``_profiles`` for real trigram
+    tables when shipping against natural text.
+    """
+
+    LANGS = ("en", "de", "fr", "es", "zh", "ja")
+
+    def __init__(self):
+        import zlib
+
+        self._crc = zlib.crc32  # deterministic across processes (NOT builtins.hash)
+        self._seeds = {lang: hashlib.md5(lang.encode()).digest()[:4] for lang in self.LANGS}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            tri = set(t[i : i + 3] for i in range(0, max(len(t) - 2, 1), 7))
+            best, best_score = "en", -1.0
+            for lang, seed in self._seeds.items():
+                score = sum(1 for g in tri if (self._crc(g.encode("utf-8") + seed) & 0xFF) < 8) / max(len(tri), 1)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})

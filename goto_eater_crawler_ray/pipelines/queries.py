@@ -1,0 +1,603 @@
+"""Driver-contract queries: each named pipeline + its DuckDB oracle twin.
+
+Every entry is a Ray-Data-first implementation of an operator family from
+SURVEY.md §2 or a training-data op (dedup / similarity / text analysis /
+multimodal), over the driver's TPC-H-ish parquet tables.  Column names are
+IDENTICAL between the Ray pipeline and the SQL twin (the driver's compare
+sorts columns by name and value-hashes).  Floating aggregates are rounded
+on both sides so the hash compare is exact.
+
+Ray is initialised by the DRIVER — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_col(t: pa.Table, name: str, dp: int) -> pa.Table:
+    i = t.column_names.index(name)
+    return t.set_column(i, name, pc.round(t.column(name), ndigits=dp))
+
+
+def _int_scale_col(t: pa.Table, name: str, scale: int) -> pa.Table:
+    """Float column -> scaled BIGINT (x*scale rounded). Integer outputs make
+    the driver's string-based value-hash immune to 1-ulp float divergence
+    between pyarrow and DuckDB rounding."""
+    i = t.column_names.index(name)
+    scaled = pc.round(pc.multiply(t.column(name), float(scale)))
+    return t.set_column(i, name, pc.cast(scaled, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# relational core (reference operator families: aggregation, filter/project,
+# broadcast join, sort/top-k — SURVEY.md §2.3, §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with per-batch PRE-AGGREGATION
+    (combiner before the shuffle — SURVEY.md §7.3 / ray_guide 'Aggregation
+    at scale')."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return out.map_batches(
+        lambda t: _int_scale_col(_int_scale_col(_int_scale_col(t, "sum_qty", 100), "sum_price", 100), "revenue", 100),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT)                           AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)                      AS sum_price,
+       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS revenue,
+       count(*)                                               AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_revenue(sf_dir: str):
+    """Vectorized filter + computed projection (column-pruned read)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45))
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])), 10000.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"], "revenue": rev})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_REVENUE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by order total — groupby-sum + BROADCAST join of the
+    small customer/nation dims (ray.put once, read in tasks; no shuffle
+    join — SURVEY.md §2.6)."""
+    import ray
+
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    totals = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = rd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put(dim.set_index("c_custkey")[["c_name", "n_name"]])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        df = df.join(d, on="o_custkey")
+        return df.rename(columns={"n_name": "nation_name"})
+
+    out = totals.map_batches(enrich, batch_format="pandas")
+    out = out.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
+    return out.map_batches(lambda t: _int_scale_col(t, "total_spent", 100), batch_format="pyarrow")
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_spent, count(*) AS n_orders,
+       c_name, n_name AS nation_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY o_custkey, c_name, n_name
+ORDER BY sum(o_totalprice) DESC, o_custkey
+LIMIT 10
+"""
+
+
+def q_region_customer_counts(sf_dir: str):
+    """customer ⋈ nation ⋈ region via broadcast dicts + partial-agg counts."""
+    import ray
+
+    nation = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    region = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey").set_index("n_nationkey")["r_name"].to_dict()
+    ref = ray.put(n2r)
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        r_names = [m[k] for k in t.column("c_nationkey").to_pylist()]
+        out = pa.table({"r_name": pa.array(r_names, pa.string())})
+        df = out.to_pandas().groupby("r_name", as_index=False).size().rename(columns={"size": "n_customers"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey"])
+    return cust.map_batches(tag, batch_format="pyarrow").groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
+
+
+SQL_REGION_CUSTOMER_COUNTS = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_parts_by_brand(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice", "p_size"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+    )
+    return out.map_batches(lambda t: _int_scale_col(t, "avg_price", 100), batch_format="pyarrow")
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, count(*) AS n_parts, CAST(round(avg(p_retailprice) * 100) AS BIGINT) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_sorted_topn(sf_dir: str):
+    """Global sort + limit (range-shuffle top-k — the reference's csvsort
+    export parity, SURVEY.md §2.7)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+
+SQL_SORTED_TOPN = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (stream-shaped: windows, top-k per key, json props)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (groupby on truncated ts)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "window_start": win, "value": t["value"]})
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_top_users(sf_dir: str):
+    """Per-event-type top-3 users by total value (groupby + map_groups —
+    the window-function shape)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["event_type", "user_id"], as_index=False).agg(user_total=("value", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("user_total", alias_name="user_total"))
+    )
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_total", "user_id"], ascending=[False, True]).head(3)
+        return df.assign(user_total=np.round(df["user_total"].to_numpy() * 100).astype(np.int64), rnk=np.arange(1, len(df) + 1))
+
+    return totals.groupby("event_type").map_groups(top3, batch_format="pandas")
+
+
+SQL_EVENTS_TOP_USERS = """
+SELECT event_type, user_id, CAST(round(user_total * 100) AS BIGINT) AS user_total, rnk FROM (
+  SELECT event_type, user_id, sum(value) AS user_total,
+         row_number() OVER (PARTITION BY event_type ORDER BY sum(value) DESC, user_id) AS rnk
+  FROM events GROUP BY event_type, user_id
+) WHERE rnk <= 3
+"""
+
+
+def q_events_json_props(sf_dir: str):
+    """Extract int prop k from the JSON props column (regex-vectorized —
+    the reference's JS/JSON payload extraction family, SURVEY.md §2.3)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, [0]), pa.int64())
+        return pa.table({"event_id": t["event_id"], "prop_k": k})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    from ..functions.text import token_count_batch
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+'))                          AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^\\sa-z0-9]'))       AS re_tokens
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    from ..functions.text import quality_score_batch
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) * 1.0
+             / len(regexp_split_to_array(text, '\\s+')), 6) AS stop_ratio
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from ..functions.text import fingerprint_batch
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_exact_dedup(sf_dir: str):
+    from ..functions.dedup import exact_dedup
+
+    return exact_dedup(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_filter(sf_dir: str):
+    """Semi-join survivor filter: keep only first doc per distinct text —
+    broadcast the keep-set (bloom/semi-join shape, ray_guide 'Joins')."""
+    import ray
+
+    from ..functions.dedup import exact_dedup
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    keep = exact_dedup(docs.select_columns(["doc_id", "text"]))
+    keep_ids = set(r["keep_id"] for r in keep.select_columns(["keep_id"]).take_all())
+    ref = ray.put(keep_ids)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([i in ids for i in t.column("doc_id").to_pylist()])
+        return t.filter(mask)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DEDUP_FILTER = """
+SELECT doc_id, text, lang FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def q_char_jaccard(sf_dir: str):
+    from ..functions.dedup import char_jaccard_pairs
+
+    return char_jaccard_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), id_limit=100, threshold=0.5)
+
+
+SQL_CHAR_JACCARD = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(jaccard(a.text, b.text), 6) AS jaccard_sim
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 100 AND b.doc_id < 100
+  AND round(jaccard(a.text, b.text), 6) >= 0.5
+"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates (no SQL twin: probabilistic op —
+    driver records rows-only; correctness covered by planted-dup tests)."""
+    from ..functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash_groups(sf_dir: str):
+    from ..functions.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]))
+
+
+def q_langid(sf_dir: str):
+    from ..functions.text import LangId
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str):
+    from ..functions.similarity import brute_force_topk
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS raw_score
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(raw_score, 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_cosine_dups(sf_dir: str):
+    from ..functions.similarity import cosine_near_dup_pairs
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return cosine_near_dup_pairs(emb, threshold=0.3, id_limit=300)
+
+
+SQL_COSINE_DUPS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
+
+
+def q_lsh_ann(sf_dir: str):
+    """Sign-LSH bucketed ANN (approximate; recall vs brute force in tests)."""
+    from ..functions.similarity import lsh_ann_topk
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    return lsh_ann_topk(emb, query_ids=list(range(10)), dim=dim, k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary column plumbing; codecs stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_media(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "media_bytes": pc.cast(t["text"], pa.binary())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_metadata(sf_dir: str):
+    from ..functions.multimodal import binary_metadata_batch
+
+    return _docs_as_media(sf_dir).map_batches(binary_metadata_batch, batch_format="pyarrow")
+
+
+SQL_MEDIA_METADATA = """
+SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5 FROM documents
+"""
+
+
+def q_media_decode(sf_dir: str):
+    """STUB image decode over binary column (actor pool, small batches)."""
+    from ..functions.multimodal import DecodeImage
+
+    return _docs_as_media(sf_dir).map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2)
+
+
+def q_media_features(sf_dir: str):
+    from ..functions.multimodal import ExtractFeatures
+
+    return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine queries (non-SQL: full engine semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_lineage(sf_dir: str):
+    """Golden-scale end-to-end crawl; returns the lineage table (URL-seen
+    set + visit order). Non-SQL (stateful iterative engine); invariants are
+    pytest-verified (tests/test_crawl_e2e.py)."""
+    import tempfile
+
+    from ..sources.pagestore import ScaleSpec
+    from .crawl import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawl_q_")
+    eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
+    eng.run()
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out, "lineage")).to_table()
+    return t.select(["url", "host", "depth", "wave", "visit_seq"]).sort_by([("host", "ascending"), ("visit_seq", "ascending")])
+
+
+def q_doc_spans(sf_dir: str):
+    """documents -> interleaved span documents (input_hint shape): text
+    split into sentence-ish text spans with word-count media refs every
+    5th span. Non-SQL (nested list<struct> output)."""
+    from ..schemas import SPAN_STRUCT
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_ids, spans_col = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            words = text.split()
+            spans = []
+            for off, i in enumerate(range(0, len(words), 10)):
+                chunk = " ".join(words[i : i + 10])
+                if off % 5 == 4:
+                    spans.append({"kind": "image", "text": chunk, "media_ref": f"media://{doc_id}/{off}", "offset": off})
+                else:
+                    spans.append({"kind": "text", "text": chunk, "media_ref": "", "offset": off})
+            doc_ids.append(str(doc_id))
+            spans_col.append(spans)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "filter_revenue": q_filter_revenue,
+    "top_customers": q_top_customers,
+    "region_customer_counts": q_region_customer_counts,
+    "parts_by_brand": q_parts_by_brand,
+    "sorted_topn": q_sorted_topn,
+    "events_hourly": q_events_hourly,
+    "events_top_users": q_events_top_users,
+    "events_json_props": q_events_json_props,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "dedup_filter": q_dedup_filter,
+    "char_jaccard": q_char_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_groups": q_simhash_groups,
+    "langid": q_langid,
+    "ann_topk": q_ann_topk,
+    "cosine_dups": q_cosine_dups,
+    "lsh_ann": q_lsh_ann,
+    "media_metadata": q_media_metadata,
+    "media_decode": q_media_decode,
+    "media_features": q_media_features,
+    "crawl_lineage": q_crawl_lineage,
+    "doc_spans": q_doc_spans,
+}
+
+ORACLES = {
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "filter_revenue": SQL_FILTER_REVENUE,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
+    "sorted_topn": SQL_SORTED_TOPN,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_top_users": SQL_EVENTS_TOP_USERS,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality": SQL_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "dedup_filter": SQL_DEDUP_FILTER,
+    "char_jaccard": SQL_CHAR_JACCARD,
+    "ann_topk": SQL_ANN_TOPK,
+    "cosine_dups": SQL_COSINE_DUPS,
+    "media_metadata": SQL_MEDIA_METADATA,
+    # minhash_pairs / simhash_groups / langid / lsh_ann / media_decode /
+    # media_features / crawl_lineage / doc_spans: non-SQL-expressible
+    # (probabilistic, stateful, or nested output) -> rows-only check.
+}

@@ -1,0 +1,195 @@
+"""Training-data operator tests: dedup (planted duplicates), similarity
+(recall vs brute force), text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """120 docs: 100 unique + 10 exact dups + 10 near-dups (1-word edits)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # vocabulary large enough that word SETS are distinctive (simhash
+    # operates on token sets; a 10-word vocab collides by construction)
+    words = [f"w{i:03d}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(100)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for j in range(10):  # exact dups of docs 0..9
+        rows.append({"doc_id": 100 + j, "text": texts[j]})
+    for j in range(10):  # near dups of docs 10..19: one word changed
+        w = texts[10 + j].split()
+        w[5] = "OMEGA"
+        rows.append({"doc_id": 110 + j, "text": " ".join(w)})
+    return rd.from_items(rows), texts
+
+
+class TestExactDedup:
+    def test_planted_exact_dups(self, planted_docs):
+        from goto_eater_crawler_ray.functions.dedup import exact_dedup
+
+        ds, texts = planted_docs
+        out = exact_dedup(ds).to_pandas()
+        assert len(out) == 110  # 120 docs, 10 exact dup pairs collapse
+        dups = out[out["n_dups"] > 1]
+        assert len(dups) == 10
+        assert set(dups["keep_id"]) == set(range(10))  # first wins
+
+
+class TestMinHash:
+    def test_signature_properties(self):
+        from goto_eater_crawler_ray.functions.dedup import MinHasher
+
+        mh = MinHasher(n_perm=64)
+        s1 = mh.signature("the quick brown fox jumps over the lazy dog")
+        s2 = mh.signature("the quick brown fox jumps over the lazy dog")
+        assert (s1 == s2).all()  # deterministic
+        s3 = mh.signature("a completely different sentence about nothing at all")
+        assert (s1 == s3).mean() < 0.2
+
+    def test_near_dup_estimate_tracks_jaccard(self):
+        from goto_eater_crawler_ray.functions.dedup import MinHasher, _shingle_hashes
+
+        mh = MinHasher(n_perm=128)
+        a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+        b = a.replace("w10", "XX")
+        est = (mh.signature(a) == mh.signature(b)).mean()
+        sa, sb = set(_shingle_hashes(a)), set(_shingle_hashes(b))
+        true_j = len(sa & sb) / len(sa | sb)
+        assert abs(est - true_j) < 0.15
+
+    def test_lsh_finds_planted_pairs(self, planted_docs):
+        from goto_eater_crawler_ray.functions.dedup import minhash_lsh_pairs
+
+        ds, _ = planted_docs
+        pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4).to_pandas()
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        # all 10 exact-dup pairs MUST be found (identical signatures)
+        for j in range(10):
+            assert (j, 100 + j) in found, f"exact dup pair ({j},{100+j}) missed"
+        # most near-dup pairs should be found (high jaccard)
+        near_found = sum((10 + j, 110 + j) in found for j in range(10))
+        assert near_found >= 7, f"only {near_found}/10 near-dup pairs found"
+
+
+class TestSimHash:
+    def test_exact_dups_collide(self, planted_docs):
+        from goto_eater_crawler_ray.functions.dedup import simhash_dup_groups
+
+        ds, _ = planted_docs
+        groups = simhash_dup_groups(ds).to_pandas()
+        # the 10 exact dup pairs collide; near dups may or may not
+        assert len(groups) >= 10
+        assert (groups["n_docs"] >= 2).all()
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((50, 16)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+        # vec 50..54 = near-copies of 0..4
+        for j in range(5):
+            v = base[j] + rng.standard_normal(16).astype(np.float32) * 0.01
+            rows.append({"vec_id": 50 + j, "embedding": v.tolist()})
+        return rd.from_items(rows)
+
+    def test_brute_force_finds_planted_neighbors(self, emb_ds):
+        from goto_eater_crawler_ray.functions.similarity import brute_force_topk
+
+        out = brute_force_topk(emb_ds, query_ids=[0, 1, 2, 3, 4], k=3).to_pandas()
+        for j in range(5):
+            top1 = out[(out["query_id"] == j) & (out["rank"] == 1)]
+            assert top1["neighbor_id"].iloc[0] == 50 + j
+            assert top1["score"].iloc[0] > 0.99
+
+    def test_lsh_recall_vs_brute_force(self, emb_ds):
+        from goto_eater_crawler_ray.functions.similarity import brute_force_topk, lsh_ann_topk
+
+        bf = brute_force_topk(emb_ds, query_ids=[0, 1, 2, 3, 4], k=1).to_pandas()
+        ann = lsh_ann_topk(emb_ds, query_ids=[0, 1, 2, 3, 4], dim=16, k=1, n_planes=4).to_pandas()
+        bf_top = dict(zip(bf["query_id"], bf["neighbor_id"]))
+        ann_top = dict(zip(ann["query_id"], ann["neighbor_id"]))
+        recall = sum(ann_top.get(q) == n for q, n in bf_top.items()) / len(bf_top)
+        # near-copies land in the same sign-LSH bucket with high probability
+        assert recall >= 0.6, f"LSH top-1 recall {recall}"
+
+    def test_cosine_near_dup_pairs(self, emb_ds):
+        from goto_eater_crawler_ray.functions.similarity import cosine_near_dup_pairs
+
+        pairs = cosine_near_dup_pairs(emb_ds, threshold=0.95).to_pandas()
+        found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+        for j in range(5):
+            assert (j, 50 + j) in found
+
+
+class TestText:
+    def test_token_counts(self, ray_session):
+        from goto_eater_crawler_ray.functions.text import token_count_batch
+
+        t = pa.table({"doc_id": [1], "text": ["hello world 42!"]})
+        out = token_count_batch(t).to_pylist()[0]
+        assert out["ws_tokens"] == 3
+        assert out["re_tokens"] == 4  # hello, world, 42, !
+
+    def test_quality_ratios(self):
+        from goto_eater_crawler_ray.functions.text import quality_score_batch
+
+        t = pa.table({"doc_id": [1], "text": ["the cat, the hat"]})
+        out = quality_score_batch(t).to_pylist()[0]
+        assert out["n_tokens"] == 4
+        assert out["stop_ratio"] == 0.5  # 2 'the' / 4 tokens
+        assert out["punct_ratio"] > 0
+
+    def test_langid_deterministic(self, ray_session):
+        from goto_eater_crawler_ray.functions.text import LangId
+
+        t = pa.table({"doc_id": [1, 2], "text": ["some text here", "another document text"]})
+        a = LangId()(t).to_pylist()
+        b = LangId()(t).to_pylist()
+        assert a == b
+
+
+class TestMultimodal:
+    def test_strict_decode_raises(self):
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage
+
+        t = pa.table({"doc_id": [1], "media_bytes": [b"xxx"]})
+        with pytest.raises(NotImplementedError):
+            DecodeImage(strict=True)(t)
+
+    def test_fake_decode_deterministic(self):
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage, ExtractFeatures, FrameSampler
+
+        t = pa.table({"doc_id": [1, 2], "media_bytes": [b"abc", b"defgh" * 200]})
+        d1, d2 = DecodeImage()(t).to_pylist(), DecodeImage()(t).to_pylist()
+        assert d1 == d2
+        f = ExtractFeatures(dim=8)(t).to_pylist()
+        assert len(f[0]["features"]) == 8
+        frames = FrameSampler(frame_bytes=100, every_n=2)(t).to_pylist()
+        assert len(frames) > 1
+        assert frames[0]["doc_id"] == 1
+
+
+class TestQueriesSmoke:
+    """Spot-check a few queries() end-to-end at sf0.001 (full oracle parity
+    is driven by tools/check_parity.py at sf0.01)."""
+
+    def test_entry_contract(self, ray_session):
+        import __ray_entry__ as e
+
+        res = e.entry()
+        assert res.count() > 0
+        assert set(e.oracle_sql()) <= set(e.queries())
+
+    def test_exact_dedup_query(self, ray_session, sf_dir):
+        from goto_eater_crawler_ray.pipelines.queries import q_exact_dedup
+
+        out = q_exact_dedup(sf_dir).to_pandas()
+        assert len(out) > 0
+        assert {"content_hash", "keep_id", "n_dups"} == set(out.columns)
