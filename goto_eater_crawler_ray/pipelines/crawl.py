@@ -44,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 from urllib.parse import urlencode, urljoin, urlsplit
 
 import numpy as np
@@ -143,6 +144,218 @@ def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
 # ---------------------------------------------------------------------------
 
 
+def make_parse_emit(wave: int):
+    """Parse stage bound to its wave id (wave lands in the parsed table so
+    lineage/metrics can be derived without per-wave bookkeeping)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = parse_emit_batch(batch)
+        return t.append_column("wave", pa.array([wave] * len(t), pa.int32()))
+
+    return fn
+
+
+CHAIN_EPS = 1e-6
+
+
+def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8):
+    """Chain-following fetch+parse stage (the scale-critical design move).
+
+    Politeness is per-host SERIAL (reference settings.py:34), so a host's
+    pagination chain can never parallelize — a global wave barrier per
+    chain hop only buys scheduling overhead.  Instead, the ONE task that
+    holds a host's sole frontier row this wave (``chain`` flag):
+
+      1. leases the host's clock + robots from its politeness shard
+         (one RPC per shard per task),
+      2. runs the per-host priority heap (depth, host-budget at admission,
+         discovery-time — the north-rule heap) LOCALLY, fetching/parsing
+         the whole chain serially,
+      3. admits same-host discovered links through the seen-set shard
+         actors (batched per page; global first-discovery-wins still
+         holds), marking them ``followed``,
+      4. commits the advanced clock back (one RPC per shard per task).
+
+    Cross-host links and multi-seed (mega) hosts keep the wave path:
+    mega-host rows are pre-scheduled at admission and fetched one-shot in
+    parallel here.  Visit order is bit-identical to the strict-wave
+    engine (pytest-compared) — the heap semantics are the same, only the
+    barrier moved.
+    """
+    import heapq
+
+    from ..stages.fetch import _backoff_s
+    from ..stages.parse import ParseResult
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        store = _cached_store(spec)
+        seen = ShardedSeenSet(seen_shards)
+        rows = batch.to_pylist()
+        out = {name: [] for name in PARSED_SCHEMA.names}
+
+        def fetch_one(url, method, form_json, sched_ts):
+            form = json.loads(form_json) if form_json else {}
+            page = store.get(url, method, form)
+            t, att = sched_ts, 1
+            while att <= page.retryable_failures and att <= max_retries:
+                t += _backoff_s(att, url)
+                att += 1
+            ok = att > page.retryable_failures
+            return (page.status if ok else 503), att, (page.body if ok else b""), t + page.latency_ms / 1000.0, form
+
+        def emit(row, status, att, body, res, fetched_at, followed_mask):
+            form = json.loads(row["form_json"]) if row["form_json"] else {}
+            doc_id = row["url"] if row["method"] == "GET" else f"{row['url']}#{urlencode(sorted(form.items()))}"
+            out["doc_id"].append(doc_id)
+            out["prefecture"].append(row["prefecture"])
+            out["url"].append(row["url"])
+            out["url_key"].append(row["url_key"])
+            out["parent_key"].append(row["parent_key"])
+            out["host"].append(row["host"])
+            out["part"].append(row["part"])
+            out["depth"].append(row["depth"])
+            out["visit_seq"].append(row["visit_seq"])
+            out["sched_ts"].append(row["sched_ts"])
+            out["fetched_at"].append(fetched_at)
+            out["status"].append(status)
+            out["attempts"].append(att)
+            out["bytes"].append(len(body))
+            out["callback"].append(row["callback"])
+            out["n_links"].append(len(res.links))
+            out["items"].append(res.items)
+            out["spans"].append([{"kind": k, "text": t_, "media_ref": m, "offset": j} for j, (k, t_, m) in enumerate(res.spans)])
+            out["links"].append(
+                [
+                    {
+                        "url": lk["url"],
+                        "callback": lk["callback"],
+                        "method": lk["method"],
+                        "form_json": json.dumps(lk["form"], sort_keys=True) if lk["form"] else "",
+                        "meta_json": json.dumps(lk["meta"], sort_keys=True) if lk["meta"] else "",
+                    }
+                    for lk, fol in zip(res.links, followed_mask)
+                    if not fol
+                ]
+            )
+
+        def parse_of(row, status, body):
+            if status != 200:
+                return ParseResult()
+            meta = json.loads(row["meta_json"]) if row["meta_json"] else {}
+            return parse_page(row["prefecture"], row["callback"], row["url"], body, meta, row["depth"])
+
+        chain_rows = [r for r in rows if r.get("chain")]
+        oneshot_rows = [r for r in rows if not r.get("chain")]
+
+        # --- one-shot rows (pre-scheduled at admission) -----------------
+        for r in oneshot_rows:
+            status, att, body, fetched_at, _ = fetch_one(r["url"], r["method"], r["form_json"], r["sched_ts"])
+            res = parse_of(r, status, body)
+            emit(r, status, att, body, res, fetched_at, [False] * len(res.links))
+
+        # --- chain rows: lease -> local heap -> commit ------------------
+        if chain_rows:
+            shard_hosts: dict[int, list[str]] = {}
+            for r in chain_rows:
+                shard_hosts.setdefault(_h64(r["host"]) % n_sched_shards, []).append(r["host"])
+            leases: dict[str, dict] = {}
+            if hasattr(sched_actors[0].lease_hosts, "remote"):
+                for d in ray.get([sched_actors[s].lease_hosts.remote(hs) for s, hs in shard_hosts.items()]):
+                    leases.update(d)
+            else:
+                for s, hs in shard_hosts.items():
+                    leases.update(sched_actors[s].lease_hosts(hs))
+
+            commits: dict[int, dict] = {}
+            admitted_keys: list[bytes] = []  # bulk-recorded in the seen shards at task end
+            for r in chain_rows:
+                host = r["host"]
+                lease = leases[host]
+                clock, seq, delay = lease["next_free_ts"], lease["visit_count"], lease["crawl_delay"]
+                disallow = lease["disallow"]
+                local_seen: set[bytes] = set()  # same-host links are discoverable ONLY from
+                # this host's own pages, and this task owns the host exclusively this wave
+                # -> admission is task-local; keys are bulk-committed to the seen shards at
+                # task end (global record for cross-wave admission + resume; re-commit of a
+                # present key is a no-op, so idempotent wave re-runs stay safe)
+                tie = 0
+                # the seed row was scheduled at admission; fetch it as-is
+                heap = [(-1, -1.0, r["discovered_at"], tie, r, True)]
+                while heap:
+                    _, _, _, _, row, pre_scheduled = heapq.heappop(heap)
+                    if not pre_scheduled:
+                        row = dict(row)
+                        row["visit_seq"] = seq
+                        row["sched_ts"] = clock
+                        seq += 1
+                        clock += delay
+                    status, att, body, fetched_at, _ = fetch_one(row["url"], row["method"], row["form_json"], row["sched_ts"])
+                    res = parse_of(row, status, body)
+                    followed = [False] * len(res.links)
+                    # admit same-host children as one batch
+                    cand = []
+                    for i, lk in enumerate(res.links):
+                        canon = canonicalize(lk["url"], base=row["url"])
+                        h = urlsplit(canon).netloc
+                        if h == host:
+                            key = request_key(lk["method"], canon, lk["form"])
+                            cand.append((i, lk, canon, key))
+                    if cand:
+                        for i, lk, canon, key in cand:
+                            is_new = key not in local_seen
+                            if is_new:
+                                local_seen.add(key)
+                                admitted_keys.append(key)
+                            if not is_new:
+                                followed[i] = True  # someone (us) already has it
+                                continue
+                            path = urlsplit(canon).path or "/"
+                            if not robots_allowed_local(path, disallow):
+                                followed[i] = True  # admitted but robots-gated: never fetched
+                                continue
+                            followed[i] = True
+                            tie += 1
+                            child = {
+                                "prefecture": row["prefecture"],
+                                "url": canon,
+                                "url_key": key,
+                                "host": host,
+                                "part": row["part"],
+                                "depth": row["depth"] + 1,
+                                "discovered_at": fetched_at + i * CHAIN_EPS,
+                                "visit_seq": -1,
+                                "sched_ts": -1.0,
+                                "method": lk["method"],
+                                "form_json": json.dumps(lk["form"], sort_keys=True) if lk["form"] else "",
+                                "meta_json": json.dumps(lk["meta"], sort_keys=True) if lk["meta"] else "",
+                                "callback": lk["callback"],
+                                "parent_key": row["url_key"],
+                                "chain": 1,
+                            }
+                            # north-rule heap key: (depth, budget at admission, disc)
+                            heapq.heappush(heap, (child["depth"], clock, child["discovered_at"], tie, child, False))
+                    emit(row, status, att, body, res, fetched_at, followed)
+                commits.setdefault(_h64(host) % n_sched_shards, {})[host] = {"visit_count": seq, "next_free_ts": clock}
+            if admitted_keys:
+                seen.admit(np.frombuffer(b"".join(admitted_keys), dtype=np.uint8).reshape(-1, 20))
+            if commits:
+                if hasattr(sched_actors[0].commit_hosts, "remote"):
+                    ray.get([sched_actors[s].commit_hosts.remote(upd) for s, upd in commits.items()])
+                else:
+                    for s, upd in commits.items():
+                        sched_actors[s].commit_hosts(upd)
+        tbl = pa.Table.from_pydict(out, schema=PARSED_SCHEMA)
+        return tbl.append_column("wave", pa.array([wave] * len(tbl), pa.int32()))
+
+    return fn
+
+
+def robots_allowed_local(path: str, disallow: list[str]) -> bool:
+    return not any(path.startswith(p) for p in disallow)
+
+
 def parse_emit_batch(batch: pa.Table) -> pa.Table:
     """Page rows -> PARSED_SCHEMA rows (items/spans/links nested; no body)."""
     out = {name: [] for name in PARSED_SCHEMA.names}
@@ -177,6 +390,7 @@ def parse_emit_batch(batch: pa.Table) -> pa.Table:
         out["callback"].append(cols["callback"][i])
         out["items"].append(res.items)
         out["spans"].append([{"kind": k, "text": t, "media_ref": m, "offset": j} for j, (k, t, m) in enumerate(res.spans)])
+        out["n_links"].append(len(res.links))
         out["links"].append(
             [
                 {
@@ -217,48 +431,28 @@ def explode_documents(batch: pa.Table) -> pa.Table:
     return batch.select(["doc_id", "spans"]).cast(DOCUMENT_SCHEMA)
 
 
-def make_lineage_fn(wave: int):
-    def lineage(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url_key": batch.column("url_key"),
-                "url": batch.column("url"),
-                "parent_key": batch.column("parent_key"),
-                "prefecture": batch.column("prefecture"),
-                "depth": batch.column("depth"),
-                "wave": pa.array([wave] * len(batch), pa.int32()),
-                "visit_seq": batch.column("visit_seq"),
-                "host": batch.column("host"),
-            },
-            schema=LINEAGE_SCHEMA,
-        )
-
-    return lineage
+def lineage_batch(batch: pa.Table) -> pa.Table:
+    return batch.select(["url_key", "url", "parent_key", "prefecture", "depth", "wave", "visit_seq", "host"]).cast(LINEAGE_SCHEMA)
 
 
-def make_metrics_partial_fn(wave: int):
+def metrics_partial_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial aggregation (combiner) — the groupby downstream
-    only shuffles one row per (host, batch), not per page (SURVEY.md §2.7)."""
+    only shuffles one row per (wave, host, batch), not per page."""
+    import pandas as pd
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "host": batch.column("host").to_pylist(),
-                "pages": 1,
-                "items": pc.list_value_length(batch.column("items").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
-                "links": pc.list_value_length(batch.column("links").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
-                "bytes": batch.column("bytes").to_pylist(),
-                "errors": pc.not_equal(batch.column("status"), 200).to_pylist(),
-                "retries": pc.subtract(batch.column("attempts"), 1).to_pylist(),
-            }
-        )
-        g = df.groupby("host", as_index=False).sum()
-        g.insert(0, "wave", np.int32(wave))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    return partial
+    df = pd.DataFrame(
+        {
+            "wave": batch.column("wave").to_pylist(),
+            "host": batch.column("host").to_pylist(),
+            "pages": 1,
+            "items": pc.list_value_length(batch.column("items").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
+            "links": batch.column("n_links").to_pylist(),
+            "bytes": batch.column("bytes").to_pylist(),
+            "errors": pc.not_equal(batch.column("status"), 200).to_pylist(),
+            "retries": pc.subtract(batch.column("attempts"), 1).to_pylist(),
+        }
+    )
+    return pa.Table.from_pandas(df.groupby(["wave", "host"], as_index=False).sum(), preserve_index=False)
 
 
 def explode_links(batch: pa.Table) -> pa.Table:
@@ -291,7 +485,7 @@ def explode_links(batch: pa.Table) -> pa.Table:
     lengths = pc.list_value_length(links_col).fill_null(0).to_numpy(zero_copy_only=False)
     link_idx = np.concatenate([np.arange(n) for n in lengths if n is not None]) if lengths.sum() else np.array([])
     disc = pc.take(batch.column("fetched_at"), parents).to_numpy(zero_copy_only=False) + link_idx * 1e-6
-    return pa.table(
+    tbl = pa.table(
         {
             "url": flat.field("url"),
             "callback": flat.field("callback"),
@@ -305,6 +499,7 @@ def explode_links(batch: pa.Table) -> pa.Table:
             "discovered_at": pa.array(disc, pa.float64()),
         }
     )
+    return tbl
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +608,12 @@ def to_frontier_table(df_batch) -> pa.Table:
 
     if len(df_batch) == 0:
         return FRONTIER_SCHEMA.empty_table()
+    if "chain" not in df_batch.columns:
+        df_batch = df_batch.assign(chain=np.int8(0))
+    # pseudo-random row order (stable sort on the hash key) -> cost-balanced
+    # blocks: without this, expensive chain hosts cluster at the front of
+    # the frontier and the last blocks (cheap one-shots) finish early
+    df_batch = df_batch.sort_values("url_key", kind="stable")
     return pa.Table.from_pydict(
         {
             "prefecture": df_batch["prefecture"].tolist(),
@@ -429,6 +630,7 @@ def to_frontier_table(df_batch) -> pa.Table:
             "meta_json": df_batch["meta_json"].tolist(),
             "callback": df_batch["callback"].tolist(),
             "parent_key": df_batch["parent_key"].tolist(),
+            "chain": df_batch["chain"].to_numpy(dtype=np.int8),
         },
         schema=FRONTIER_SCHEMA,
     )
@@ -457,6 +659,9 @@ class CrawlEngine:
         seen_capacity: int = 1_000_000,
         fetch_batch_size: int = 256,
         max_waves: int = 10_000,
+        checkpoint_interval: int = 1,
+        driver_admit_max_pages: int = 20_000,
+        chain_mode: bool = True,
     ):
         self.spec = spec
         self.out_dir = out_dir
@@ -466,6 +671,10 @@ class CrawlEngine:
         self.seen_capacity = seen_capacity
         self.fetch_batch_size = fetch_batch_size
         self.max_waves = max_waves
+        self.checkpoint_interval = max(1, checkpoint_interval)
+        self.driver_admit_max_pages = driver_admit_max_pages
+        self.chain_mode = chain_mode
+        self.debug_timing = os.environ.get("CRAWL_DEBUG_TIMING", "") == "1"
         self.store = PageStore(spec)
         self.mega_hosts = frozenset(r["host"] for r in self.store.politeness_rows() if r.get("is_mega_host"))
         self.seen_shards: list = []
@@ -477,8 +686,8 @@ class CrawlEngine:
         import ray
 
         pol_rows = self.store.politeness_rows()
-        RemoteSeen = ray.remote(num_cpus=0.25)(SeenShard)
-        RemoteSched = ray.remote(num_cpus=0.25)(PolitenessScheduler)
+        RemoteSeen = ray.remote(num_cpus=0.05)(SeenShard)
+        RemoteSched = ray.remote(num_cpus=0.05)(PolitenessScheduler)
         self.seen_shards = [RemoteSeen.remote(self.seen_capacity) for _ in range(self.n_seen_shards)]
         self.sched_actors = [RemoteSched.remote() for _ in range(self.n_sched_shards)]
         if seen_blobs:
@@ -534,58 +743,120 @@ class CrawlEngine:
                 "discovered_at": pa.array([i * 1e-6 for i in range(len(rows))], pa.float64()),
             }
         )
-        admitted = make_admit_fn(self.seen_shards, self.n_sched_shards)(batch)
+        # admission (canonicalize + sha1 + seen RPC) is CPU-bound over tens
+        # of thousands of seed rows -> run it as a small dataset pipeline;
+        # scheduling stays driver-side (one deterministic call per shard)
+        import pyarrow as _pa
+
+        import ray.data as rd
+
+        admit_fn = make_admit_fn(self.seen_shards, self.n_sched_shards)
+        admitted_parts = (
+            rd.from_arrow(batch)
+            .repartition(self._n_blocks(len(batch)))
+            .map_batches(admit_fn, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        import ray as _ray
+
+        tables = [t for t in _ray.get(admitted_parts) if len(t)]
+        admitted = _pa.concat_tables(tables) if tables else _empty_admitted()
+        return self._schedule_driver(admitted)
+
+    def _schedule_driver(self, admitted: pa.Table) -> pa.Table:
+        """Driver-side scheduling: one batched actor RPC per politeness
+        shard (same semantics as the distributed map_groups path)."""
+        import pandas as pd
+
         sched_fn = make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts)
         frames = []
         df = admitted.to_pandas()
         for _, g in df.groupby("sched_shard", sort=True):
             frames.append(sched_fn(g))
-        import pandas as pd
-
         merged = pd.concat(frames) if frames else pd.DataFrame()
+        if len(merged) and self.chain_mode:
+            counts = merged["host"].value_counts()
+            merged = merged.assign(chain=merged["host"].map(counts).eq(1).astype("int8"))
         return to_frontier_table(merged)
 
+    def _admit_driver(self, wave: int, parsed_dir: str) -> int:
+        """Small-wave admission fast path: the links control plane of a
+        modest wave (<= driver_admit_max_pages pages) is a few thousand
+        ~100 B rows — running dedup/admit/schedule on the driver avoids a
+        full dataset execution + two shuffles per wave (the dominant cost
+        of a many-wave crawl).  Large waves take the distributed path.
+        Both paths share the same admission functions, so the frontier is
+        bit-identical either way (pytest-verified)."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        tbl = pads.dataset(parsed_dir).to_table(columns=["links", "url", "url_key", "prefecture", "depth", "fetched_at"])
+        links = explode_links(tbl)
+        if len(links) == 0:
+            return 0
+        df = links.to_pandas()
+        df["dedup_key"] = _dedup_key(links).to_pylist()
+        df = df.sort_values(["dedup_key", "discovered_at", "parent_key", "url"]).drop_duplicates("dedup_key", keep="first").drop(columns=["dedup_key"])
+        admitted = make_admit_fn(self.seen_shards, self.n_sched_shards)(pa.Table.from_pandas(df, preserve_index=False))
+        frontier = self._schedule_driver(admitted)
+        if len(frontier) == 0:
+            return 0
+        next_path = os.path.join(self.out_dir, "frontier", f"wave={wave + 1}")
+        shutil.rmtree(next_path, ignore_errors=True)
+        os.makedirs(next_path, exist_ok=True)
+        pq.write_table(frontier, os.path.join(next_path, "frontier.parquet"))
+        return len(frontier)
+
     # --- one wave --------------------------------------------------------
-    def _run_wave(self, wave: int, frontier_path: str) -> tuple[int, int]:
-        """Execute wave: fetch -> parse -> outputs -> next frontier.
-        Returns (pages fetched, links admitted to next wave)."""
+    def _n_blocks(self, n_rows: int) -> int:
+        """Enough blocks that map stages parallelize, few enough that tiny
+        waves don't drown in task overhead."""
         import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        return max(1, min(2 * cpus, n_rows // 128 + 1))
+
+    def _run_wave(self, wave: int, frontier_path: str, n_frontier: int) -> tuple[int, int]:
+        """Execute one wave in TWO dataset executions (throughput-critical:
+        per-execution startup is the dominant cost of a many-wave crawl):
+          A: frontier -> fetch -> parse -> write parsed/wave=w   (fused, streaming)
+          B: parsed(links cols only) -> dedup -> admit -> schedule -> frontier w+1
+        Returns (pages fetched, rows admitted to next wave)."""
+        import pyarrow.dataset as pads
         import ray.data as rd
 
-        fetch_fn = make_fetch_fn(self.spec)
-        frontier_ds = rd.read_parquet(frontier_path)
-        parsed = (
-            frontier_ds.map_batches(fetch_fn, batch_format="pyarrow", batch_size=self.fetch_batch_size)
-            .map_batches(parse_emit_batch, batch_format="pyarrow", batch_size=self.fetch_batch_size)
-            .materialize()  # wave-bounded, body-free (bodies died inside the fused fetch->parse task)
-        )
-        n_pages = parsed.count()
-        # outputs (streaming from the materialized narrow table)
-        parsed.map_batches(explode_items, batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "items", f"wave={wave}"))
-        parsed.map_batches(explode_documents, batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "documents", f"wave={wave}"))
-        parsed.map_batches(make_lineage_fn(wave), batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "lineage", f"wave={wave}"))
-        from ray.data.aggregate import Sum
+        import sys
+        import time as _time
 
-        metrics = (
-            parsed.map_batches(make_metrics_partial_fn(wave), batch_format="pyarrow")
-            .groupby("host")
-            .aggregate(
-                Sum("pages", alias_name="pages"),
-                Sum("items", alias_name="items"),
-                Sum("links", alias_name="links"),
-                Sum("bytes", alias_name="bytes"),
-                Sum("errors", alias_name="errors"),
-                Sum("retries", alias_name="retries"),
-            )
+        t0 = _time.time()
+        chain_fn = make_chain_fetch_fn(self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave)
+        parsed_dir = os.path.join(self.out_dir, "parsed", f"wave={wave}")
+        shutil.rmtree(parsed_dir, ignore_errors=True)  # idempotent re-run of a killed wave
+        frontier_ds = rd.read_parquet(frontier_path, override_num_blocks=self._n_blocks(n_frontier))
+        (
+            frontier_ds.map_batches(chain_fn, batch_format="pyarrow", batch_size=self.fetch_batch_size)
+            .write_parquet(parsed_dir)
         )
-        metrics.map_batches(lambda t: t.append_column("wave", pa.array([wave] * len(t), pa.int32())), batch_format="pyarrow").write_parquet(os.path.join(self.out_dir, "metrics", f"wave={wave}"))
+        t_fetch = _time.time() - t0
+        n_pages = pads.dataset(parsed_dir).count_rows()
 
-        # next frontier: dedup -> admit -> schedule
-        links = parsed.map_batches(explode_links, batch_format="pyarrow")
+        if n_pages <= self.driver_admit_max_pages:
+            t1 = _time.time()
+            n_next = self._admit_driver(wave, parsed_dir)
+            if self.debug_timing:
+                print(f"[wave {wave}] pages={n_pages} fetch+parse+write={t_fetch:.2f}s admit={_time.time() - t1:.2f}s", file=sys.stderr, flush=True)
+            self.totals["pages"] += n_pages
+            self.totals["waves"] = wave + 1
+            return n_pages, n_next
+
+        links_src = rd.read_parquet(
+            parsed_dir,
+            columns=["links", "url", "url_key", "prefecture", "depth", "fetched_at"],
+            override_num_blocks=self._n_blocks(n_pages),
+        )
+        links = links_src.map_batches(explode_links, batch_format="pyarrow")
 
         def dedup_group(df):
-            # deterministic within-wave first-discovery (min discovered_at,
-            # tie-break parent_key/url bytes)
             return df.sort_values(["discovered_at", "parent_key", "url"]).head(1)
 
         deduped = (
@@ -599,11 +870,101 @@ class CrawlEngine:
         )
         next_frontier = scheduled.map_batches(to_frontier_table, batch_format="pandas")
         next_path = os.path.join(self.out_dir, "frontier", f"wave={wave + 1}")
+        shutil.rmtree(next_path, ignore_errors=True)
         next_frontier.write_parquet(next_path)
-        n_next = rd.read_parquet(next_path).count() if os.path.isdir(next_path) else 0
+        n_next = pads.dataset(next_path).count_rows() if os.path.isdir(next_path) else 0
         self.totals["pages"] += n_pages
         self.totals["waves"] = wave + 1
         return n_pages, n_next
+
+    def finalize(self):
+        """Derive items / documents / lineage / metrics from the parsed
+        store in ONE pass each (not per wave). Idempotent: full rewrite.
+        Reads are split well beyond file count (override_num_blocks) so the
+        nested-column decode parallelizes across all CPUs."""
+        import sys as _sys
+        import time as _t
+
+        import pyarrow.dataset as pads
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        parsed_dir = os.path.join(self.out_dir, "parsed")
+        if not os.path.isdir(parsed_dir):
+            return
+        for d in ("items", "documents", "lineage", "metrics"):
+            shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)  # full idempotent rewrite
+        n_rows = pads.dataset(parsed_dir).count_rows()
+        nb = self._n_blocks(n_rows)
+
+        def timed(name, fn):
+            t0 = _t.time()
+            fn()
+            if self.debug_timing:
+                print(f"[finalize/{name}] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
+
+        jobs = []
+
+        def timed_job(name, fn):
+            jobs.append((name, fn))
+
+        timed_job(
+            "items",
+            lambda: rd.read_parquet(
+                parsed_dir, columns=["items", "prefecture", "url", "visit_seq"], override_num_blocks=nb
+            )
+            .map_batches(explode_items, batch_format="pyarrow")
+            .write_parquet(os.path.join(self.out_dir, "items")),
+        )
+        timed_job(
+            "documents",
+            lambda: rd.read_parquet(parsed_dir, columns=["doc_id", "spans"], override_num_blocks=nb)
+            .map_batches(explode_documents, batch_format="pyarrow")
+            .write_parquet(os.path.join(self.out_dir, "documents")),
+        )
+        timed_job(
+            "lineage",
+            lambda: rd.read_parquet(
+                parsed_dir,
+                columns=["url_key", "url", "parent_key", "prefecture", "depth", "wave", "visit_seq", "host"],
+                override_num_blocks=nb,
+            )
+            .map_batches(lineage_batch, batch_format="pyarrow")
+            .write_parquet(os.path.join(self.out_dir, "lineage")),
+        )
+
+        def run_metrics():
+            metrics = (
+                rd.read_parquet(
+                    parsed_dir,
+                    columns=["wave", "host", "items", "n_links", "bytes", "status", "attempts"],
+                    override_num_blocks=nb,
+                )
+                .map_batches(metrics_partial_batch, batch_format="pyarrow")
+                .groupby(["wave", "host"])
+                .aggregate(
+                    Sum("pages", alias_name="pages"),
+                    Sum("items", alias_name="items"),
+                    Sum("links", alias_name="links"),
+                    Sum("bytes", alias_name="bytes"),
+                    Sum("errors", alias_name="errors"),
+                    Sum("retries", alias_name="retries"),
+                )
+            )
+            metrics.write_parquet(os.path.join(self.out_dir, "metrics"))
+
+        timed_job("metrics", run_metrics)
+
+        # the four derived writes are independent dataset executions — run
+        # them concurrently so the cluster stays saturated (a single
+        # execution's map/write tail leaves cores idle).
+        _patch_fsspec_http_probe()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs) or 1) as pool:
+            futs = {name: pool.submit(timed, name, fn) for name, fn in jobs}
+            for name, f in futs.items():
+                f.result()
 
     # --- public API ------------------------------------------------------
     def run(self, resume: bool = False) -> dict:
@@ -620,32 +981,53 @@ class CrawlEngine:
                 sched_blobs = [open(os.path.join(ckpt, f"sched_{i}.bin"), "rb").read() for i in range(manifest["n_sched_shards"])]
                 self.totals = manifest["totals"]
                 start_wave = last + 1
+        import sys as _sys
+        import time as _t
+
+        t0 = _t.time()
         self._init_state(seen_blobs, sched_blobs)
+        if self.debug_timing:
+            print(f"[init_state] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
 
         if start_wave == 0:
+            t0 = _t.time()
             frontier = self._seed_frontier()
             path0 = os.path.join(self.out_dir, "frontier", "wave=0")
             os.makedirs(path0, exist_ok=True)
             import pyarrow.parquet as pq
 
             pq.write_table(frontier, os.path.join(path0, "seed.parquet"))
+            if self.debug_timing:
+                print(f"[seed] {len(frontier)} rows {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
 
         wave = start_wave
+        import pyarrow.dataset as pads
+
         while wave < self.max_waves:
             fpath = os.path.join(self.out_dir, "frontier", f"wave={wave}")
             if not os.path.isdir(fpath) or not os.listdir(fpath):
                 break
-            import pyarrow.parquet as pq
-            import pyarrow.dataset as pads
-
             n_rows = pads.dataset(fpath).count_rows()
             if n_rows == 0:
                 break
-            n_pages, n_next = self._run_wave(wave, fpath)
-            self._checkpoint_state(wave)
+            n_pages, n_next = self._run_wave(wave, fpath, n_rows)
+            t0 = _t.time()
+            if n_next > 0 and (wave + 1) % self.checkpoint_interval == 0:
+                self._checkpoint_state(wave)
+                if self.debug_timing:
+                    print(f"[checkpoint {wave}] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
             wave += 1
             if n_next == 0:
                 break
+        t0 = _t.time()
+        self.finalize()
+        if self.debug_timing:
+            print(f"[finalize] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
+        if wave > start_wave:
+            t0 = _t.time()
+            self._checkpoint_state(wave - 1)  # final checkpoint: shard queues drained during finalize
+            if self.debug_timing:
+                print(f"[checkpoint final] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
         return dict(self.totals)
 
 
@@ -662,3 +1044,35 @@ def _dedup_key(t: pa.Table) -> pa.Array:
         c = canonicalize(u, base=p or None)
         vals.append(f"{m}|{c}|{f}")
     return pa.array(vals, pa.string())
+
+
+_FSSPEC_PATCHED = False
+
+
+def _patch_fsspec_http_probe() -> None:
+    """Work around a concurrent-import race in Ray's read path.
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` probes
+    ``fsspec.implementations.http`` on EVERY read; without aiohttp the
+    import always fails (cleanly, as ModuleNotFoundError) and re-runs, so
+    two dataset executions on different driver threads can race on the
+    half-initialized module and surface an uncaught plain ImportError.
+    We never read over HTTP — when aiohttp is absent, replace the probe
+    with a constant False."""
+    global _FSSPEC_PATCHED
+    if _FSSPEC_PATCHED:
+        return
+    try:
+        import aiohttp  # noqa: F401
+
+        _FSSPEC_PATCHED = True
+        return  # real probe works; leave it
+    except ImportError:
+        pass
+    try:
+        from ray.data.datasource import path_util
+
+        path_util._is_http_filesystem = lambda fs: False
+    except (ImportError, AttributeError):
+        pass
+    _FSSPEC_PATCHED = True

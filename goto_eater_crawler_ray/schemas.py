@@ -26,6 +26,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("meta_json", pa.string()),
         ("callback", pa.string()),
         ("parent_key", pa.binary(20)),
+        ("chain", pa.int8()),  # 1 = sole frontier row for its host this wave -> chain-followable
     ]
 )
 
@@ -62,6 +63,10 @@ ITEM_STRUCT = pa.struct(
     ]
 )
 
+# pending (NOT-yet-fetched) discovered links only: links the chain follower
+# fetched in-task become their own parsed rows, so storing them again would
+# double the control-plane bytes and force the admission stage to decode
+# them just to drop them. ``n_links`` keeps the total discovery count.
 LINK_STRUCT = pa.struct(
     [
         ("url", pa.string()),
@@ -90,9 +95,10 @@ PARSED_SCHEMA = pa.schema(
         ("attempts", pa.int32()),
         ("bytes", pa.int64()),
         ("callback", pa.string()),
+        ("n_links", pa.int32()),  # total discovered (incl. chain-followed)
         ("items", pa.list_(ITEM_STRUCT)),
         ("spans", pa.list_(SPAN_STRUCT)),
-        ("links", pa.list_(LINK_STRUCT)),
+        ("links", pa.list_(LINK_STRUCT)),  # pending links only
     ]
 )
 

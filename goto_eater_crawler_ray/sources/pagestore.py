@@ -235,12 +235,14 @@ class ScaleSpec:
         return cls(paginated_hosts=8, pages_per_host=12, shops_per_page=6, detail_hosts=2, areas=5, mesh_count=400)
 
     @classmethod
-    def bench(cls, paginated_hosts=64, pages_per_host=40, shops_per_page=20, mesh_count=4000):
+    def bench(cls, paginated_hosts=24576, pages_per_host=8, shops_per_page=40, mesh_count=16000):
+        # wide-and-shallow: hundreds of hosts with 16-page chains (the wave
+        # count is the max chain depth; breadth is what parallelizes)
         return cls(
             paginated_hosts=paginated_hosts,
             pages_per_host=pages_per_host,
             shops_per_page=shops_per_page,
-            detail_hosts=4,
+            detail_hosts=8,
             areas=8,
             mesh_count=mesh_count,
             with_failures=False,

@@ -69,13 +69,34 @@ class CuckooFilter:
 
     # --- batch insert ---------------------------------------------------
     def add(self, keys: np.ndarray) -> int:
-        """Insert a batch; returns number inserted (idempotent for dup fp+bucket)."""
+        """Insert a batch; returns number inserted (idempotent for dup fp+bucket).
+
+        Vectorized fast path: per slot index, place every pending key whose
+        primary (then alt) bucket has that slot free — one numpy pass per
+        slot, first-wins on intra-batch bucket collisions.  Only keys whose
+        both buckets are full fall back to the cuckoo-kick loop (rare below
+        ~80% load)."""
         if len(keys) == 0:
             return 0
         fp, b1 = _fingerprint_and_bucket(keys, self.n_buckets)
+        b2 = _alt_bucket(b1, fp, self.n_buckets)
+        present = (self.table[b1] == fp[:, None]).any(axis=1) | (self.table[b2] == fp[:, None]).any(axis=1)
+        pending = ~present
         inserted = 0
-        for f, b in zip(fp, b1):
-            if self._insert_one(int(f), int(b)):
+        for buckets in (b1, b2):
+            for s in range(_SLOTS):
+                cand = np.flatnonzero(pending & (self.table[buckets, s] == 0))
+                if len(cand) == 0:
+                    continue
+                # first-wins per bucket within this pass
+                _, first = np.unique(buckets[cand], return_index=True)
+                sel = cand[first]
+                self.table[buckets[sel], s] = fp[sel]
+                pending[sel] = False
+                inserted += len(sel)
+        self.count += inserted
+        for i in np.flatnonzero(pending):  # both buckets full: kick loop
+            if self._insert_one(int(fp[i]), int(b1[i])):
                 inserted += 1
         return inserted
 

@@ -135,27 +135,55 @@ class PolitenessScheduler:
         depths = np.asarray(depths)
         discovered_at = np.asarray(discovered_at)
 
-        order = np.argsort(discovered_at, kind="stable")
-        by_host: dict[str, list[int]] = {}
-        for i in order:
-            by_host.setdefault(hosts[i], []).append(int(i))
-        for host, idxs in by_host.items():
+        # one numpy pass per HOST via sort-based grouping (O(n log n) total;
+        # a per-host equality scan would be O(hosts x rows))
+        host_arr = np.asarray(hosts, dtype=object)
+        order_by_host = np.argsort(host_arr, kind="stable")
+        sorted_hosts = host_arr[order_by_host]
+        boundaries = np.flatnonzero(np.concatenate(([True], sorted_hosts[1:] != sorted_hosts[:-1])))
+        groups = {str(sorted_hosts[b]): order_by_host[b:e] for b, e in zip(boundaries, np.append(boundaries[1:], len(sorted_hosts)))}
+        for host, idxs in groups.items():
             st = self._state(host)
-            # robots gate
-            live = []
-            for i in idxs:
-                if robots_allowed(paths[i], st.disallow):
-                    live.append(i)
-                else:
-                    allowed[i] = False
-            # heap order: (depth, host-budget-at-admission, discovery-time)
-            live.sort(key=lambda i: (int(depths[i]), st.next_free_ts, float(discovered_at[i])))
-            for i in live:
-                visit_seq[i] = st.visit_count
-                sched_ts[i] = st.next_free_ts
-                st.visit_count += 1
-                st.next_free_ts += st.crawl_delay
+            if st.disallow:
+                ok = np.array([robots_allowed(paths[i], st.disallow) for i in idxs])
+                allowed[idxs[~ok]] = False
+                idxs = idxs[ok]
+            if len(idxs) == 0:
+                continue
+            # heap order: (depth, host-budget-at-admission, discovery-time);
+            # budget is constant within one schedule call -> (depth, disc)
+            order = np.lexsort((discovered_at[idxs], depths[idxs]))
+            live = idxs[order]
+            n_live = len(live)
+            visit_seq[live] = st.visit_count + np.arange(n_live)
+            sched_ts[live] = st.next_free_ts + np.arange(n_live) * st.crawl_delay
+            st.visit_count += n_live
+            st.next_free_ts += n_live * st.crawl_delay
         return {"allowed": allowed, "visit_seq": visit_seq, "sched_ts": sched_ts}
+
+    def lease_hosts(self, hosts: list[str]) -> dict:
+        """Chain-follower lease: hand the host's clock + robots to the ONE
+        task that owns this host's frontier row this wave (exclusivity is
+        by construction: chain rows are unique per host).  The task runs
+        the per-host serial chain locally and commits the advanced clock
+        back — one RPC per host per wave instead of one per page."""
+        out = {}
+        for h in set(hosts):
+            st = self._state(h)
+            out[h] = {
+                "visit_count": st.visit_count,
+                "next_free_ts": st.next_free_ts,
+                "crawl_delay": st.crawl_delay,
+                "disallow": list(st.disallow),
+            }
+        return out
+
+    def commit_hosts(self, updates: dict) -> bool:
+        for h, u in updates.items():
+            st = self._state(h)
+            st.visit_count = int(u["visit_count"])
+            st.next_free_ts = float(u["next_free_ts"])
+        return True
 
     def host_budgets(self) -> dict[str, float]:
         return {h: s.next_free_ts for h, s in self.hosts.items()}

@@ -134,19 +134,47 @@ def test_determinism_second_run(ray_session, crawl_out, tmp_path):
 
 
 def test_resume_after_kill(ray_session, tmp_path):
-    """Kill after wave 1, resume, final state equals an uninterrupted run."""
+    """Kill after wave 1, resume, final state equals an uninterrupted run.
+    Uses chain_mode=False so the crawl spans many waves (chain mode
+    collapses the golden corpus to ~1 wave)."""
     full_out = str(tmp_path / "full")
-    CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2).run()
+    CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False).run()
 
     part_out = str(tmp_path / "partial")
-    eng = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, max_waves=2)
+    eng = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False, max_waves=2)
     eng.run()  # stops after wave 1 (simulated kill)
     assert eng._latest_checkpoint() == 1
     # resume to completion with a FRESH engine object
-    eng2 = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2)
+    eng2 = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False)
     totals2 = eng2.run(resume=True)
 
     l_full = pads.dataset(os.path.join(full_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     l_part = pads.dataset(os.path.join(part_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     assert len(l_full) == len(l_part)
     assert l_full[["url_key", "visit_seq", "depth"]].equals(l_part[["url_key", "visit_seq", "depth"]])
+
+
+def test_distributed_admission_path_identical(ray_session, crawl_out, tmp_path):
+    """driver_admit_max_pages=0 forces the distributed (dataset) admission
+    path every wave; the frontier/lineage must be bit-identical to the
+    driver fast path."""
+    out1, _ = crawl_out
+    out2 = str(tmp_path / "dist")
+    eng = CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4, driver_admit_max_pages=0)
+    eng.run()
+    l1 = pads.dataset(os.path.join(out1, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
+
+
+def test_chain_vs_strict_wave_equivalence(ray_session, crawl_out, tmp_path):
+    """The chain-following engine (default) must produce the IDENTICAL
+    lineage (url_key, visit_seq, depth, host) as the strict-wave engine —
+    same heap semantics, only the barrier moved."""
+    out1, _ = crawl_out  # chain mode (default)
+    out2 = str(tmp_path / "strict")
+    CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4, chain_mode=False).run()
+    l1 = pads.dataset(os.path.join(out1, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    assert len(l1) == len(l2)
+    assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
