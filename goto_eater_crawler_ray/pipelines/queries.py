@@ -287,6 +287,133 @@ FROM events
 """
 
 
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the streaming-
+    shaped op Ray Data lacks natively: groupby(user) + per-group pandas
+    over ts-sorted rows (ray_guide 'Streaming-shaped workloads')."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype("int64")
+        out = df.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+            session_value=("value", "sum"),
+        )
+        out["session_value"] = np.round(out["session_value"].to_numpy() * 100).astype(np.int64)
+        return out[["user_id", "session_id", "session_start", "n_events", "session_value"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS session_value
+FROM (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+) GROUP BY user_id, session_id
+"""
+
+
+def q_bucket_join(sf_dir: str):
+    """Large⋈large hash join via explicit bucketing: add bucket =
+    hash(key) % B to both sides, co-locate with one groupby, pandas-merge
+    inside each bucket (ray_guide 'Joins — both sides large').  Output:
+    order count + revenue per market segment."""
+    B = 16
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_custkey"], B - 1), pa.int32())
+        return t.append_column("bucket", b).append_column("side", pa.array(["o"] * len(t), pa.string()))
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["c_custkey"], B - 1), pa.int32())
+        return t.append_column("bucket", b).append_column("side", pa.array(["c"] * len(t), pa.string()))
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == "o"][["o_custkey", "o_totalprice"]]
+        c = df[df["side"] == "c"][["c_custkey", "c_mktsegment"]]
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        return j.groupby("c_mktsegment", as_index=False).agg(n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum"))
+
+    partial = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    out = partial.groupby("c_mktsegment").aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+    return out.map_batches(lambda t: _int_scale_col(t, "revenue", 100), batch_format="pyarrow")
+
+
+SQL_BUCKET_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each 'error' event, the user's most recent 'click'
+    at or before it — pd.merge_asof inside per-user groups (ray_guide
+    'As-of / range join'); DuckDB twin uses native ASOF JOIN."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        err = df[df["event_type"] == "error"].sort_values("ts")
+        clk = df[df["event_type"] == "click"].sort_values("ts")
+        if err.empty:
+            return pd.DataFrame({"event_id": [], "user_id": [], "error_ts": [], "last_click_ts": []})
+        j = pd.merge_asof(
+            err[["event_id", "user_id", "ts"]].rename(columns={"ts": "error_ts"}),
+            clk[["ts"]].rename(columns={"ts": "last_click_ts"}),
+            left_on="error_ts",
+            right_on="last_click_ts",
+            direction="backward",
+        )
+        return j
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("event_id"), "event_id", pc.cast(t["event_id"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, e.ts AS error_ts, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Distinct (user_id, event_type) count — the set-op family."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    distinct = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n"))
+    n = distinct.count()
+    return pa.table({"n_distinct_pairs": pa.array([n], pa.int64())})
+
+
+SQL_DISTINCT_PAIRS = """
+SELECT count(*) AS n_distinct_pairs FROM (SELECT DISTINCT user_id, event_type FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -559,6 +686,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_top_users": q_events_top_users,
     "events_json_props": q_events_json_props,
+    "events_sessionize": q_events_sessionize,
+    "bucket_join": q_bucket_join,
+    "asof_join": q_asof_join,
+    "distinct_pairs": q_distinct_pairs,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
@@ -588,6 +719,10 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_top_users": SQL_EVENTS_TOP_USERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "bucket_join": SQL_BUCKET_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "distinct_pairs": SQL_DISTINCT_PAIRS,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality": SQL_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
