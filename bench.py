@@ -34,13 +34,16 @@ def run_scaling() -> None:
         # larger corpus for the scaling criterion: per-run fixed costs
         # (session init, seed, checkpoints) amortize against real work —
         # same input at BOTH parallelism levels
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HOSTS="49152", GRAFT_BENCH_MESH="32000")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HOSTS="24576", GRAFT_BENCH_MESH="16000")
         log(f"--- scaling run: num_cpus={ncpu}")
         r = subprocess.run([sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True)
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
     pps8 = out[8]["crawl_pages_per_sec"]
     pps32 = out[32]["crawl_pages_per_sec"]
     eff = pps32 / (4 * pps8)
+    fp8 = out[8]["fetch_parse_pages_per_sec"]
+    fp32 = out[32]["fetch_parse_pages_per_sec"]
+    fp_eff = fp32 / (4 * fp8)
     print(
         json.dumps(
             {
@@ -49,6 +52,9 @@ def run_scaling() -> None:
                 "unit": "ratio",
                 "crawl_pages_per_sec_8": pps8,
                 "crawl_pages_per_sec_32": pps32,
+                "fetch_parse_pages_per_sec_8": fp8,
+                "fetch_parse_pages_per_sec_32": fp32,
+                "fetch_parse_scaling_efficiency": round(fp_eff, 3),
                 "crawl_sec_8": out[8]["value"],
                 "crawl_sec_32": out[32]["value"],
                 "queries_8": out[8]["queries"],
@@ -149,6 +155,8 @@ def main() -> None:
                 "crawl_pages": pages,
                 "crawl_waves": totals["waves"],
                 "crawl_pages_per_sec": round(pages / crawl_sec, 1),
+                "fetch_parse_sec": round(totals.get("fetch_parse_sec", crawl_sec), 3),
+                "fetch_parse_pages_per_sec": round(pages / max(totals.get("fetch_parse_sec", crawl_sec), 1e-9), 1),
             }
         )
     )

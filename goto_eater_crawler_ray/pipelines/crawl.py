@@ -188,12 +188,33 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
     from ..stages.parse import ParseResult
 
     def fn(batch: pa.Table) -> pa.Table:
+        import gc
+
+        gc.disable()  # allocation-heavy loop; re-enabled in the finally below
+        try:
+            return _fn_body(batch)
+        finally:
+            gc.enable()
+
+    def _fn_body(batch: pa.Table) -> pa.Table:
         import ray
 
         store = _cached_store(spec)
         seen = ShardedSeenSet(seen_shards)
         rows = batch.to_pylist()
-        out = {name: [] for name in PARSED_SCHEMA.names}
+        # flat columnar accumulators: building nested rows as per-row lists
+        # of dicts costs ~100M tiny allocations per bench run; flat python
+        # lists + one ListArray.from_arrays at the end is several x cheaper
+        ITEM_FIELDS = [f.name for f in ITEM_STRUCT]
+        scalar = {k: [] for k in ("doc_id", "prefecture", "url", "url_key", "parent_key", "host", "part", "depth", "visit_seq", "sched_ts", "fetched_at", "status", "attempts", "bytes", "callback", "n_links")}
+        item_flat = {f: [] for f in ITEM_FIELDS}
+        item_counts: list[int] = []
+        span_kind: list[str] = []
+        span_text: list[str] = []
+        span_ref: list[str] = []
+        span_counts: list[int] = []
+        link_flat = {k: [] for k in ("url", "callback", "method", "form_json", "meta_json")}
+        link_counts: list[int] = []
 
         def fetch_one(url, method, form_json, sched_ts):
             form = json.loads(form_json) if form_json else {}
@@ -208,37 +229,43 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         def emit(row, status, att, body, res, fetched_at, followed_mask):
             form = json.loads(row["form_json"]) if row["form_json"] else {}
             doc_id = row["url"] if row["method"] == "GET" else f"{row['url']}#{urlencode(sorted(form.items()))}"
-            out["doc_id"].append(doc_id)
-            out["prefecture"].append(row["prefecture"])
-            out["url"].append(row["url"])
-            out["url_key"].append(row["url_key"])
-            out["parent_key"].append(row["parent_key"])
-            out["host"].append(row["host"])
-            out["part"].append(row["part"])
-            out["depth"].append(row["depth"])
-            out["visit_seq"].append(row["visit_seq"])
-            out["sched_ts"].append(row["sched_ts"])
-            out["fetched_at"].append(fetched_at)
-            out["status"].append(status)
-            out["attempts"].append(att)
-            out["bytes"].append(len(body))
-            out["callback"].append(row["callback"])
-            out["n_links"].append(len(res.links))
-            out["items"].append(res.items)
-            out["spans"].append([{"kind": k, "text": t_, "media_ref": m, "offset": j} for j, (k, t_, m) in enumerate(res.spans)])
-            out["links"].append(
-                [
-                    {
-                        "url": lk["url"],
-                        "callback": lk["callback"],
-                        "method": lk["method"],
-                        "form_json": json.dumps(lk["form"], sort_keys=True) if lk["form"] else "",
-                        "meta_json": json.dumps(lk["meta"], sort_keys=True) if lk["meta"] else "",
-                    }
-                    for lk, fol in zip(res.links, followed_mask)
-                    if not fol
-                ]
-            )
+            s = scalar
+            s["doc_id"].append(doc_id)
+            s["prefecture"].append(row["prefecture"])
+            s["url"].append(row["url"])
+            s["url_key"].append(row["url_key"])
+            s["parent_key"].append(row["parent_key"])
+            s["host"].append(row["host"])
+            s["part"].append(row["part"])
+            s["depth"].append(row["depth"])
+            s["visit_seq"].append(row["visit_seq"])
+            s["sched_ts"].append(row["sched_ts"])
+            s["fetched_at"].append(fetched_at)
+            s["status"].append(status)
+            s["attempts"].append(att)
+            s["bytes"].append(len(body))
+            s["callback"].append(row["callback"])
+            s["n_links"].append(len(res.links))
+            for it in res.items:
+                for f in ITEM_FIELDS:
+                    item_flat[f].append(it[f])
+            item_counts.append(len(res.items))
+            for k, t_, m in res.spans:
+                span_kind.append(k)
+                span_text.append(t_)
+                span_ref.append(m)
+            span_counts.append(len(res.spans))
+            nl = 0
+            for lk, fol in zip(res.links, followed_mask):
+                if fol:
+                    continue
+                link_flat["url"].append(lk["url"])
+                link_flat["callback"].append(lk["callback"])
+                link_flat["method"].append(lk["method"])
+                link_flat["form_json"].append(json.dumps(lk["form"], sort_keys=True) if lk["form"] else "")
+                link_flat["meta_json"].append(json.dumps(lk["meta"], sort_keys=True) if lk["meta"] else "")
+                nl += 1
+            link_counts.append(nl)
 
         def parse_of(row, status, body):
             if status != 200:
@@ -346,7 +373,32 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
                 else:
                     for s, upd in commits.items():
                         sched_actors[s].commit_hosts(upd)
-        tbl = pa.Table.from_pydict(out, schema=PARSED_SCHEMA)
+        def list_of_struct(counts, struct_type, arrays):
+            offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+            return pa.ListArray.from_arrays(offsets, pa.StructArray.from_arrays(arrays, fields=list(struct_type)))
+
+        span_off = (
+            np.concatenate([np.arange(c, dtype=np.int32) for c in span_counts])
+            if span_counts and sum(span_counts)
+            else np.array([], np.int32)
+        )
+        cols = []
+        for field in PARSED_SCHEMA:
+            if field.name == "items":
+                cols.append(list_of_struct(item_counts, ITEM_STRUCT, [pa.array(item_flat[f.name], f.type) for f in ITEM_STRUCT]))
+            elif field.name == "spans":
+                cols.append(
+                    list_of_struct(
+                        span_counts,
+                        SPAN_STRUCT,
+                        [pa.array(span_kind, pa.string()), pa.array(span_text, pa.string()), pa.array(span_ref, pa.string()), pa.array(span_off, pa.int32())],
+                    )
+                )
+            elif field.name == "links":
+                cols.append(list_of_struct(link_counts, LINK_STRUCT, [pa.array(link_flat[f.name], pa.string()) for f in LINK_STRUCT]))
+            else:
+                cols.append(pa.array(scalar[field.name], field.type))
+        tbl = pa.Table.from_arrays(cols, schema=PARSED_SCHEMA)
         return tbl.append_column("wave", pa.array([wave] * len(tbl), pa.int32()))
 
     return fn
@@ -679,7 +731,7 @@ class CrawlEngine:
         self.mega_hosts = frozenset(r["host"] for r in self.store.politeness_rows() if r.get("is_mega_host"))
         self.seen_shards: list = []
         self.sched_actors: list = []
-        self.totals = {"pages": 0, "items": 0, "waves": 0}
+        self.totals = {"pages": 0, "items": 0, "waves": 0, "fetch_parse_sec": 0.0}
 
     # --- state management ------------------------------------------------
     def _init_state(self, seen_blobs=None, sched_blobs=None):
@@ -809,8 +861,8 @@ class CrawlEngine:
 
     # --- one wave --------------------------------------------------------
     def _n_blocks(self, n_rows: int) -> int:
-        """Enough blocks that map stages parallelize, few enough that tiny
-        waves don't drown in task overhead."""
+        """Enough blocks that map stages parallelize at the current cluster
+        width, few enough that tiny waves don't drown in per-task overhead."""
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -838,6 +890,7 @@ class CrawlEngine:
             .write_parquet(parsed_dir)
         )
         t_fetch = _time.time() - t0
+        self.totals["fetch_parse_sec"] = self.totals.get("fetch_parse_sec", 0.0) + t_fetch
         n_pages = pads.dataset(parsed_dir).count_rows()
 
         if n_pages <= self.driver_admit_max_pages:

@@ -288,6 +288,7 @@ class PageStore:
             x1, y1 = 130 + h % 10, 30 + h // 7 % 10
             seed("mesh", f"http://mesh.example.jp/api/shops?x1={x1}.{m}&x2={x1}.{m + 1}&y1={y1}.0&y2={y1}.9", meta={"mesh": str(m)})
         seed("jsonapi", "http://jsonapi.example.jp/api/list")
+        seed("jsmap", "http://jsmap.example.jp/shops")
         seed("jsonhtml", "http://jsonhtml.example.jp/api/page/1")
         seed("filetab", "http://files.example.jp/index.html")
         seed("scripted", "http://scripted.example.jp/search")
@@ -311,6 +312,7 @@ class PageStore:
             d[f"listdetail{i}.example.jp"] = 1.2  # kyoto.py:21
         d["areafanout.example.jp"] = 3.0
         d["jsonapi.example.jp"] = 3.0
+        d["jsmap.example.jp"] = 3.0
         d["jsonhtml.example.jp"] = 3.0
         d["files.example.jp"] = 3.0
         d["scripted.example.jp"] = 2.0
@@ -535,6 +537,35 @@ class PageStore:
         body += "\n</body></html>"
         return Page(url, 200, "text/html", body.encode(), links)
 
+    def _page_jsmap(self, url, host, path, query, form) -> Page:
+        # miyagi-style page: HTML shop list + JS marker array in <script>;
+        # the parser joins them per page (shop_name equality AND item
+        # address substring of marker address, unique match -> lat/lng)
+        # (reference: miyagi.py:71-119, demjson for non-JSON JS literals)
+        sp = self.spec
+        shops = [make_shop(host, 1, r) for r in range(sp.shops_per_page * 2)]
+        divs = []
+        markers = []
+        for r, s in enumerate(shops):
+            h = _h64(host, "join", r)
+            divs.append(
+                f'<div class="shop"><h3>{_render_name(s)}</h3>'
+                f'<p class="place">{_render_place(s)}</p>'
+                f'<p class="tel">{_render_tel(s)}</p></div>'
+            )
+            if h % 7 == 3 or s.provided_lat is None:
+                continue  # no marker -> 0 matches -> null latlng
+            entry = f"{{name: '{s.shop_name}', address: '北海道{s.address}ビル2F', lat: {s.provided_lat}, lng: {s.provided_lng},}}"
+            markers.append(entry)
+            if h % 5 == 0:
+                markers.append(entry)  # duplicate marker -> ambiguous -> null
+        body = (
+            "<html><body>\n" + "\n".join(divs) + "\n"
+            "<script>const data = [" + ", ".join(markers) + "];</script>"
+            "</body></html>"
+        )
+        return Page(url, 200, "text/html", body.encode(), [])
+
     def _page_blocked(self, url, host, path, query, form) -> Page:
         return Page(url, 200, "text/html", b"<html>should never be fetched</html>", [])
 
@@ -612,6 +643,27 @@ class PageStore:
                     genre_name=s.genre_name,
                     opening_hours=s.opening_hours,
                     closing_day=s.closing_day,
+                    prefecture=prefecture,
+                    source_url=url,
+                    row_in_page=r,
+                )
+                items.append(it)
+                spans.append(("text", s.shop_name, ""))
+                spans.append(("text", s.address, ""))
+        elif fam == "jsmap":
+            for r in range(sp.shops_per_page * 2):
+                s = make_shop(host, 1, r)
+                h = _h64(host, "join", r)
+                matched = h % 7 != 3 and h % 5 != 0 and s.provided_lat is not None
+                it = dict.fromkeys(expected_item(s, prefecture, url, r))
+                it.update(
+                    shop_name=s.shop_name,
+                    address=s.address,
+                    zip_code=s.zip_code if s.zip_variant != 2 else None,
+                    tel=s.tel,
+                    # markers round-trip through a JS float literal
+                    provided_lat=f"{float(s.provided_lat)}" if matched else None,
+                    provided_lng=f"{float(s.provided_lng)}" if matched else None,
                     prefecture=prefecture,
                     source_url=url,
                     row_in_page=r,

@@ -26,6 +26,7 @@ import re
 from dataclasses import dataclass, field
 
 from ..functions.extract import (
+    decode_js_object,
     extract_latlng,
     join_genres,
     map_code,
@@ -52,6 +53,7 @@ _IFRAME = re.compile(r'<iframe src="([^"]+)"')
 _AREA_H2 = re.compile(r"<h2>\[ (.*?) \]</h2>")
 _FILE_A = re.compile(r'<a class="file" href="([^"]+)">(.*?)</a>', re.S)
 _TOKEN = re.compile(r'name="_token" value="([^"]+)"')
+_JS_DATA = re.compile(r"const data = (\[.*?\]);", re.S)
 
 _EMPTY_ITEM = {
     "shop_name": None,
@@ -369,6 +371,40 @@ def parse_scripted(url: str, body: bytes, meta: dict, depth: int) -> ParseResult
     return res
 
 
+def parse_jsmap(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """The reference's ONE real join — miyagi html⋈js (miyagi.py:71-119):
+    per page, decode the JS marker array (non-JSON literal, demjson-style
+    tolerant decode) as the small side, then for each HTML-listed shop find
+    markers where shop_name is EQUAL and the item address is a SUBSTRING of
+    the marker address (miyagi.py:107-111); exactly one match -> copy
+    lat/lng (miyagi.py:113-115); zero or several -> leave null
+    (miyagi.py:116-119).  Left outer, per-row map_batches computation — no
+    shuffle, both sides come from the same page (SURVEY.md §2.6)."""
+    html = body.decode("utf-8", "replace")
+    res = ParseResult()
+    m = _JS_DATA.search(html)
+    markers = decode_js_object(m.group(1)) if m else []
+    for dm in _SHOP_DIV.finditer(html):
+        inner = dm.group(1)
+        item = dict(_EMPTY_ITEM)
+        h = _H3.search(inner)
+        item["shop_name"] = h.group(1) if h else None
+        pm = _PLACE.search(inner)
+        item["zip_code"], item["address"] = split_zip_address(pm.group(1) if pm else None)
+        tm = _TEL_P.search(inner)
+        item["tel"] = normalize_tel(tm.group(1)) if tm else None
+        clean_name = normalize_text(item["shop_name"]) or ""
+        clean_addr = normalize_text(item["address"]) or ""
+        matches = [mk for mk in markers if mk.get("name") == clean_name and clean_addr and clean_addr in (mk.get("address") or "")]
+        if len(matches) == 1:
+            item["provided_lat"] = f"{matches[0]['lat']}"
+            item["provided_lng"] = f"{matches[0]['lng']}"
+        res.items.append(item)
+        res.spans.append(("text", clean_name, ""))
+        res.spans.append(("text", clean_addr, ""))
+    return res
+
+
 # --- registry + dispatch ----------------------------------------------------
 
 PARSERS: dict[tuple[str, str], callable] = {
@@ -379,6 +415,7 @@ PARSERS: dict[tuple[str, str], callable] = {
     ("areafanout", "parse"): parse_areafanout,
     ("mesh", "parse"): parse_mesh,
     ("jsonapi", "parse"): parse_jsonapi,
+    ("jsmap", "parse"): parse_jsmap,
     ("jsonhtml", "parse"): parse_jsonhtml,
     ("filetab", "parse"): parse_files_index,
     ("filetab", "file_csv"): parse_file_csv,

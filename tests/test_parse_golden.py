@@ -81,7 +81,7 @@ def _normalize_items(raw_items, prefecture, url):
 
 def test_closure_covers_every_family(closure, store):
     families = {p for p, *_ in closure}
-    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsonhtml", "filetab", "scripted"]:
+    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsmap", "jsonhtml", "filetab", "scripted"]:
         assert fam in families, f"family {fam} unreachable"
     # blocked host never enters the closure
     assert not any("blocked" in u for _, _, u, _, _, _ in closure)
