@@ -75,7 +75,7 @@ def main() -> None:
 
     import ray
 
-    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR", log_to_driver=False)  # keep stdout = one JSON line
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -118,6 +118,26 @@ def main() -> None:
     pages = totals["pages"]
     log(f"--- crawl: {pages} pages, {totals['waves']} waves, {crawl_sec:.1f}s = {pages / crawl_sec:.0f} pages/s")
 
+    # --- frontier admission rate (10^10-frontier machinery smoke) ------
+    # measures the seen-set shard fleet's sustained admit throughput on
+    # 2M synthetic sha1 keys routed across 8 shards; extrapolation basis
+    # for the 10^10-URL frontier sizing in BASELINE.md.
+    import numpy as np
+
+    from goto_eater_crawler_ray.state.seen import ShardedSeenSet, make_shard_actors
+
+    actors = make_shard_actors(8, 4_000_000)
+    sset = ShardedSeenSet(actors)
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 256, size=(2_000_000, 20), dtype=np.uint8)
+    t0 = time.time()
+    novel = sset.admit(keys)
+    admit_sec = time.time() - t0
+    admit_rate = int(len(keys) / admit_sec)
+    log(f"--- seen-set admission: 2M keys in {admit_sec:.2f}s = {admit_rate} keys/s (novel={int(novel.sum())})")
+    for a in actors:
+        ray.kill(a)
+
     # --- query timings over sf_dir -------------------------------------
     bench_queries = [
         "lineitem_agg",
@@ -155,6 +175,7 @@ def main() -> None:
                 "crawl_pages": pages,
                 "crawl_waves": totals["waves"],
                 "crawl_pages_per_sec": round(pages / crawl_sec, 1),
+                "seen_admit_keys_per_sec": admit_rate,
                 "fetch_parse_sec": round(totals.get("fetch_parse_sec", crawl_sec), 3),
                 "fetch_parse_pages_per_sec": round(pages / max(totals.get("fetch_parse_sec", crawl_sec), 1e-9), 1),
             }

@@ -161,7 +161,7 @@ def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: fl
     -> deduped candidate pairs with estimated jaccard (from signature
     agreement) >= threshold."""
     rows_per_band = n_perm // n_bands
-    sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=2)
+    sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=4)
     sigs = sigs.materialize()  # reused: banding + verification
     bands = sigs.map_batches(explode_bands(n_bands, rows_per_band), batch_format="pyarrow")
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
@@ -217,7 +217,7 @@ def simhash_dup_groups(docs_ds):
     """Exact-simhash collision groups (hamming-0 near-dups): groupby simhash."""
     from ray.data.aggregate import Count, Min
 
-    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=4)
     grouped = sh.groupby("simhash").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_docs"))
     return grouped.filter(lambda r: r["n_docs"] > 1)
 

@@ -100,7 +100,7 @@ def lsh_ann_topk(emb_ds, query_ids: list[int], dim: int, k: int = 5, n_planes: i
     """Approximate top-k: sign-LSH buckets -> per-bucket exact rerank.
     Queries whose bucket lacks k neighbors return fewer rows (documented
     approximation; recall measured against brute force in tests)."""
-    bucketed = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes}, batch_format="pyarrow", concurrency=2)
+    bucketed = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes}, batch_format="pyarrow", concurrency=4)
     qset = set(query_ids)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -529,7 +529,7 @@ def q_simhash_groups(sf_dir: str):
 def q_langid(sf_dir: str):
     from ..functions.text import LangId
 
-    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=4)
 
 
 # ---------------------------------------------------------------------------
@@ -614,13 +614,13 @@ def q_media_decode(sf_dir: str):
     """STUB image decode over binary column (actor pool, small batches)."""
     from ..functions.multimodal import DecodeImage
 
-    return _docs_as_media(sf_dir).map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2)
+    return _docs_as_media(sf_dir).map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=4)
 
 
 def q_media_features(sf_dir: str):
     from ..functions.multimodal import ExtractFeatures
 
-    return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=2)
+    return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=4)
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,35 @@ class TestPoliteness:
         out = restored.schedule(["h.jp"], ["/3"], np.zeros(1, dtype=int), np.zeros(1))
         assert out["sched_ts"][0] == 4.0
         assert out["visit_seq"][0] == 2
+
+
+class TestFetchWorkerActorPool:
+    def test_actor_pool_fetch(self, ray_session):
+        """The actor-pool fetch form (stages/fetch.py): callable class via
+        map_batches(Cls, concurrency=N) — setup once per actor."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.sources.pagestore import ScaleSpec
+        from goto_eater_crawler_ray.stages.fetch import FetchWorker
+
+        rows = [
+            {
+                "url": f"http://paginated0.example.jp/list?page={p}",
+                "method": "GET",
+                "form_json": "",
+                "sched_ts": float(p),
+            }
+            for p in range(1, 5)
+        ]
+        ds = rd.from_items(rows).map_batches(
+            FetchWorker,
+            fn_constructor_kwargs={"scale_spec": ScaleSpec.golden()},
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=2,
+        )
+        out = ds.take_all()
+        assert all(r["status"] in (200, 503) for r in out)
+        ok = [r for r in out if r["status"] == 200]
+        assert ok and all(len(r["body"]) > 100 for r in ok)
+        assert all(r["fetched_at"] >= r["sched_ts"] for r in out)
