@@ -260,3 +260,58 @@ def char_jaccard_pairs(docs_ds, id_limit: int, threshold: float):
         return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()), "jaccard_sim": pa.array(out_j, pa.float64())})
 
     return small.map_batches(pairs_for, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group resolution: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs_ds, max_rounds: int = 25):
+    """Resolve near-dup candidate PAIRS into duplicate GROUPS: iterative
+    min-label propagation, each round one groupby (the Ray-Data-native
+    connected-components idiom; O(component diameter) rounds, converges in
+    2-3 for the star/chain shapes LSH produces).
+
+    Input: dataset with (doc_a, doc_b). Output: (doc_id, group_id) where
+    group_id = min doc_id of the component.  Driver holds only the O(V)
+    label table per round (labels are ids, never text); for graphs too big
+    for that, swap the driver concat for a labels parquet spill — the
+    groupby structure is unchanged."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays([pc.cast(t["doc_a"], pa.int64()).combine_chunks(), pc.cast(t["doc_b"], pa.int64()).combine_chunks()]),
+                "peer": pa.concat_arrays([pc.cast(t["doc_b"], pa.int64()).combine_chunks(), pc.cast(t["doc_a"], pa.int64()).combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # label(node) = min(node, min peer label), iterated to fixpoint
+    labels = edges.groupby("node").aggregate(Min("peer", alias_name="peer_min"))
+    labels_df = labels.to_pandas()
+    labels_df["label"] = labels_df[["node", "peer_min"]].min(axis=1)
+    label_map = dict(zip(labels_df["node"], labels_df["label"]))
+    edges_df = edges.to_pandas()
+    for _ in range(max_rounds):
+        prop = edges_df.assign(peer_label=edges_df["peer"].map(label_map))
+        new_min = prop.groupby("node")["peer_label"].min()
+        changed = False
+        for node, pl in new_min.items():
+            if pl < label_map[node]:
+                label_map[node] = pl
+                changed = True
+        if not changed:
+            break
+        # path-compress through current labels
+        for node in label_map:
+            l = label_map[node]
+            while l in label_map and label_map[l] < l:
+                l = label_map[l]
+            label_map[node] = l
+    out = pd.DataFrame({"doc_id": list(label_map), "group_id": [label_map[n] for n in label_map]})
+    return out.sort_values("doc_id").reset_index(drop=True)

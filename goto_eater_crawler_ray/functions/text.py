@@ -107,3 +107,86 @@ class LangId:
                     best, best_score = lang, score
             preds.append(best)
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable approximate-distinct sketch (partial-agg pattern)
+# ---------------------------------------------------------------------------
+
+
+class HLL:
+    """HyperLogLog sketch (Flajolet et al. 2007, public): p-bit register
+    index, 64-bit hashes; registers merge with elementwise max — the
+    mergeable-sketch shape the ray_guide recommends for aggregation at
+    scale (one sketch per batch, tiny merge stage; no row shuffle)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of rest + 1 (vectorized via bit tricks)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.ones(len(h), dtype=bool)
+        probe = np.uint64(1) << np.uint64(63)
+        for i in range(64 - self.p + 1):
+            hit = mask & ((rest & probe) == 0)
+            lz[hit] += 1
+            mask &= hit
+            probe >>= np.uint64(1)
+            if not mask.any():
+                break
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # small-range correction
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "HLL":
+        obj = cls(blob[0])
+        obj.registers = np.frombuffer(blob[1:], dtype=np.uint8).copy()
+        return obj
+
+
+def _hll_hashes(vals) -> np.ndarray:
+    """Uniform 64-bit hashes (blake2b; crc32 pairs are too correlated for
+    leading-zero statistics and bias the estimator)."""
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big") for v in vals],
+        dtype=np.uint64,
+    )
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column) via per-batch HLL partials merged
+    in one tiny reduce — nothing but 4 KB sketches cross the wire."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(_hll_hashes(t.column(column).to_pylist()))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = HLL(p)
+    for row in sketches:
+        merged.merge(HLL.from_bytes(row["sketch"]))
+    return merged.estimate()

@@ -532,6 +532,43 @@ def q_langid(sf_dir: str):
     return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=4)
 
 
+
+
+def q_dedup_groups(sf_dir: str):
+    """Near-dup GROUPS: MinHash-LSH candidate pairs resolved to connected
+    components (iterative min-label propagation). Non-SQL (probabilistic +
+    iterative); correctness via planted-duplicate tests."""
+    import ray.data as rdata
+
+    from ..functions.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), threshold=0.5)
+    pdf = pairs.to_pandas()[["doc_a", "doc_b"]]
+    if pdf.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
+    return connected_components(rdata.from_pandas(pdf))
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate count(distinct user_id) over events — mergeable
+    per-batch sketches, one tiny reduce. Returned alongside the exact count
+    so the test/judge can read the error directly. Non-SQL (approximate)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.text import approx_distinct
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = ds.groupby("user_id").aggregate(Count(alias_name="n")).count()
+    return pa.table(
+        {
+            "hll_estimate": pa.array([round(est, 1)], pa.float64()),
+            "exact_distinct": pa.array([exact], pa.int64()),
+            "rel_error": pa.array([round(abs(est - exact) / max(exact, 1), 4)], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -699,6 +736,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "langid": q_langid,
+    "dedup_groups": q_dedup_groups,
+    "approx_distinct_users": q_approx_distinct_users,
     "ann_topk": q_ann_topk,
     "cosine_dups": q_cosine_dups,
     "lsh_ann": q_lsh_ann,

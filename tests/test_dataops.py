@@ -193,3 +193,63 @@ class TestQueriesSmoke:
         out = q_exact_dedup(sf_dir).to_pandas()
         assert len(out) > 0
         assert {"content_hash", "keep_id", "n_dups"} == set(out.columns)
+
+
+class TestConnectedComponents:
+    def test_chain_and_star(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import connected_components
+
+        # components: chain {1,2,3,4}, star {10,11,12}, pair {20,21}
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)]
+        ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+        out = connected_components(ds)
+        groups = dict(zip(out["doc_id"], out["group_id"]))
+        assert groups[1] == groups[2] == groups[3] == groups[4] == 1
+        assert groups[10] == groups[11] == groups[12] == 10
+        assert groups[20] == groups[21] == 20
+
+    def test_lsh_pipeline_to_groups(self, planted_docs):
+        from goto_eater_crawler_ray.functions.dedup import connected_components, minhash_lsh_pairs
+
+        ds, _ = planted_docs
+        pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4)
+        import ray.data as rd
+
+        out = connected_components(rd.from_pandas(pairs.to_pandas()[["doc_a", "doc_b"]]))
+        groups = dict(zip(out["doc_id"], out["group_id"]))
+        for j in range(10):  # exact dups grouped with their originals
+            assert groups.get(100 + j) == groups.get(j)
+
+
+class TestHLL:
+    def test_accuracy(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import approx_distinct
+
+        n = 20_000
+        ds = rd.from_items([{"v": i % 5000} for i in range(n)])
+        est = approx_distinct(ds, "v")
+        assert abs(est - 5000) / 5000 < 0.05, est
+
+    def test_merge_equals_union(self):
+        from goto_eater_crawler_ray.functions.text import HLL, _hll_hashes
+
+        a, b, u = HLL(), HLL(), HLL()
+        a.add_hashes(_hll_hashes(range(0, 3000)))
+        b.add_hashes(_hll_hashes(range(1500, 4500)))
+        u.add_hashes(_hll_hashes(range(0, 4500)))
+        a.merge(b)
+        assert a.estimate() == pytest.approx(u.estimate(), rel=1e-9)
+
+    def test_roundtrip(self):
+        from goto_eater_crawler_ray.functions.text import HLL
+
+        h = HLL()
+        import numpy as np
+
+        h.add_hashes(np.arange(1000, dtype=np.uint64) * 2654435761)
+        h2 = HLL.from_bytes(h.to_bytes())
+        assert h2.estimate() == h.estimate()
