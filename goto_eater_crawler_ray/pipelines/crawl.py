@@ -84,6 +84,7 @@ def request_key(method: str, canon_url: str, form: dict) -> bytes:
 # ---------------------------------------------------------------------------
 
 _STORE_CACHE: dict[tuple, PageStore] = {}
+_BROWSER_CACHE: dict[tuple, object] = {}
 
 
 def _cached_store(spec: ScaleSpec) -> PageStore:
@@ -92,6 +93,18 @@ def _cached_store(spec: ScaleSpec) -> PageStore:
     if st is None:
         st = _STORE_CACHE[key] = PageStore(spec)
     return st
+
+
+def _cached_browser(spec: ScaleSpec):
+    """Process-level browser instance (expensive init amortized like an
+    actor pool — reference: oita playwright launch, SURVEY.md §2.5)."""
+    from ..stages.fetch import SimBrowser
+
+    key = tuple(sorted(spec.__dict__.items()))
+    b = _BROWSER_CACHE.get(key)
+    if b is None:
+        b = _BROWSER_CACHE[key] = SimBrowser(spec)
+    return b
 
 
 def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
@@ -216,8 +229,11 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         link_flat = {k: [] for k in ("url", "callback", "method", "form_json", "meta_json")}
         link_counts: list[int] = []
 
-        def fetch_one(url, method, form_json, sched_ts):
+        def fetch_one(url, method, form_json, sched_ts, meta_json=""):
             form = json.loads(form_json) if form_json else {}
+            if meta_json and '"fetch_kind": "browser"' in meta_json:
+                body = _cached_browser(spec).render(url)
+                return 200, 1, body, sched_ts + 0.5, form  # rendered DOM; 0.5s virtual render
             page = store.get(url, method, form)
             t, att = sched_ts, 1
             while att <= page.retryable_failures and att <= max_retries:
@@ -278,7 +294,7 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
 
         # --- one-shot rows (pre-scheduled at admission) -----------------
         for r in oneshot_rows:
-            status, att, body, fetched_at, _ = fetch_one(r["url"], r["method"], r["form_json"], r["sched_ts"])
+            status, att, body, fetched_at, _ = fetch_one(r["url"], r["method"], r["form_json"], r["sched_ts"], r["meta_json"])
             res = parse_of(r, status, body)
             emit(r, status, att, body, res, fetched_at, [False] * len(res.links))
 
@@ -318,7 +334,7 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
                         row["sched_ts"] = clock
                         seq += 1
                         clock += delay
-                    status, att, body, fetched_at, _ = fetch_one(row["url"], row["method"], row["form_json"], row["sched_ts"])
+                    status, att, body, fetched_at, _ = fetch_one(row["url"], row["method"], row["form_json"], row["sched_ts"], row["meta_json"])
                     res = parse_of(row, status, body)
                     followed = [False] * len(res.links)
                     # admit same-host children as one batch

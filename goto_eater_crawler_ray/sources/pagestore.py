@@ -289,6 +289,7 @@ class PageStore:
             seed("mesh", f"http://mesh.example.jp/api/shops?x1={x1}.{m}&x2={x1}.{m + 1}&y1={y1}.0&y2={y1}.9", meta={"mesh": str(m)})
         seed("jsonapi", "http://jsonapi.example.jp/api/list")
         seed("jsmap", "http://jsmap.example.jp/shops")
+        seed("browser", "http://browser.example.jp/app", meta={"fetch_kind": "browser"})
         seed("jsonhtml", "http://jsonhtml.example.jp/api/page/1")
         seed("filetab", "http://files.example.jp/index.html")
         seed("scripted", "http://scripted.example.jp/search")
@@ -313,6 +314,7 @@ class PageStore:
         d["areafanout.example.jp"] = 3.0
         d["jsonapi.example.jp"] = 3.0
         d["jsmap.example.jp"] = 3.0
+        d["browser.example.jp"] = 2.0
         d["jsonhtml.example.jp"] = 3.0
         d["files.example.jp"] = 3.0
         d["scripted.example.jp"] = 2.0
@@ -537,6 +539,23 @@ class PageStore:
         body += "\n</body></html>"
         return Page(url, 200, "text/html", body.encode(), links)
 
+    def _page_browser(self, url, host, path, query, form) -> Page:
+        # headless-browser target (reference: oita.py:19-46 — playwright
+        # infinite scroll until exhaustion, then dump full HTML). The
+        # corpus models the RENDERED result as scroll chunks the browser
+        # actor concatenates: /app itself returns only a shell; the real
+        # content lives at /app/chunk/N until a chunk is empty.
+        sp = self.spec
+        if path == "/app":
+            return Page(url, 200, "text/html", b"<html><body><div id='list'></div><script>infiniteScroll()</script></body></html>", [])
+        if path.startswith("/app/chunk/"):
+            n = int(path.rsplit("/", 1)[-1])
+            if n >= 3:  # scroll exhausted
+                return Page(url, 200, "text/html", b"", [])
+            shops = [make_shop(host, 500 + n, r) for r in range(sp.shops_per_page)]
+            return Page(url, 200, "text/html", "\n".join(render_shop_div(s) for s in shops).encode(), [])
+        return Page(url, 404, "text/html", b"404")
+
     def _page_jsmap(self, url, host, path, query, form) -> Page:
         # miyagi-style page: HTML shop list + JS marker array in <script>;
         # the parser joins them per page (shop_name equality AND item
@@ -650,6 +669,9 @@ class PageStore:
                 items.append(it)
                 spans.append(("text", s.shop_name, ""))
                 spans.append(("text", s.address, ""))
+        elif fam == "browser" and path == "/app":
+            shops = [make_shop(host, 500 + c, r) for c in range(3) for r in range(sp.shops_per_page)]
+            add_shops(shops)
         elif fam == "jsmap":
             for r in range(sp.shops_per_page * 2):
                 s = make_shop(host, 1, r)

@@ -83,3 +83,30 @@ class FetchWorker:
             .append_column("latency_ms", pa.array(latency, pa.int32())) \
             .append_column("attempts", pa.array(attempts, pa.int32())) \
             .append_column("fetched_at", pa.array(fetched_at, pa.float64()))
+
+
+class SimBrowser:
+    """Headless-browser fetch actor (reference: oita.py:19-46 playwright
+    infinite scroll).  Expensive per-actor init (a real impl launches a
+    browser here -> small ``concurrency``, one task in flight); ``render``
+    drives the scroll loop: fetch /app, then content chunks until an empty
+    chunk, concatenate into the final DOM — the page the parser sees."""
+
+    def __init__(self, scale_spec: ScaleSpec):
+        self.store = PageStore(scale_spec)  # real impl: playwright.launch()
+        self.scrolls = 0
+
+    def render(self, url: str) -> bytes:
+        shell = self.store.get(url)
+        if shell.status != 200:
+            return shell.body
+        parts = []
+        n = 0
+        while True:
+            chunk = self.store.get(f"{url}/chunk/{n}")
+            if chunk.status != 200 or not chunk.body:
+                break  # scroll exhausted (oita stops on exception)
+            parts.append(chunk.body.decode("utf-8", "replace"))
+            self.scrolls += 1
+            n += 1
+        return ("<html><body>\n" + "\n".join(parts) + "\n</body></html>").encode()

@@ -371,6 +371,12 @@ def parse_scripted(url: str, body: bytes, meta: dict, depth: int) -> ParseResult
     return res
 
 
+def parse_browser(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Rendered infinite-scroll DOM -> shop items (reference: oita.py:49-72
+    lxml over the playwright-dumped HTML); no links (single-page app)."""
+    return _shop_div_page(body.decode("utf-8", "replace"))
+
+
 def parse_jsmap(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
     """The reference's ONE real join — miyagi html⋈js (miyagi.py:71-119):
     per page, decode the JS marker array (non-JSON literal, demjson-style
@@ -416,6 +422,7 @@ PARSERS: dict[tuple[str, str], callable] = {
     ("mesh", "parse"): parse_mesh,
     ("jsonapi", "parse"): parse_jsonapi,
     ("jsmap", "parse"): parse_jsmap,
+    ("browser", "parse"): parse_browser,
     ("jsonhtml", "parse"): parse_jsonhtml,
     ("filetab", "parse"): parse_files_index,
     ("filetab", "file_csv"): parse_file_csv,

@@ -29,6 +29,15 @@ ITEM_COLS = [
 ]
 
 
+def _body_of(store, url, method, form, meta):
+    """Fetch-layer behavior for tests: browser rows get the RENDERED DOM."""
+    if meta.get("fetch_kind") == "browser":
+        from goto_eater_crawler_ray.stages.fetch import SimBrowser
+
+        return SimBrowser(store.spec).render(url)
+    return store.get(url, method, form).body
+
+
 def _crawl_closure(store):
     """(prefecture, callback, url, method, form) for every reachable page."""
     from collections import deque
@@ -47,8 +56,8 @@ def _crawl_closure(store):
             continue
         seen.add(key)
         out.append((pref, cb, url, method, dict(form), meta))
-        page = store.get(url, method, dict(form))
-        res = parse_page(pref, cb, url, page.body, dict(meta), 0)
+        body = _body_of(store, url, method, dict(form), meta)
+        res = parse_page(pref, cb, url, body, dict(meta), 0)
         for link in res.links:
             q.append((pref, link["callback"], urljoin(url, link["url"]), link["method"], tuple(sorted(link["form"].items())), link["meta"]))
     return out
@@ -81,7 +90,7 @@ def _normalize_items(raw_items, prefecture, url):
 
 def test_closure_covers_every_family(closure, store):
     families = {p for p, *_ in closure}
-    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsmap", "jsonhtml", "filetab", "scripted"]:
+    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsmap", "browser", "jsonhtml", "filetab", "scripted"]:
         assert fam in families, f"family {fam} unreachable"
     # blocked host never enters the closure
     assert not any("blocked" in u for _, _, u, _, _, _ in closure)
@@ -91,8 +100,8 @@ def test_closure_covers_every_family(closure, store):
 def test_golden_items_and_spans(closure, store):
     n_items = n_spans = 0
     for pref, cb, url, method, form, meta in closure:
-        page = store.get(url, method, form)
-        res = parse_page(pref, cb, url, page.body, dict(meta), 0)
+        body = _body_of(store, url, method, form, meta)
+        res = parse_page(pref, cb, url, body, dict(meta), 0)
         got_items = _normalize_items(res.items, pref, url)
         exp_items, exp_spans = store.expected_parse(pref, cb, url, method, form)
         assert len(got_items) == len(exp_items), f"{url}: item count {len(got_items)} != {len(exp_items)}"
