@@ -156,10 +156,13 @@ def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
 
 
-def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: float = 0.5):
+def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: float = 0.5, verify_exact: bool = False):
     """Full MinHash-LSH candidate pipeline: signatures -> bands -> buckets
     -> deduped candidate pairs with estimated jaccard (from signature
-    agreement) >= threshold."""
+    agreement) >= threshold.  With ``verify_exact`` the surviving pairs get
+    TRUE word-shingle jaccard computed from the candidate docs' text
+    (candidate set is tiny relative to the corpus -> broadcast it, never
+    re-scan the corpus)."""
     rows_per_band = n_perm // n_bands
     sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=4)
     sigs = sigs.materialize()  # reused: banding + verification
@@ -185,7 +188,31 @@ def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: fl
         df = df.assign(est_jaccard=np.round(est, 6))
         return df[df["est_jaccard"] >= threshold]
 
-    return cand.map_batches(verify, batch_format="pandas")
+    result = cand.map_batches(verify, batch_format="pandas")
+    if not verify_exact:
+        return result
+
+    # exact verification: fetch ONLY candidate docs' texts, broadcast, and
+    # compute true word-shingle jaccard per pair
+    surv = result.to_pandas()
+    if surv.empty:
+        return result
+    cand_ids = set(surv["doc_a"]) | set(surv["doc_b"])
+    texts = {}
+    for r in docs_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(sorted(cand_ids)))),
+        batch_format="pyarrow",
+    ).take_all():
+        texts[r["doc_id"]] = r["text"]
+    true_j = []
+    for a, b in zip(surv["doc_a"], surv["doc_b"]):
+        sa, sb = set(_shingle_hashes(texts[a]).tolist()), set(_shingle_hashes(texts[b]).tolist())
+        true_j.append(round(len(sa & sb) / max(len(sa | sb), 1), 6))
+    surv = surv.assign(true_jaccard=true_j)
+    surv = surv[surv["true_jaccard"] >= threshold].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(surv)
 
 
 # ---------------------------------------------------------------------------

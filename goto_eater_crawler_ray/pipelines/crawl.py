@@ -1024,6 +1024,7 @@ class CrawlEngine:
 
         timed_job("metrics", run_metrics)
 
+
         # the four derived writes are independent dataset executions — run
         # them concurrently so the cluster stays saturated (a single
         # execution's map/write tail leaves cores idle).
@@ -1092,6 +1093,12 @@ class CrawlEngine:
         self.finalize()
         if self.debug_timing:
             print(f"[finalize] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
+        metrics_dir = os.path.join(self.out_dir, "metrics")
+        if os.path.isdir(metrics_dir):
+            import pyarrow.dataset as pads
+
+            m = pads.dataset(metrics_dir).to_table(columns=["items"])
+            self.totals["items"] = int(pc.sum(m.column("items")).as_py() or 0)
         if wave > start_wave:
             t0 = _t.time()
             self._checkpoint_state(wave - 1)  # final checkpoint: shard queues drained during finalize

@@ -253,3 +253,17 @@ class TestHLL:
         h.add_hashes(np.arange(1000, dtype=np.uint64) * 2654435761)
         h2 = HLL.from_bytes(h.to_bytes())
         assert h2.estimate() == h.estimate()
+
+
+class TestExactVerify:
+    def test_minhash_verify_exact(self, planted_docs):
+        from goto_eater_crawler_ray.functions.dedup import minhash_lsh_pairs
+
+        ds, _ = planted_docs
+        pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4, verify_exact=True).to_pandas()
+        assert "true_jaccard" in pairs.columns
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        for j in range(10):  # exact dups have true_jaccard 1.0
+            assert (j, 100 + j) in found
+        exact_rows = pairs[(pairs["doc_a"] < 10) & (pairs["doc_b"] >= 100)]
+        assert (exact_rows["true_jaccard"] == 1.0).all()
