@@ -683,6 +683,23 @@ def q_crawl_lineage(sf_dir: str):
     return t.select(["url", "host", "depth", "wave", "visit_seq"]).sort_by([("host", "ascending"), ("visit_seq", "ascending")])
 
 
+def q_crawl_documents(sf_dir: str):
+    """Golden-scale crawl -> the engine's interleaved span documents table
+    (EXACTLY the BASELINE.json input_hint shape, produced by the real
+    fetch->parse->emit path). Non-SQL; per-row span-sequence equality is
+    pytest-verified (test_documents_span_invariant)."""
+    import tempfile
+
+    from ..sources.pagestore import ScaleSpec
+    from .crawl import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawl_docs_")
+    CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4).run()
+    import pyarrow.dataset as pads
+
+    return pads.dataset(os.path.join(out, "documents")).to_table().sort_by("doc_id")
+
+
 def q_doc_spans(sf_dir: str):
     """documents -> interleaved span documents (input_hint shape): text
     split into sentence-ish text spans with word-count media refs every
@@ -745,6 +762,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_features": q_media_features,
     "crawl_lineage": q_crawl_lineage,
+    "crawl_documents": q_crawl_documents,
     "doc_spans": q_doc_spans,
 }
 

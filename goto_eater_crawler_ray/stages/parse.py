@@ -119,8 +119,50 @@ def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tup
     return item, spans
 
 
+# fused single-pass shop-card pattern (fields in corpus render order;
+# optional groups for absent genre/map/hp). One scan ~3x faster than the
+# per-field searches in _parse_shop_div, which remains the general path.
+_SHOP_FUSED = re.compile(
+    r'<div class="shop">\s*<h3>(?P<name>.*?)</h3>\s*'
+    r'<p class="place">(?P<place>.*?)</p>\s*'
+    r'<p class="tel">(?P<tel>.*?)</p>\s*'
+    r'(?:<p class="genre">(?P<genre>.*?)</p>\s*)?'
+    r'(?:<a class="map" href="(?P<map>[^"]+)">地図</a>\s*)?'
+    r'(?:<a class="hp" href="(?P<hp>[^"]+)">HP</a>\s*)?'
+    r'<p class="hours">営業時間: (?P<hours>.*?)</p>\s*'
+    r'<p class="closed">定休日: (?P<closed>.*?)</p>\s*</div>',
+    re.S,
+)
+
+
 def _shop_div_page(html: str, area: str | None = None) -> ParseResult:
     res = ParseResult()
+    fused = list(_SHOP_FUSED.finditer(html))
+    n_divs = html.count('<div class="shop">')
+    if len(fused) == n_divs:
+        for m in fused:
+            item = dict(_EMPTY_ITEM)
+            item["shop_name"] = m.group("name")
+            item["zip_code"], item["address"] = split_zip_address(m.group("place"))
+            item["tel"] = normalize_tel(m.group("tel"))
+            g = m.group("genre")
+            item["genre_name"] = join_genres(g) if g else None
+            map_href = m.group("map")
+            item["provided_lat"], item["provided_lng"] = extract_latlng(map_href)
+            item["official_page"] = m.group("hp")
+            item["opening_hours"] = m.group("hours")
+            item["closing_day"] = m.group("closed")
+            item["area_name"] = area
+            res.items.append(item)
+            res.spans.append(("text", normalize_text(item["shop_name"]) or "", ""))
+            res.spans.append(("text", normalize_text(item["address"]) or "", ""))
+            res.spans.append(("text", (item["tel"] or "").strip(), ""))
+            if map_href:
+                res.spans.append(("link", "地図", map_href))
+            if item["official_page"]:
+                res.spans.append(("link", "HP", item["official_page"]))
+        return res
+    # general fallback: per-field extraction div by div
     for m in _SHOP_DIV.finditer(html):
         item, spans = _parse_shop_div(m.group(1), area)
         res.items.append(item)
