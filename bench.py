@@ -114,6 +114,7 @@ def main() -> None:
     )
     totals = eng.run()
     crawl_sec = time.time() - t0
+    eng.shutdown()
     shutil.rmtree(out_dir, ignore_errors=True)  # tmpfs hygiene
     pages = totals["pages"]
     log(f"--- crawl: {pages} pages, {totals['waves']} waves, {crawl_sec:.1f}s = {pages / crawl_sec:.0f} pages/s")

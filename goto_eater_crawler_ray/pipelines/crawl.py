@@ -1,42 +1,40 @@
-"""The wave-structured crawl engine (SURVEY.md §3.4, §7.0).
+"""The crawl engine: chain-following fetch over a wave-structured frontier.
 
-Crawling is iterative — page N+1 is only discoverable after page N is
-fetched — so the engine is a driver loop where each wave is ONE lazy Ray
-Dataset pipeline:
+Each wave is ONE fused Ray Dataset execution plus a (driver-side or
+distributed) admission step:
 
-    frontier_w (parquet)
-      -> map_batches(fetch)                       # deterministic corpus + retry
-      -> map_batches(parse_emit)                  # body dropped HERE (narrow out)
-      -> .materialize()                           # wave-bounded, body-free
-      -> items    (vectorized list-flatten)  -> write parquet  out/items/wave=w
-      -> documents (doc_id, spans[])         -> write parquet  out/documents/wave=w
-      -> lineage / metrics (partial agg + groupby) -> write
-      -> links -> groupby(url_key) dedup -> admit (seen shards)
-              -> groupby(sched_shard).map_groups(schedule)     # politeness actors
-      -> frontier_{w+1} (parquet)  + shard checkpoints + manifest
+    frontier_w (parquet, cost-balanced blocks)
+      -> map_batches(chain_fetch)        # fused fetch+parse; bodies never
+                                         # enter the object store
+      -> write parsed/wave=w             # narrow nested table (items/spans/
+                                         # pending links), idempotent rewrite
+    pending links -> dedup -> seen-set admission -> politeness scheduling
+      -> frontier_{w+1}                  # driver path when small, dataset
+                                         # path (groupby co-location) when
+                                         # large — bit-identical (tested)
+    checkpoint every K waves: filter/clock shard blobs + atomic manifest
+    finalize(): items / documents / lineage / metrics derived from the
+      parsed store in concurrent one-pass executions (idempotent rewrite)
 
-Determinism at any parallelism level (the scaling invariant):
-  * within-wave duplicate discoveries are deduped to the (min discovered_at,
-    min parent_key) row BEFORE seen-set admission, so which task saw a URL
-    first cannot change the frontier;
-  * scheduling is one ``map_groups`` call per politeness shard per wave
-    (all rows of a host co-located), and the scheduler sorts by the north-
-    rule heap key (depth, host-budget, discovery-time) — so ``visit_seq``
-    is a pure function of the crawl graph, not of task interleaving.
+Chain-following (the scale-critical design): politeness is per-host SERIAL
+(reference: goto_eat_scrapy/settings.py:34), so the task owning a host's
+sole frontier row leases the host clock from its politeness shard, runs
+the (depth, host-budget, discovery-time) priority heap locally for the
+whole pagination chain, admits same-host links task-locally (bulk-
+committed to the seen shards), and commits the clock back.  Lineage is
+bit-identical to the strict-wave engine (chain_mode=False), which remains
+for multi-wave semantics tests and cross-host fan-out.
 
-Scale notes (SURVEY.md §7.3-7.4): the only shuffled table is the *links*
-control plane (~100 B/row, no bodies); page bodies live for exactly one
-stage (fetch->parse, fused by Ray into a single task — they never hit the
-object store); mega-hosts are salted across output partitions while their
-politeness stays serialized in one shard actor; outputs are per-wave
-parquet directories => a rerun skips completed waves (resume()).
+Determinism at any parallelism level: within-wave dedup to the minimal
+(discovered_at, parent_key, url) row before admission; one schedule call
+per politeness shard per wave; visit_seq is a pure function of the crawl
+graph, not task interleaving (e2e-tested at two admission paths and two
+engine modes).
 
-Fetch state: ``FetchWorker`` (stages/fetch.py) is the actor-pool form for
-expensive per-worker state.  The default engine path uses a plain function
-with a *process-level* PageStore cache instead: Ray reuses worker
-processes across waves, so the state amortizes like an actor pool without
-paying actor-pool re-creation per wave (map_batches creates a fresh pool
-per dataset execution — a per-wave cost a many-wave crawl cannot afford).
+Scale notes (SURVEY.md §7.3-7.4): only the ~100 B/row pending-link control
+plane ever shuffles; mega-hosts are pre-scheduled one-shot rows salted
+across partitions while their politeness serializes in one shard; outputs
+are per-wave parquet directories => resume skips completed waves.
 """
 
 from __future__ import annotations
@@ -1035,6 +1033,18 @@ class CrawlEngine:
             futs = {name: pool.submit(timed, name, fn) for name, fn in jobs}
             for name, f in futs.items():
                 f.result()
+
+    def shutdown(self):
+        """Kill shard actors (queries/CLI create engines per call; without
+        this, each call leaks a dozen idle actors into the session)."""
+        import ray
+
+        for a in self.seen_shards + self.sched_actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self.seen_shards, self.sched_actors = [], []
 
     # --- public API ------------------------------------------------------
     def run(self, resume: bool = False) -> dict:

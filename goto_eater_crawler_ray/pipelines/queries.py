@@ -677,6 +677,7 @@ def q_crawl_lineage(sf_dir: str):
     out = tempfile.mkdtemp(prefix="crawl_q_")
     eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
     eng.run()
+    eng.shutdown()
     import pyarrow.dataset as pads
 
     t = pads.dataset(os.path.join(out, "lineage")).to_table()
@@ -694,7 +695,9 @@ def q_crawl_documents(sf_dir: str):
     from .crawl import CrawlEngine
 
     out = tempfile.mkdtemp(prefix="crawl_docs_")
-    CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4).run()
+    eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
+    eng.run()
+    eng.shutdown()
     import pyarrow.dataset as pads
 
     return pads.dataset(os.path.join(out, "documents")).to_table().sort_by("doc_id")

@@ -263,3 +263,26 @@ class TestFetchWorkerActorPool:
         ok = [r for r in out if r["status"] == 200]
         assert ok and all(len(r["body"]) > 100 for r in ok)
         assert all(r["fetched_at"] >= r["sched_ts"] for r in out)
+
+
+class TestLeaseCommit:
+    def test_lease_then_commit_roundtrip(self):
+        sched = PolitenessScheduler(default_delay=2.0)
+        sched.configure([{"host": "h.jp", "crawl_delay_s": 1.5, "robots_txt": "User-agent: *\nDisallow: /priv/\n"}])
+        lease = sched.lease_hosts(["h.jp", "fresh.jp"])
+        assert lease["h.jp"]["crawl_delay"] == 1.5
+        assert lease["h.jp"]["disallow"] == ["/priv/"]
+        assert lease["fresh.jp"]["crawl_delay"] == 2.0  # default
+        # chain follower advances locally, commits back
+        sched.commit_hosts({"h.jp": {"visit_count": 7, "next_free_ts": 10.5}})
+        out = sched.schedule(["h.jp"], ["/a"], np.zeros(1, dtype=int), np.zeros(1))
+        assert out["visit_seq"][0] == 7
+        assert out["sched_ts"][0] == 10.5
+
+    def test_lease_survives_checkpoint(self):
+        sched = PolitenessScheduler()
+        sched.commit_hosts({"x.jp": {"visit_count": 3, "next_free_ts": 9.0}})
+        restored = PolitenessScheduler.restore(sched.checkpoint())
+        lease = restored.lease_hosts(["x.jp"])
+        assert lease["x.jp"]["visit_count"] == 3
+        assert lease["x.jp"]["next_free_ts"] == 9.0
