@@ -178,3 +178,47 @@ def test_chain_vs_strict_wave_equivalence(ray_session, crawl_out, tmp_path):
     l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     assert len(l1) == len(l2)
     assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
+
+
+def test_engine_matches_reference_simulator(crawl_out):
+    """THE ordering-parity assertion (SURVEY.md §5): the engine's final
+    URL-seen set AND per-host visit order equal an independent plain-Python
+    simulator implementing the reference's scheduling semantics (per-host
+    serial + crawl delay + robots + (depth, budget, discovery) heap)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.reference_simulator import simulate
+
+    out, _ = crawl_out
+    sim = simulate(PageStore(ScaleSpec.golden()))
+    lineage = pads.dataset(os.path.join(out, "lineage")).to_table().to_pandas()
+    got = {bytes(r["url_key"]): (r["host"], int(r["depth"]), int(r["visit_seq"])) for _, r in lineage.iterrows()}
+    exp = {k: (v["host"], v["depth"], v["visit_seq"]) for k, v in sim.items()}
+    assert set(got) == set(exp), f"seen-set mismatch: {len(set(got) ^ set(exp))} keys differ"
+    mismatches = [(exp[k], got[k]) for k in exp if got[k] != exp[k]]
+    assert not mismatches, f"{len(mismatches)} order mismatches, e.g. {mismatches[:3]}"
+
+
+def test_terminal_failures_become_error_rows(ray_session, tmp_path):
+    """Exhausted retries surface as status-503 rows with retry counts in
+    metrics (SURVEY.md §2.5: error rows, not exceptions)."""
+    out = str(tmp_path / "failcrawl")
+    eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2)
+    # max_retries=0 in the fetch path: monkeypatch via spec with failures on
+    import goto_eater_crawler_ray.pipelines.crawl as crawl_mod
+
+    orig = crawl_mod.make_chain_fetch_fn
+    crawl_mod.make_chain_fetch_fn = lambda *a, **k: orig(*a, **{**k, "max_retries": 0})
+    try:
+        eng.run()
+    finally:
+        crawl_mod.make_chain_fetch_fn = orig
+        eng.shutdown()
+    parsed = pads.dataset(os.path.join(out, "parsed")).to_table().to_pandas()
+    errors = parsed[parsed["status"] != 200]
+    assert len(errors) > 0, "golden spec plants retryable failures; with 0 retries some must fail"
+    assert (errors["status"] == 503).all()
+    assert (errors["bytes"] == 0).all()
+    m = pads.dataset(os.path.join(out, "metrics")).to_table().to_pandas()
+    assert m["errors"].sum() == len(errors)
