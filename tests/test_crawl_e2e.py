@@ -222,3 +222,41 @@ def test_terminal_failures_become_error_rows(ray_session, tmp_path):
     assert (errors["bytes"] == 0).all()
     m = pads.dataset(os.path.join(out, "metrics")).to_table().to_pandas()
     assert m["errors"].sum() == len(errors)
+
+
+def test_stateless_fetch_parse_stages(ray_session):
+    """The two-stage stateless form (make_fetch_fn -> make_parse_emit) —
+    the alternative to the fused chain worker for pre-scheduled frontiers
+    (e.g. real-network actor pools wrap the same shape)."""
+    import pyarrow as pa
+
+    from goto_eater_crawler_ray.pipelines.crawl import make_fetch_fn, make_parse_emit
+    from goto_eater_crawler_ray.schemas import FRONTIER_SCHEMA
+
+    rows = []
+    for p in (1, 2):
+        rows.append(
+            {
+                "prefecture": "paginated0",
+                "url": f"http://paginated0.example.jp/list?page={p}",
+                "url_key": b"\x01" * 20,
+                "host": "paginated0.example.jp",
+                "part": 0,
+                "depth": p - 1,
+                "discovered_at": 0.0,
+                "visit_seq": p - 1,
+                "sched_ts": float(p),
+                "method": "GET",
+                "form_json": "",
+                "meta_json": "",
+                "callback": "parse",
+                "parent_key": b"\x00" * 20,
+                "chain": 0,
+            }
+        )
+    batch = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+    pages = make_fetch_fn(ScaleSpec.golden())(batch)
+    parsed = make_parse_emit(7)(pages)
+    assert parsed.column("wave").to_pylist() == [7, 7]
+    assert all(n > 0 for n in [len(x) for x in parsed.column("items").to_pylist()])
+    assert parsed.column("status").to_pylist() == [200, 200] or 503 in parsed.column("status").to_pylist()
