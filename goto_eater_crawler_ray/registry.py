@@ -36,13 +36,20 @@ class ParserSpec:
 class ParserRegistry:
     def __init__(self):
         self._specs: dict[str, ParserSpec] = {}
+        self._own_families: set[str] = set()
 
     def register(self, spec: ParserSpec) -> ParserSpec:
         if spec.name in self._specs:
             raise ValueError(f"duplicate parser spec: {spec.name}")
-        self._specs[spec.name] = spec
         for cb_name, fn in spec.callbacks.items():
-            PARSERS[(spec.family, cb_name)] = fn
+            key = (spec.family, cb_name)
+            if key in PARSERS and PARSERS[key] is not fn and spec.family not in self._own_families:
+                raise ValueError(f"callback {key} would shadow a built-in parser; pick a distinct family name")
+        self._specs[spec.name] = spec
+        self._own_families.add(spec.family)
+        # callbacks are INSTANCE-local: dispatch goes through self.parse();
+        # the module-global PARSERS is never mutated (a registration must
+        # not change behavior of other registries or concurrent engines)
         return spec
 
     def get(self, name: str) -> ParserSpec | None:
@@ -73,6 +80,7 @@ def builtin_registry() -> ParserRegistry:
         ("mesh", {"parse": P.parse_mesh}, 1.5, True),
         ("jsonapi", {"parse": P.parse_jsonapi}, 3.0, False),
         ("jsmap", {"parse": P.parse_jsmap}, 3.0, False),
+        ("browser", {"parse": P.parse_browser}, 2.0, False),
         ("jsonhtml", {"parse": P.parse_jsonhtml}, 3.0, False),
         (
             "filetab",

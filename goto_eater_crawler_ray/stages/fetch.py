@@ -45,6 +45,7 @@ class FetchWorker:
         self.store = PageStore(scale_spec)  # per-actor, once
         self.time_scale = time_scale
         self.max_retries = max_retries
+        self._browser = None  # lazily launched per actor (expensive init)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -53,6 +54,7 @@ class FetchWorker:
         methods = batch.column("method").to_pylist()
         forms = batch.column("form_json").to_pylist()
         scheds = batch.column("sched_ts").to_pylist()
+        metas = batch.column("meta_json").to_pylist() if "meta_json" in batch.column_names else [""] * len(urls)
         n = len(urls)
         status = [0] * n
         ctype = [""] * n
@@ -62,6 +64,14 @@ class FetchWorker:
         fetched_at = [0.0] * n
         for i in range(n):
             form = json.loads(forms[i]) if forms[i] else {}
+            meta = json.loads(metas[i]) if metas[i] else {}
+            if meta.get("fetch_kind") == "browser":
+                if self._browser is None:
+                    self._browser = SimBrowser(self.store.spec)
+                status[i], ctype[i] = 200, "text/html"
+                body[i] = self._browser.render(urls[i])
+                latency[i], attempts[i], fetched_at[i] = 500, 1, scheds[i] + 0.5
+                continue
             page = self.store.get(urls[i], methods[i], form)
             t = scheds[i]
             att = 1

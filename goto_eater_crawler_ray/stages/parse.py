@@ -85,27 +85,19 @@ def _link(url: str, callback: str = "parse", method: str = "GET", form: dict | N
     return {"url": url, "callback": callback, "method": method, "form": form or {}, "meta": meta or {}}
 
 
-def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tuple[str, str, str]]]:
-    """Shared shop-card extractor: one div -> (raw item, span sub-sequence)."""
+def _build_shop(name, place, tel, genre, map_href, hp, hours, closed, area):
+    """ONE shop-card builder: raw field strings -> (item, span sub-sequence).
+    Both extraction paths (fused single regex + per-field fallback) feed
+    this, so the output contract lives in exactly one place."""
     item = dict(_EMPTY_ITEM)
-    m = _H3.search(inner)
-    item["shop_name"] = m.group(1) if m else None
-    m = _PLACE.search(inner)
-    place = m.group(1) if m else None
+    item["shop_name"] = name
     item["zip_code"], item["address"] = split_zip_address(place)
-    m = _TEL_P.search(inner)
-    item["tel"] = normalize_tel(m.group(1)) if m else None
-    m = _GENRE_P.search(inner)
-    item["genre_name"] = join_genres(m.group(1)) if m else None
-    m = _MAP_A.search(inner)
-    map_href = m.group(1) if m else None
+    item["tel"] = normalize_tel(tel) if tel else None
+    item["genre_name"] = join_genres(genre) if genre else None
     item["provided_lat"], item["provided_lng"] = extract_latlng(map_href)
-    m = _HP_A.search(inner)
-    item["official_page"] = m.group(1) if m else None
-    m = _HOURS.search(inner)
-    item["opening_hours"] = m.group(1) if m else None
-    m = _CLOSED.search(inner)
-    item["closing_day"] = m.group(1) if m else None
+    item["official_page"] = hp
+    item["opening_hours"] = hours
+    item["closing_day"] = closed
     item["area_name"] = area
     spans: list[tuple[str, str, str]] = [
         ("text", normalize_text(item["shop_name"]) or "", ""),
@@ -117,6 +109,16 @@ def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tup
     if item["official_page"]:
         spans.append(("link", "HP", item["official_page"]))
     return item, spans
+
+
+def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tuple[str, str, str]]]:
+    """Per-field shop-card extractor (general fallback path)."""
+
+    def g(pat):
+        m = pat.search(inner)
+        return m.group(1) if m else None
+
+    return _build_shop(g(_H3), g(_PLACE), g(_TEL_P), g(_GENRE_P), g(_MAP_A), g(_HP_A), g(_HOURS), g(_CLOSED), area)
 
 
 # fused single-pass shop-card pattern (fields in corpus render order;
@@ -141,26 +143,12 @@ def _shop_div_page(html: str, area: str | None = None) -> ParseResult:
     n_divs = html.count('<div class="shop">')
     if len(fused) == n_divs:
         for m in fused:
-            item = dict(_EMPTY_ITEM)
-            item["shop_name"] = m.group("name")
-            item["zip_code"], item["address"] = split_zip_address(m.group("place"))
-            item["tel"] = normalize_tel(m.group("tel"))
-            g = m.group("genre")
-            item["genre_name"] = join_genres(g) if g else None
-            map_href = m.group("map")
-            item["provided_lat"], item["provided_lng"] = extract_latlng(map_href)
-            item["official_page"] = m.group("hp")
-            item["opening_hours"] = m.group("hours")
-            item["closing_day"] = m.group("closed")
-            item["area_name"] = area
+            item, spans = _build_shop(
+                m.group("name"), m.group("place"), m.group("tel"), m.group("genre"),
+                m.group("map"), m.group("hp"), m.group("hours"), m.group("closed"), area,
+            )
             res.items.append(item)
-            res.spans.append(("text", normalize_text(item["shop_name"]) or "", ""))
-            res.spans.append(("text", normalize_text(item["address"]) or "", ""))
-            res.spans.append(("text", (item["tel"] or "").strip(), ""))
-            if map_href:
-                res.spans.append(("link", "地図", map_href))
-            if item["official_page"]:
-                res.spans.append(("link", "HP", item["official_page"]))
+            res.spans.extend(spans)
         return res
     # general fallback: per-field extraction div by div
     for m in _SHOP_DIV.finditer(html):
