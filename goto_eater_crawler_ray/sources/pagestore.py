@@ -75,6 +75,7 @@ class Shop:
     genre_delim: str = "、"
     latlng_variant: int = 0  # 0: /@lat,lng, 1: ?q=, 2: markers=
     name_break: bool = False  # inject <br> into shop_name in HTML
+    photo: str | None = None  # inline <img> -> interleaved image span
 
 
 def make_shop(host: str, page: int, row: int, area: str | None = None) -> Shop:
@@ -108,6 +109,7 @@ def make_shop(host: str, page: int, row: int, area: str | None = None) -> Shop:
         genre_delim=["、", "｜", ","][h // 71 % 3],
         latlng_variant=h // 73 % 3,
         name_break=h // 79 % 5 == 0,
+        photo=f"http://img.example.com/shop{h % 100000}.jpg" if h // 83 % 3 == 0 else None,
     )
 
 
@@ -150,7 +152,10 @@ def _render_map_href(s: Shop) -> str | None:
 
 
 def render_shop_div(s: Shop) -> str:
-    parts = [f'<div class="shop">', f"<h3>{_render_name(s)}</h3>", f'<p class="place">{_render_place(s)}</p>', f'<p class="tel">{_render_tel(s)}</p>']
+    parts = [f'<div class="shop">', f"<h3>{_render_name(s)}</h3>"]
+    if s.photo:
+        parts.append(f'<img class="photo" src="{s.photo}">')
+    parts.extend([f'<p class="place">{_render_place(s)}</p>', f'<p class="tel">{_render_tel(s)}</p>'])
     g = _render_genres(s)
     if g:
         parts.append(f'<p class="genre">{g}</p>')
@@ -188,8 +193,12 @@ def expected_item(s: Shop, prefecture: str, source_url: str, row_in_page: int, d
 
 
 def expected_shop_spans(s: Shop) -> list[tuple[str, str, str]]:
-    """Golden (kind, text, media_ref) sub-sequence for one shop div."""
-    spans = [("text", s.shop_name, ""), ("text", s.address, ""), ("text", s.tel, "")]
+    """Golden (kind, text, media_ref) sub-sequence for one shop div —
+    interleaved text+media per the input_hint."""
+    spans = [("text", s.shop_name, "")]
+    if s.photo:
+        spans.append(("image", "", s.photo))
+    spans.extend([("text", s.address, ""), ("text", s.tel, "")])
     m = _render_map_href(s)
     if m:
         spans.append(("link", "地図", m))

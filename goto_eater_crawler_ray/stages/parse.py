@@ -53,6 +53,7 @@ _IFRAME = re.compile(r'<iframe src="([^"]+)"')
 _AREA_H2 = re.compile(r"<h2>\[ (.*?) \]</h2>")
 _FILE_A = re.compile(r'<a class="file" href="([^"]+)">(.*?)</a>', re.S)
 _TOKEN = re.compile(r'name="_token" value="([^"]+)"')
+_PHOTO_IMG = re.compile(r'<img class="photo" src="([^"]+)">')
 _JS_DATA = re.compile(r"const data = (\[.*?\]);", re.S)
 
 _EMPTY_ITEM = {
@@ -85,7 +86,7 @@ def _link(url: str, callback: str = "parse", method: str = "GET", form: dict | N
     return {"url": url, "callback": callback, "method": method, "form": form or {}, "meta": meta or {}}
 
 
-def _build_shop(name, place, tel, genre, map_href, hp, hours, closed, area):
+def _build_shop(name, place, tel, genre, map_href, hp, hours, closed, area, photo=None):
     """ONE shop-card builder: raw field strings -> (item, span sub-sequence).
     Both extraction paths (fused single regex + per-field fallback) feed
     this, so the output contract lives in exactly one place."""
@@ -99,11 +100,11 @@ def _build_shop(name, place, tel, genre, map_href, hp, hours, closed, area):
     item["opening_hours"] = hours
     item["closing_day"] = closed
     item["area_name"] = area
-    spans: list[tuple[str, str, str]] = [
-        ("text", normalize_text(item["shop_name"]) or "", ""),
-        ("text", normalize_text(item["address"]) or "", ""),
-        ("text", (item["tel"] or "").strip(), ""),
-    ]
+    spans: list[tuple[str, str, str]] = [("text", normalize_text(item["shop_name"]) or "", "")]
+    if photo:
+        spans.append(("image", "", photo))  # interleaved media span (input_hint)
+    spans.append(("text", normalize_text(item["address"]) or "", ""))
+    spans.append(("text", (item["tel"] or "").strip(), ""))
     if map_href:
         spans.append(("link", "地図", map_href))
     if item["official_page"]:
@@ -118,7 +119,7 @@ def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tup
         m = pat.search(inner)
         return m.group(1) if m else None
 
-    return _build_shop(g(_H3), g(_PLACE), g(_TEL_P), g(_GENRE_P), g(_MAP_A), g(_HP_A), g(_HOURS), g(_CLOSED), area)
+    return _build_shop(g(_H3), g(_PLACE), g(_TEL_P), g(_GENRE_P), g(_MAP_A), g(_HP_A), g(_HOURS), g(_CLOSED), area, photo=g(_PHOTO_IMG))
 
 
 # fused single-pass shop-card pattern (fields in corpus render order;
@@ -126,6 +127,7 @@ def _parse_shop_div(inner: str, area: str | None = None) -> tuple[dict, list[tup
 # per-field searches in _parse_shop_div, which remains the general path.
 _SHOP_FUSED = re.compile(
     r'<div class="shop">\s*<h3>(?P<name>.*?)</h3>\s*'
+    r'(?:<img class="photo" src="(?P<photo>[^"]+)">\s*)?'
     r'<p class="place">(?P<place>.*?)</p>\s*'
     r'<p class="tel">(?P<tel>.*?)</p>\s*'
     r'(?:<p class="genre">(?P<genre>.*?)</p>\s*)?'
@@ -146,6 +148,7 @@ def _shop_div_page(html: str, area: str | None = None) -> ParseResult:
             item, spans = _build_shop(
                 m.group("name"), m.group("place"), m.group("tel"), m.group("genre"),
                 m.group("map"), m.group("hp"), m.group("hours"), m.group("closed"), area,
+                photo=m.group("photo"),
             )
             res.items.append(item)
             res.spans.extend(spans)
