@@ -122,6 +122,8 @@ def explode_bands(n_bands: int, rows_per_band: int):
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
+        if not ids:  # empty block: zero band rows, not an IndexError
+            return pa.table({"band_id": pa.array([], pa.int32()), "band_hash": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())})
         sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
         band_ids, band_hashes, doc_ids = [], [], []
         for b in range(n_bands):

@@ -62,7 +62,7 @@ from ..sources.pagestore import PageStore, ScaleSpec
 from ..stages.normalize import normalize_batch
 from ..stages.parse import parse_page
 from ..state.canonical import canonicalize
-from ..state.politeness import PolitenessScheduler
+from ..state.politeness import PolitenessScheduler, robots_allowed
 from ..state.seen import SeenShard, ShardedSeenSet, shard_of
 
 
@@ -106,7 +106,7 @@ def _cached_browser(spec: ScaleSpec):
 
 
 def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
-    from ..stages.fetch import _backoff_s
+    from ..stages.fetch import fetch_simulated
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
         store = _cached_store(spec)
@@ -127,24 +127,9 @@ def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
         for i in range(n):
             form = json.loads(forms[i]) if forms[i] else {}
             meta = json.loads(metas[i]) if metas[i] else {}
-            if meta.get("fetch_kind") == "browser":
-                status[i], ctype[i] = 200, "text/html"
-                body[i] = _cached_browser(spec).render(urls[i])
-                latency[i], attempts[i], fetched_at[i] = 500, 1, scheds[i] + 0.5
-                continue
-            page = store.get(urls[i], methods[i], form)
-            t = scheds[i]
-            att = 1
-            while att <= page.retryable_failures and att <= max_retries:
-                t += _backoff_s(att, urls[i])
-                att += 1
-            ok = att > page.retryable_failures
-            status[i] = page.status if ok else 503
-            ctype[i] = page.content_type
-            body[i] = page.body if ok else b""
-            latency[i] = page.latency_ms
-            attempts[i] = att
-            fetched_at[i] = t + page.latency_ms / 1000.0
+            status[i], ctype[i], body[i], latency[i], attempts[i], fetched_at[i] = fetch_simulated(
+                store, urls[i], methods[i], form, scheds[i], meta, browser_factory=lambda: _cached_browser(spec), max_retries=max_retries
+            )
         return (
             batch.append_column("status", pa.array(status, pa.int32()))
             .append_column("content_type", pa.array(ctype, pa.string()))
@@ -176,7 +161,7 @@ def make_parse_emit(wave: int):
 CHAIN_EPS = 1e-6
 
 
-def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8):
+def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None):
     """Chain-following fetch+parse stage (the scale-critical design move).
 
     Politeness is per-host SERIAL (reference settings.py:34), so a host's
@@ -202,7 +187,7 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
     """
     import heapq
 
-    from ..stages.fetch import _backoff_s
+    from ..stages.fetch import fetch_simulated
     from ..stages.parse import ParseResult
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -237,16 +222,10 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         def fetch_one(url, method, form_json, sched_ts, meta_json=""):
             form = json.loads(form_json) if form_json else {}
             meta = json.loads(meta_json) if meta_json else {}
-            if meta.get("fetch_kind") == "browser":
-                body = _cached_browser(spec).render(url)
-                return 200, 1, body, sched_ts + 0.5, form  # rendered DOM; 0.5s virtual render
-            page = store.get(url, method, form)
-            t, att = sched_ts, 1
-            while att <= page.retryable_failures and att <= max_retries:
-                t += _backoff_s(att, url)
-                att += 1
-            ok = att > page.retryable_failures
-            return (page.status if ok else 503), att, (page.body if ok else b""), t + page.latency_ms / 1000.0, form
+            status, _ctype, body, _lat, att, fetched_at = fetch_simulated(
+                store, url, method, form, sched_ts, meta, browser_factory=lambda: _cached_browser(spec), max_retries=max_retries
+            )
+            return status, att, body, fetched_at, form
 
         def emit(row, status, att, body, res, fetched_at, followed_mask):
             form = json.loads(row["form_json"]) if row["form_json"] else {}
@@ -293,6 +272,8 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
             if status != 200:
                 return ParseResult()
             meta = json.loads(row["meta_json"]) if row["meta_json"] else {}
+            if registry is not None:
+                return registry.parse(row["prefecture"], row["callback"], row["url"], body, meta, row["depth"])
             return parse_page(row["prefecture"], row["callback"], row["url"], body, meta, row["depth"])
 
         chain_rows = [r for r in rows if r.get("chain")]
@@ -324,11 +305,16 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
                 lease = leases[host]
                 clock, seq, delay = lease["next_free_ts"], lease["visit_count"], lease["crawl_delay"]
                 disallow = lease["disallow"]
-                local_seen: set[bytes] = set()  # same-host links are discoverable ONLY from
-                # this host's own pages, and this task owns the host exclusively this wave
-                # -> admission is task-local; keys are bulk-committed to the seen shards at
-                # task end (global record for cross-wave admission + resume; re-commit of a
-                # present key is a no-op, so idempotent wave re-runs stay safe)
+                # Same-host links are discoverable ONLY from this host's own
+                # pages and this task owns the host exclusively this wave, so
+                # admission is task-local for a FRESH host (visit_count==1:
+                # nothing but this seed was ever scheduled) — keys are
+                # bulk-recorded in the seen shards at task end. A host WITH
+                # fetch history (later-wave continuation) must consult the
+                # global shards per page, or a back-link to an earlier-wave
+                # URL would be silently re-fetched.
+                local_seen: set[bytes] = {r["url_key"]}
+                host_has_history = lease["visit_count"] > 1
                 tie = 0
                 # the seed row was scheduled at admission; fetch it as-is
                 heap = [(-1, -1.0, r["discovered_at"], tie, r, True)]
@@ -352,16 +338,28 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
                             key = request_key(lk["method"], canon, lk["form"])
                             cand.append((i, lk, canon, key))
                     if cand:
+                        if host_has_history:
+                            fresh = [c for c in cand if c[3] not in local_seen]
+                            if fresh:
+                                novel_mask = seen.admit(np.frombuffer(b"".join(k for *_, k in fresh), dtype=np.uint8).reshape(-1, 20))
+                                globally_new = {c[3] for c, nv in zip(fresh, novel_mask) if nv}
+                            else:
+                                globally_new = set()
                         for i, lk, canon, key in cand:
-                            is_new = key not in local_seen
-                            if is_new:
-                                local_seen.add(key)
-                                admitted_keys.append(key)
+                            if host_has_history:
+                                is_new = key in globally_new and key not in local_seen
+                                if is_new:
+                                    local_seen.add(key)  # already recorded globally
+                            else:
+                                is_new = key not in local_seen
+                                if is_new:
+                                    local_seen.add(key)
+                                    admitted_keys.append(key)
                             if not is_new:
                                 followed[i] = True  # someone (us) already has it
                                 continue
                             path = urlsplit(canon).path or "/"
-                            if not robots_allowed_local(path, disallow):
+                            if not robots_allowed(path, disallow):
                                 followed[i] = True  # admitted but robots-gated: never fetched
                                 continue
                             followed[i] = True
@@ -424,10 +422,6 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         return tbl.append_column("wave", pa.array([wave] * len(tbl), pa.int32()))
 
     return fn
-
-
-def robots_allowed_local(path: str, disallow: list[str]) -> bool:
-    return not any(path.startswith(p) for p in disallow)
 
 
 def parse_emit_batch(batch: pa.Table) -> pa.Table:
@@ -736,6 +730,7 @@ class CrawlEngine:
         checkpoint_interval: int = 1,
         driver_admit_max_pages: int = 20_000,
         chain_mode: bool = True,
+        registry=None,
     ):
         self.spec = spec
         self.out_dir = out_dir
@@ -748,6 +743,7 @@ class CrawlEngine:
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.driver_admit_max_pages = driver_admit_max_pages
         self.chain_mode = chain_mode
+        self.registry = registry  # ParserSpec registry (None -> module PARSERS)
         self.debug_timing = os.environ.get("CRAWL_DEBUG_TIMING", "") == "1"
         self.store = PageStore(spec)
         self.mega_hosts = frozenset(r["host"] for r in self.store.politeness_rows() if r.get("is_mega_host"))
@@ -903,7 +899,7 @@ class CrawlEngine:
         import time as _time
 
         t0 = _time.time()
-        chain_fn = make_chain_fetch_fn(self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave)
+        chain_fn = make_chain_fetch_fn(self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave, registry=self.registry)
         parsed_dir = os.path.join(self.out_dir, "parsed", f"wave={wave}")
         shutil.rmtree(parsed_dir, ignore_errors=True)  # idempotent re-run of a killed wave
         frontier_ds = rd.read_parquet(frontier_path, override_num_blocks=self._n_blocks(n_frontier))
@@ -1057,6 +1053,12 @@ class CrawlEngine:
     # --- public API ------------------------------------------------------
     def run(self, resume: bool = False) -> dict:
         os.makedirs(self.out_dir, exist_ok=True)
+        if not resume:
+            # fresh run into a reused out_dir: stale waves from a previous,
+            # deeper run would otherwise survive _run_wave's per-wave rmtree
+            # and contaminate finalize()'s whole-tree aggregation
+            for d in ("parsed", "frontier", "checkpoint", "items", "documents", "lineage", "metrics"):
+                shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
         start_wave = 0
         seen_blobs = sched_blobs = None
         if resume:

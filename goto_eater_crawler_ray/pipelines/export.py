@@ -69,7 +69,9 @@ def _write_partitioned(ds, out_dir: str, file_format: str) -> None:
         pref = df["prefecture"].iloc[0]
         path = os.path.join(out_dir, f"prefecture={pref}")
         os.makedirs(path, exist_ok=True)
-        body = df[CSV_COLUMN_ORDER]
+        # Ray's groupby range-partitions by the key only; within-group order
+        # is NOT preserved from the upstream sort — sort here (csvsort parity)
+        body = df.sort_values(["shop_name", "address", "genre_name"])[CSV_COLUMN_ORDER]
         if file_format == "csv":
             body.to_csv(os.path.join(path, "part-0.csv"), index=False)
         else:

@@ -5,9 +5,12 @@ allowed_domains / start_urls, implement parse()" (reference:
 goto_eat_scrapy/spiders/abstract.py:8-37; family bases like
 abstract_liny.py:36-66 parametrize by base_url + mesh geojson only).
 
-Here, adding a site = registering one ``ParserSpec``; everything else —
-frontier, seen set, politeness, scheduling, normalize, writers, resume —
-is shared engine. The 49 reference crawlers collapse to ~7 parser
+Here, adding a site = registering one ``ParserSpec`` and passing the
+registry to ``CrawlEngine(..., registry=reg)`` — the engine's parse
+dispatch then goes through ``registry.parse`` (politeness budgets remain
+the authority of the per-host politeness table). Everything else —
+frontier, seen set, scheduling, normalize, writers, resume — is shared
+engine. The 49 reference crawlers collapse to ~7 parser
 *families* × per-site extractor configuration (SURVEY.md §7.0), which is
 exactly how the built-in specs below are organized.
 """

@@ -32,9 +32,35 @@ from ..sources.pagestore import PageStore, ScaleSpec
 RETRY_TIMES = 8  # reference settings.py:119
 
 
+def fetch_simulated(store: PageStore, url: str, method: str, form: dict, sched_ts: float, meta: dict, browser_factory=None, max_retries: int = RETRY_TIMES):
+    """THE single simulated-fetch implementation: retry/backoff on the
+    virtual clock, browser-kind dispatch, terminal failures as 503 rows.
+    All three fetch surfaces (FetchWorker actor, stateless fetch_batch,
+    chain-follower fetch_one) and the reference simulator call this —
+    retry semantics live in exactly one place.
+
+    -> (status, content_type, body, latency_ms, attempts, fetched_at)"""
+    if meta.get("fetch_kind") == "browser" and browser_factory is not None:
+        body = browser_factory().render(url)
+        return 200, "text/html", body, 500, 1, sched_ts + 0.5
+    page = store.get(url, method, form)
+    t, att = sched_ts, 1
+    while att <= page.retryable_failures and att <= max_retries:
+        t += _backoff_s(att, url)
+        att += 1
+    ok = att > page.retryable_failures
+    return (page.status if ok else 503), page.content_type, (page.body if ok else b""), page.latency_ms, att, t + page.latency_ms / 1000.0
+
+
 def _backoff_s(attempt: int, url: str) -> float:
-    # deterministic stand-in for `2**n + random()` (middlewares.py:123-127)
-    frac = (hash((url, attempt)) & 0xFFFF) / 0xFFFF
+    """Deterministic stand-in for `2**n + random()` (middlewares.py:123-127).
+    crc32, NOT builtins.hash: str hash is randomized per process
+    (PYTHONHASHSEED), which would make fetched_at — and everything
+    downstream of it (discovery times, dedup tie-breaks, visit order) —
+    differ between worker processes."""
+    import zlib
+
+    frac = (zlib.crc32(f"{url}|{attempt}".encode()) & 0xFFFF) / 0xFFFF
     return (2**attempt) + frac
 
 
@@ -56,37 +82,21 @@ class FetchWorker:
         scheds = batch.column("sched_ts").to_pylist()
         metas = batch.column("meta_json").to_pylist() if "meta_json" in batch.column_names else [""] * len(urls)
         n = len(urls)
-        status = [0] * n
-        ctype = [""] * n
-        body: list[bytes] = [b""] * n
-        latency = [0] * n
-        attempts = [0] * n
-        fetched_at = [0.0] * n
+        status, ctype, body, latency, attempts, fetched_at = [0] * n, [""] * n, [b""] * n, [0] * n, [0] * n, [0.0] * n
+
+        def browser():
+            if self._browser is None:
+                self._browser = SimBrowser(self.store.spec)
+            return self._browser
+
         for i in range(n):
             form = json.loads(forms[i]) if forms[i] else {}
             meta = json.loads(metas[i]) if metas[i] else {}
-            if meta.get("fetch_kind") == "browser":
-                if self._browser is None:
-                    self._browser = SimBrowser(self.store.spec)
-                status[i], ctype[i] = 200, "text/html"
-                body[i] = self._browser.render(urls[i])
-                latency[i], attempts[i], fetched_at[i] = 500, 1, scheds[i] + 0.5
-                continue
-            page = self.store.get(urls[i], methods[i], form)
-            t = scheds[i]
-            att = 1
-            while att <= page.retryable_failures and att <= self.max_retries:
-                t += _backoff_s(att, urls[i])  # virtual backoff
-                att += 1
-            ok = att > page.retryable_failures
-            status[i] = page.status if ok else 503
-            ctype[i] = page.content_type
-            body[i] = page.body if ok else b""
-            latency[i] = page.latency_ms
-            attempts[i] = att
-            fetched_at[i] = t + page.latency_ms / 1000.0
+            status[i], ctype[i], body[i], latency[i], attempts[i], fetched_at[i] = fetch_simulated(
+                self.store, urls[i], methods[i], form, scheds[i], meta, browser_factory=browser, max_retries=self.max_retries
+            )
             if self.time_scale > 0:
-                time.sleep(page.latency_ms * self.time_scale / 1000.0)
+                time.sleep(latency[i] * self.time_scale / 1000.0)
         return batch.append_column("status", pa.array(status, pa.int32())) \
             .append_column("content_type", pa.array(ctype, pa.string())) \
             .append_column("body", pa.array(body, pa.binary())) \

@@ -111,9 +111,16 @@ class SeenShard:
 
 
 def shard_of(keys: np.ndarray, n_shards: int) -> np.ndarray:
-    """Shard router: first 8 bytes of the digest mod n_shards (SURVEY §7.3)."""
+    """Shard router: digest bytes 12..20 mod n_shards (SURVEY §7.3).
+
+    MUST be independent of the filter-internal bits: bloom block and cuckoo
+    primary bucket derive from bytes 0..8 and the cuckoo fingerprint from
+    bytes 8..10 — routing on the same word would mean shard s only ever
+    sees keys with (w0 % n_shards == s), collapsing each shard's usable
+    bucket space to 1/n_shards of its table and overflowing the cuckoo
+    filter far below design capacity (observed failure mode)."""
     arr = _as_key_array(keys)
-    w = arr[:, :8].copy().view(np.uint64).ravel()
+    w = arr[:, 12:20].copy().view(np.uint64).ravel()
     return (w % np.uint64(n_shards)).astype(np.int64)
 
 

@@ -260,3 +260,53 @@ def test_stateless_fetch_parse_stages(ray_session):
     assert parsed.column("wave").to_pylist() == [7, 7]
     assert all(n > 0 for n in [len(x) for x in parsed.column("items").to_pylist()])
     assert parsed.column("status").to_pylist() == [200, 200] or 503 in parsed.column("status").to_pylist()
+
+
+def test_chain_host_with_history_consults_global_seen(ray_session):
+    """Regression: a chain host WITH fetch history (lease.visit_count>1)
+    must check discovered links against the GLOBAL seen set — a link to an
+    already-fetched URL (back-link / earlier-wave page) must not re-fetch."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from goto_eater_crawler_ray.pipelines.crawl import make_chain_fetch_fn, request_key
+    from goto_eater_crawler_ray.schemas import FRONTIER_SCHEMA
+    from goto_eater_crawler_ray.state.politeness import PolitenessScheduler
+    from goto_eater_crawler_ray.state.seen import SeenShard
+
+    spec = ScaleSpec.golden()
+    seen = [SeenShard(10_000) for _ in range(2)]
+    sched = [PolitenessScheduler()]
+    host = "paginated0.example.jp"
+    # history: pages 1..4 already fetched in an earlier wave
+    from goto_eater_crawler_ray.state.seen import ShardedSeenSet
+
+    import numpy as np
+
+    prior_keys = [request_key("GET", f"http://{host}/list?page={p}", {}) for p in (1, 2, 3, 4)]
+    ShardedSeenSet(seen).admit(np.frombuffer(b"".join(prior_keys), dtype=np.uint8).reshape(-1, 20))
+    sched[0].commit_hosts({host: {"visit_count": 4, "next_free_ts": 12.0}})
+
+    row = {
+        "prefecture": "paginated0",
+        "url": f"http://{host}/list?page=3",
+        "url_key": prior_keys[2],
+        "host": host,
+        "part": 0,
+        "depth": 2,
+        "discovered_at": 0.0,
+        "visit_seq": 2,
+        "sched_ts": 6.0,
+        "method": "GET",
+        "form_json": "",
+        "meta_json": "",
+        "callback": "parse",
+        "parent_key": prior_keys[1],
+        "chain": 1,
+    }
+    batch = pa.Table.from_pylist([row], schema=FRONTIER_SCHEMA)
+    fn = make_chain_fetch_fn(spec, seen, sched, 1, wave=5)
+    out = fn(batch)
+    # page 3 discovers page 4 — already globally seen -> chain must stop at page 3
+    assert out.column("url").to_pylist() == [f"http://{host}/list?page=3"]

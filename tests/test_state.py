@@ -286,3 +286,30 @@ class TestLeaseCommit:
         lease = restored.lease_hosts(["x.jp"])
         assert lease["x.jp"]["visit_count"] == 3
         assert lease["x.jp"]["next_free_ts"] == 9.0
+
+
+class TestShardRoutingIndependence:
+    def test_sharded_capacity_not_collapsed(self):
+        """Regression: shard routing must be independent of the bloom/cuckoo
+        internal bits — correlated routing collapses per-shard bucket space
+        to 1/n_shards and overflows far below design capacity."""
+        shards = [SeenShard(100_000) for _ in range(4)]
+        sset = ShardedSeenSet(shards)
+        keys = _keys(400_000, seed=99)  # exactly design load across 4 shards
+        novel = sset.admit(keys)  # would raise 'cuckoo filter full' if correlated
+        assert novel.sum() == len(np.unique(keys.view([("", np.uint8)] * 20)))
+
+
+class TestBackoffDeterminism:
+    def test_backoff_stable_across_hash_seeds(self):
+        import subprocess
+        import sys
+
+        code = "from goto_eater_crawler_ray.stages.fetch import _backoff_s; print(_backoff_s(3, 'http://x.jp/a'))"
+        outs = {
+            subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True, env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin", "HOME": "/root"}, cwd="/root/repo"
+            ).stdout.strip()
+            for seed in ("0", "12345")
+        }
+        assert len(outs) == 1, f"backoff differs across hash seeds: {outs}"

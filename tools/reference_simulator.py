@@ -19,7 +19,7 @@ import json
 from urllib.parse import urlencode, urlsplit
 
 from goto_eater_crawler_ray.sources.pagestore import PageStore
-from goto_eater_crawler_ray.stages.fetch import SimBrowser, _backoff_s
+from goto_eater_crawler_ray.stages.fetch import SimBrowser, fetch_simulated
 from goto_eater_crawler_ray.stages.parse import parse_page
 from goto_eater_crawler_ray.state.canonical import canonicalize
 from goto_eater_crawler_ray.state.politeness import parse_robots, robots_allowed
@@ -70,16 +70,9 @@ def simulate(store: PageStore, max_retries: int = 8) -> dict[bytes, dict]:
         counters[host] = seq + 1
         clocks[host] = ts + delay
         # fetch (browser rows render; retryable failures back off virtually)
-        if meta.get("fetch_kind") == "browser":
-            body, fetched_at = browser.render(url), ts + 0.5
-        else:
-            page = store.get(url, method, form)
-            t, att = ts, 1
-            while att <= page.retryable_failures and att <= max_retries:
-                t += _backoff_s(att, url)
-                att += 1
-            body = page.body if att > page.retryable_failures else b""
-            fetched_at = t + page.latency_ms / 1000.0
+        _status, _ct, body, _lat, _att, fetched_at = fetch_simulated(
+            store, url, method, form, ts, meta, browser_factory=lambda: browser, max_retries=max_retries
+        )
         out[key] = {"url": url, "host": host, "depth": depth, "visit_seq": seq}
         res = parse_page(prefecture, callback, url, body, meta, depth)
         for i, lk in enumerate(res.links):
