@@ -575,8 +575,13 @@ def explode_links(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def make_admit_fn(seen_shards: list, n_sched_shards: int):
-    """Canonicalize + fingerprint + seen-set admission (per batch).
+def make_admit_fn(seen_shards: list, n_sched_shards: int, allowed_hosts: frozenset[str] | None = None):
+    """Canonicalize + fingerprint + domain-scope gate + seen-set admission.
+
+    ``allowed_hosts`` reproduces the reference's ``allowed_domains``
+    per-spider scope filter (SURVEY.md §2.2: every spider declares one) as
+    a frontier-admission predicate: off-scope links are dropped BEFORE the
+    seen set, so they can still be admitted later by an in-scope discovery.
 
     Input: exploded link rows (post within-wave dedup). Output: admitted
     rows + host/sched_shard columns, NOT yet scheduled."""
@@ -594,8 +599,11 @@ def make_admit_fn(seen_shards: list, n_sched_shards: int):
             canon.append(c)
             keys.append(request_key(m, c, json.loads(f) if f else {}))
             hosts.append(urlsplit(c).netloc)
+        in_scope = np.ones(len(canon), dtype=bool) if allowed_hosts is None else np.array([h in allowed_hosts for h in hosts])
         key_arr = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 20)
-        novel = ShardedSeenSet(seen_shards).admit(key_arr)
+        novel = np.zeros(len(canon), dtype=bool)
+        if in_scope.any():
+            novel[in_scope] = ShardedSeenSet(seen_shards).admit(key_arr[in_scope])
         mask = pa.array(novel)
         kept = batch.filter(mask)
         idx = np.flatnonzero(novel)
@@ -747,6 +755,9 @@ class CrawlEngine:
         self.debug_timing = os.environ.get("CRAWL_DEBUG_TIMING", "") == "1"
         self.store = PageStore(spec)
         self.mega_hosts = frozenset(r["host"] for r in self.store.politeness_rows() if r.get("is_mega_host"))
+        # allowed_domains scope (reference: every spider declares one):
+        # admission drops links to hosts outside the configured budget table
+        self.allowed_hosts = frozenset(r["host"] for r in self.store.politeness_rows())
         self.seen_shards: list = []
         self.sched_actors: list = []
         self.totals = {"pages": 0, "items": 0, "waves": 0, "fetch_parse_sec": 0.0}
@@ -820,7 +831,7 @@ class CrawlEngine:
 
         import ray.data as rd
 
-        admit_fn = make_admit_fn(self.seen_shards, self.n_sched_shards)
+        admit_fn = make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts)
         admitted_parts = (
             rd.from_arrow(batch)
             .repartition(self._n_blocks(len(batch)))
@@ -867,7 +878,7 @@ class CrawlEngine:
         df = links.to_pandas()
         df["dedup_key"] = _dedup_key(links).to_pylist()
         df = df.sort_values(["dedup_key", "discovered_at", "parent_key", "url"]).drop_duplicates("dedup_key", keep="first").drop(columns=["dedup_key"])
-        admitted = make_admit_fn(self.seen_shards, self.n_sched_shards)(pa.Table.from_pandas(df, preserve_index=False))
+        admitted = make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts)(pa.Table.from_pandas(df, preserve_index=False))
         frontier = self._schedule_driver(admitted)
         if len(frontier) == 0:
             return 0
@@ -935,7 +946,7 @@ class CrawlEngine:
             .groupby("dedup_key")
             .map_groups(dedup_group, batch_format="pandas")
         )
-        admitted = deduped.map_batches(make_admit_fn(self.seen_shards, self.n_sched_shards), batch_format="pyarrow")
+        admitted = deduped.map_batches(make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts), batch_format="pyarrow")
         scheduled = admitted.groupby("sched_shard").map_groups(
             make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts), batch_format="pandas"
         )

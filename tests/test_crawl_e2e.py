@@ -310,3 +310,25 @@ def test_chain_host_with_history_consults_global_seen(ray_session):
     out = fn(batch)
     # page 3 discovers page 4 — already globally seen -> chain must stop at page 3
     assert out.column("url").to_pylist() == [f"http://{host}/list?page=3"]
+
+
+def test_allowed_domains_scope_filter(ray_session):
+    """Reference allowed_domains semantics (SURVEY §2.2): off-scope links
+    are dropped at admission WITHOUT entering the seen set."""
+    import pyarrow as pa
+
+    from goto_eater_crawler_ray.pipelines.crawl import make_admit_fn
+    from goto_eater_crawler_ray.state.seen import SeenShard
+
+    shards = [SeenShard(1000)]
+    fn = make_admit_fn(shards, 1, frozenset({"in.example.jp"}))
+    batch = pa.Table.from_pylist(
+        [
+            {"url": "http://in.example.jp/a", "callback": "parse", "method": "GET", "form_json": "", "meta_json": "", "parent_url": "", "parent_key": b"\x00" * 20, "prefecture": "x", "depth": 1, "discovered_at": 0.0},
+            {"url": "http://out.example.org/b", "callback": "parse", "method": "GET", "form_json": "", "meta_json": "", "parent_url": "", "parent_key": b"\x00" * 20, "prefecture": "x", "depth": 1, "discovered_at": 0.0},
+        ]
+    )
+    out = fn(batch)
+    assert out.column("host").to_pylist() == ["in.example.jp"]
+    # the off-scope key never entered the seen set
+    assert shards[0].size() == 1
