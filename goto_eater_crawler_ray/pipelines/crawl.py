@@ -59,6 +59,7 @@ from ..schemas import (
     SPAN_STRUCT,
 )
 from ..sources.pagestore import PageStore, ScaleSpec
+from ..functions.overrides import apply_overrides
 from ..stages.normalize import normalize_batch
 from ..stages.parse import parse_page
 from ..state.canonical import canonicalize
@@ -492,7 +493,9 @@ def explode_items(batch: pa.Table) -> pa.Table:
             "visit_seq": pc.take(batch.column("visit_seq"), parents),
         }
     )
-    return normalize_batch(tbl)
+    # special-case rule table BEFORE normalize (reference fixes happen in
+    # parse, ahead of the pipeline normalize — SURVEY §2.3)
+    return normalize_batch(apply_overrides(tbl))
 
 
 def explode_documents(batch: pa.Table) -> pa.Table:

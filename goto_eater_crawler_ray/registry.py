@@ -84,6 +84,7 @@ def builtin_registry() -> ParserRegistry:
         ("jsonapi", {"parse": P.parse_jsonapi}, 3.0, False),
         ("jsmap", {"parse": P.parse_jsmap}, 3.0, False),
         ("browser", {"parse": P.parse_browser}, 2.0, False),
+        ("tagclass", {"parse": P.parse_tagclass}, 3.0, False),
         ("jsonhtml", {"parse": P.parse_jsonhtml}, 3.0, False),
         (
             "filetab",

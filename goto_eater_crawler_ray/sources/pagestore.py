@@ -299,6 +299,7 @@ class PageStore:
         seed("jsonapi", "http://jsonapi.example.jp/api/list")
         seed("jsmap", "http://jsmap.example.jp/shops")
         seed("browser", "http://browser.example.jp/app", meta={"fetch_kind": "browser"})
+        seed("tagclass", "http://tagclass.example.jp/list")
         seed("jsonhtml", "http://jsonhtml.example.jp/api/page/1")
         seed("filetab", "http://files.example.jp/index.html")
         seed("scripted", "http://scripted.example.jp/search")
@@ -324,6 +325,7 @@ class PageStore:
         d["jsonapi.example.jp"] = 3.0
         d["jsmap.example.jp"] = 3.0
         d["browser.example.jp"] = 2.0
+        d["tagclass.example.jp"] = 3.0
         d["jsonhtml.example.jp"] = 3.0
         d["files.example.jp"] = 3.0
         d["scripted.example.jp"] = 2.0
@@ -451,12 +453,20 @@ class PageStore:
         return Page(url, 200, "application/json", json.dumps({"data": data}, ensure_ascii=False).encode(), [])
 
     def _page_jsonapi(self, url, host, path, query, form) -> Page:
-        # positional-array JSON (reference: kochi.py:22-39)
+        # positional-array JSON (reference: kochi.py:22-39) with the
+        # special-case quirk tail planted (functions/overrides.py rules):
+        # row 0 broken display name (kochi.py:41-46 shape), row 1 missing
+        # name (osaka.py:52-56 shape)
         sp = self.spec
         rows = []
         for r in range(sp.shops_per_page * 2):
             s = make_shop(host, 1, r)
-            rows.append([s.shop_name, s.address, s.tel, _render_genres(s), s.opening_hours, s.closing_day])
+            name = s.shop_name
+            if r == 0:
+                name = "<きてみいや>"
+            elif r == 1:
+                name = ""
+            rows.append([name, s.address, s.tel, _render_genres(s), s.opening_hours, s.closing_day])
         return Page(url, 200, "application/json", json.dumps({"shops": rows}, ensure_ascii=False).encode(), [])
 
     def _page_jsonhtml(self, url, host, path, query, form) -> Page:
@@ -547,6 +557,30 @@ class PageStore:
             links.append(f"http://{host}{nxt}")
         body += "\n</body></html>"
         return Page(url, 200, "text/html", body.encode(), links)
+
+    def _page_tagclass(self, url, host, path, query, form) -> Page:
+        # niigata-style single tag per shop that is EITHER an area name or a
+        # genre — the parser classifies by membership against the area list
+        # (reference: niigata.py:19-57,78-89 tag classification)
+        sp = self.spec
+        from ..stages.parse import TAGCLASS_AREA_LIST
+
+        divs = []
+        for r in range(sp.shops_per_page * 2):
+            s = make_shop(host, 7, r)
+            h = _h64(host, "tag", r)
+            if h % 2 == 0:
+                tag = sorted(TAGCLASS_AREA_LIST)[h // 3 % len(TAGCLASS_AREA_LIST)]
+            else:
+                tag = _GENRES[h // 3 % len(_GENRES)]
+            divs.append(
+                f'<div class="shop"><h3>{_render_name(s)}</h3>'
+                f'<p class="place">{_render_place(s)}</p>'
+                f'<p class="tel">{_render_tel(s)}</p>'
+                f'<p class="tag">{tag}</p></div>'
+            )
+        body = "<html><body>\n" + "\n".join(divs) + "\n</body></html>"
+        return Page(url, 200, "text/html", body.encode(), [])
 
     def _page_browser(self, url, host, path, query, form) -> Page:
         # headless-browser target (reference: oita.py:19-46 — playwright
@@ -661,16 +695,46 @@ class PageStore:
                 spans.append(("text", s.shop_name, ""))
                 spans.append(("text", s.address, ""))
         elif fam == "jsonapi":
+            # post-override golden values (functions/overrides.py BUILTIN_RULES)
             for r in range(sp.shops_per_page * 2):
                 s = make_shop(host, 1, r)
+                raw_name = "<きてみいや>" if r == 0 else ("" if r == 1 else s.shop_name)
+                fixed_name = "　きてみいや".strip() if r == 0 else ("珉珉上新庄駅前店" if r == 1 else s.shop_name)
+                it = dict.fromkeys(expected_item(s, prefecture, url, r))
+                it.update(
+                    shop_name=fixed_name,
+                    address=f"鹿児島市{s.address}",
+                    tel=s.tel,
+                    genre_name=s.genre_name if s.genre_name else "その他",
+                    opening_hours=s.opening_hours,
+                    closing_day=s.closing_day,
+                    prefecture=prefecture,
+                    source_url=url,
+                    row_in_page=r,
+                )
+                items.append(it)
+                spans.append(("text", raw_name.strip(), ""))
+                spans.append(("text", s.address, ""))
+        elif fam == "tagclass":
+            from ..stages.parse import TAGCLASS_AREA_LIST
+
+            for r in range(sp.shops_per_page * 2):
+                s = make_shop(host, 7, r)
+                h = _h64(host, "tag", r)
+                if h % 2 == 0:
+                    tag = sorted(TAGCLASS_AREA_LIST)[h // 3 % len(TAGCLASS_AREA_LIST)]
+                    area, genre = tag, None
+                else:
+                    tag = _GENRES[h // 3 % len(_GENRES)]
+                    area, genre = None, tag
                 it = dict.fromkeys(expected_item(s, prefecture, url, r))
                 it.update(
                     shop_name=s.shop_name,
                     address=s.address,
+                    zip_code=s.zip_code,
                     tel=s.tel,
-                    genre_name=s.genre_name,
-                    opening_hours=s.opening_hours,
-                    closing_day=s.closing_day,
+                    area_name=area,
+                    genre_name=genre,
                     prefecture=prefecture,
                     source_url=url,
                     row_in_page=r,

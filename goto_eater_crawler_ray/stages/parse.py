@@ -404,6 +404,36 @@ def parse_scripted(url: str, body: bytes, meta: dict, depth: int) -> ParseResult
     return res
 
 
+# niigata-style area list: tags in this set classify as area_name, all
+# others as genre_name (reference: niigata.py:19-57 — a per-prefecture
+# class-attribute list; broadcast small constant per SURVEY §2.3)
+TAGCLASS_AREA_LIST = frozenset({"新潟市", "長岡市", "上越市", "佐渡市", "村上市", "燕市"})
+_TAG_P = re.compile(r'<p class="tag">(.*?)</p>', re.S)
+
+
+def parse_tagclass(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
+    """Tag classification family (reference: niigata.py:78-89 — single tag
+    is EITHER an area or a genre, decided by membership in the area list;
+    osaka.py:59-68 and yamagata.py:102-111 share the shape)."""
+    from ..functions.extract import classify_tag
+
+    html = body.decode("utf-8", "replace")
+    res = ParseResult()
+    for dm in _SHOP_DIV.finditer(html):
+        inner = dm.group(1)
+
+        def g(pat):
+            m = pat.search(inner)
+            return m.group(1) if m else None
+
+        item, spans = _build_shop(g(_H3), g(_PLACE), g(_TEL_P), None, None, None, None, None, None)
+        item["area_name"], item["genre_name"] = classify_tag(g(_TAG_P), TAGCLASS_AREA_LIST)
+        res.items.append(item)
+        res.spans.append(("text", normalize_text(item["shop_name"]) or "", ""))
+        res.spans.append(("text", normalize_text(item["address"]) or "", ""))
+    return res
+
+
 def parse_browser(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
     """Rendered infinite-scroll DOM -> shop items (reference: oita.py:49-72
     lxml over the playwright-dumped HTML); no links (single-page app)."""
@@ -456,6 +486,7 @@ PARSERS: dict[tuple[str, str], callable] = {
     ("jsonapi", "parse"): parse_jsonapi,
     ("jsmap", "parse"): parse_jsmap,
     ("browser", "parse"): parse_browser,
+    ("tagclass", "parse"): parse_tagclass,
     ("jsonhtml", "parse"): parse_jsonhtml,
     ("filetab", "parse"): parse_files_index,
     ("filetab", "file_csv"): parse_file_csv,

@@ -174,3 +174,39 @@ class TestRegistry:
 
         with _pytest.raises(ValueError):
             reg.register(ParserSpec(name="a", family="a"))
+
+
+class TestOverrides:
+    def test_rule_shapes(self):
+        import pyarrow as pa
+
+        from goto_eater_crawler_ray.functions.overrides import OverrideRule, apply_overrides
+
+        tbl = pa.table(
+            {
+                "prefecture": ["src1", "src1", "src2", "src1"],
+                "shop_name": ["<broken>", "", "keep", None],
+                "address": ["中央1-1", "鹿児島市旭町2", "x", "y"],
+            }
+        )
+        rules = (
+            OverrideRule(source="src1", field="shop_name", match="<broken>", replace="fixed"),
+            OverrideRule(source="src1", field="shop_name", match=None, replace="filled"),
+            OverrideRule(source="src1", field="address", prefix="鹿児島市"),
+        )
+        out = apply_overrides(tbl, rules).to_pylist()
+        assert out[0]["shop_name"] == "fixed"
+        assert out[1]["shop_name"] == ""  # match="" not in rules -> untouched
+        assert out[2]["shop_name"] == "keep"  # other source untouched
+        assert out[3]["shop_name"] == "filled"  # null matched
+        assert out[0]["address"] == "鹿児島市中央1-1"
+        assert out[1]["address"] == "鹿児島市旭町2"  # already prefixed
+        assert out[2]["address"] == "x"  # other source
+
+    def test_missing_columns_noop(self):
+        import pyarrow as pa
+
+        from goto_eater_crawler_ray.functions.overrides import apply_overrides
+
+        t = pa.table({"a": [1]})
+        assert apply_overrides(t).equals(t)

@@ -84,13 +84,15 @@ def _normalize_items(raw_items, prefecture, url):
     if not rows:
         return []
     schema = pa.schema([(c, pa.string()) for c in ITEM_COLS] + [("prefecture", pa.string()), ("source_url", pa.string()), ("row_in_page", pa.int32())])
+    from goto_eater_crawler_ray.functions.overrides import apply_overrides
+
     tbl = pa.Table.from_pylist(rows, schema=schema)
-    return normalize_batch(tbl).to_pylist()
+    return normalize_batch(apply_overrides(tbl)).to_pylist()
 
 
 def test_closure_covers_every_family(closure, store):
     families = {p for p, *_ in closure}
-    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsmap", "browser", "jsonhtml", "filetab", "scripted"]:
+    for fam in ["paginated0", "pagesynth", "listdetail0", "areafanout", "mesh", "jsonapi", "jsmap", "browser", "tagclass", "jsonhtml", "filetab", "scripted"]:
         assert fam in families, f"family {fam} unreachable"
     # blocked host never enters the closure
     assert not any("blocked" in u for _, _, u, _, _, _ in closure)
