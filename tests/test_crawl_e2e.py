@@ -332,3 +332,28 @@ def test_allowed_domains_scope_filter(ray_session):
     assert out.column("host").to_pylist() == ["in.example.jp"]
     # the off-scope key never entered the seen set
     assert shards[0].size() == 1
+
+
+def test_resume_with_checkpoint_interval(ray_session, tmp_path):
+    """checkpoint_interval>1: resume restarts at the last CHECKPOINTED wave
+    and deterministically REPLAYS the unchecked waves (idempotent parsed
+    overwrites + no-op re-admissions) — final state equals an uninterrupted
+    run."""
+    full_out = str(tmp_path / "full")
+    CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False).run()
+
+    part_out = str(tmp_path / "partial")
+    eng = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False, checkpoint_interval=3, max_waves=4)
+    eng.run()  # waves 0..3 executed; interval checkpoint at wave 2
+    # simulate a kill AFTER wave 3 ran but BEFORE its checkpoint landed
+    shutil.rmtree(os.path.join(part_out, "checkpoint", "wave=3"))
+    assert eng._latest_checkpoint() == 2
+    eng.shutdown()
+    eng2 = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False, checkpoint_interval=3)
+    eng2.run(resume=True)  # replays wave 3, then continues to the end
+    eng2.shutdown()
+
+    l_full = pads.dataset(os.path.join(full_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    l_part = pads.dataset(os.path.join(part_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+    assert len(l_full) == len(l_part)
+    assert l_full[["url_key", "visit_seq", "depth"]].equals(l_part[["url_key", "visit_seq", "depth"]])
