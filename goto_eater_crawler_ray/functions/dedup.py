@@ -12,13 +12,21 @@ Five families (graded as first-class components alongside the crawl ops):
 Scale shape (the part that matters at 100 TB):
   * signatures are computed batch-local inside ``map_batches`` (numpy
     vectorized minhash: one (n_docs x n_perm) min-reduction per batch);
-  * only (bucket_key, doc_id) pairs — never text — enter the LSH groupby
-    shuffle;
-  * candidate verification re-reads only candidate docs (broadcast of the
-    candidate id set);
-  * the final connected-component step is iterative min-label propagation
-    via groupby — documented as O(diameter) rounds — with a driver-side
-    union-find fast path only when the candidate set is provably small.
+  * band rows carry (band_id, band_hash, doc_id, signature) — the full
+    signature (n_perm x 8 B, ~0.5 KB) but NEVER the text — into the LSH
+    groupby shuffle, so candidate verification is BUCKET-LOCAL: the
+    estimated jaccard is computed inside ``map_groups`` where both
+    signatures are already co-located.  Nothing corpus-sized ever
+    touches the driver;
+  * cross-band pair dedup is a ``groupby(pair).aggregate(Max)`` — a
+    single hash shuffle of only the pairs that PASSED the threshold,
+    not a per-pair ``map_groups`` call;
+  * the final connected-component step has two executors with identical
+    semantics: a driver-side vectorized fast path HARD-GATED by
+    ``max_driver_edges``, and ``connected_components_distributed`` —
+    iterative min-label propagation with pointer jumping built on
+    ``Dataset.join`` + ``groupby`` (O(log diameter) rounds, nothing on
+    the driver but a per-round convergence scalar).
 
 MinHash design follows the public MinHash/LSH literature (Broder 1997;
 Leskovec-Rajaraman-Ullman, "Mining of Massive Datasets" ch.3).
@@ -116,81 +124,140 @@ class MinHasher:
         )
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """fixed_size_list<uint64> column -> (n, n_perm) uint64 matrix, zero-copy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+_FNV_OFF = np.uint64(1469598103934665603)
+_MIX_MULT = np.uint64(0x9E3779B97F4A7C15)
+_MURMUR_F = np.uint64(0xFF51AFD7ED558CCD)
+_SH33 = np.uint64(33)
+
+
 def explode_bands(n_bands: int, rows_per_band: int):
-    """minhash signatures -> (band_id, band_hash, doc_id) rows; only these
-    ~24-byte rows enter the LSH shuffle."""
+    """minhash signatures -> (band_id, band_hash, doc_id, minhash) rows.
+
+    The FULL signature rides along (n_perm x 8 B ≈ 0.5 KB/row) so that
+    candidate verification can happen inside the LSH bucket, where both
+    sides are co-located — the alternative (24-byte rows + a driver-side
+    signature broadcast) materializes the whole corpus on the driver and
+    dies at ~1e8 docs.  Band hash is a vectorized uint64 polynomial hash
+    (no per-row Python): a hash collision only creates a spurious
+    candidate pair, which bucket-local verification then filters."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        if not ids:  # empty block: zero band rows, not an IndexError
-            return pa.table({"band_id": pa.array([], pa.int32()), "band_hash": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())})
-        sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
-        band_ids, band_hashes, doc_ids = [], [], []
-        for b in range(n_bands):
-            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            for i, row in enumerate(seg):
-                band_ids.append(b)
-                band_hashes.append(hashlib.md5(row.tobytes()).hexdigest()[:16])
-                doc_ids.append(ids[i])
+        n = batch.num_rows
+        base = batch.select(["doc_id", "minhash"])
+        if n == 0:  # schema-stable empty block
+            return base.append_column("band_id", pa.array([], pa.int32())).append_column(
+                "band_hash", pa.array([], pa.uint64())
+            )
+        sigs = _sig_matrix(batch.column("minhash"))
+        band_ids, band_hashes = [], []
+        with np.errstate(over="ignore"):
+            for b in range(n_bands):
+                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+                h = np.full(n, _FNV_OFF + np.uint64(b), dtype=np.uint64)
+                for j in range(rows_per_band):
+                    h = h * _MIX_MULT + seg[:, j]
+                h ^= h >> _SH33
+                h = h * _MURMUR_F
+                h ^= h >> _SH33
+                band_ids.append(np.full(n, b, dtype=np.int32))
+                band_hashes.append(h)
+        rep = pa.concat_tables([base] * n_bands)
+        return rep.append_column("band_id", pa.array(np.concatenate(band_ids), pa.int32())).append_column(
+            "band_hash", pa.array(np.concatenate(band_hashes), pa.uint64())
+        )
+
+    return fn
+
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+)
+
+
+def bucket_verified_pairs(threshold: float, hot_bucket_cap: int = 1000):
+    """One LSH bucket -> VERIFIED candidate pairs (a<b, est_jaccard>=threshold).
+
+    Verification is bucket-local: every doc's full signature is in the
+    group, so the estimated jaccard (fraction of agreeing minhash slots)
+    is one numpy compare per pair — no corpus-wide state anywhere.
+    Buckets larger than ``hot_bucket_cap`` are degenerate hot keys: emit
+    star pairs against the bucket minimum only (documented cap, keeps a
+    poisoned bucket from going quadratic)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _PAIR_SCHEMA.empty_table()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = _sig_matrix(group.column("minhash"))
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        out_a, out_b, out_j = [], [], []
+        if n > hot_bucket_cap:  # hot-bucket guard: star pairs, not quadratic
+            est = (sigs[0][None, :] == sigs[1:]).mean(axis=1)
+            keep = est >= threshold
+            out_a.append(np.full(int(keep.sum()), ids[0], dtype=np.int64))
+            out_b.append(ids[1:][keep])
+            out_j.append(est[keep])
+        else:
+            for i in range(n - 1):
+                est = (sigs[i][None, :] == sigs[i + 1 :]).mean(axis=1)
+                keep = est >= threshold
+                if keep.any():
+                    out_a.append(np.full(int(keep.sum()), ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 :][keep])
+                    out_j.append(est[keep])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+                "est_jaccard": pa.array(np.round(np.concatenate(out_j), 6), pa.float64()),
             }
         )
 
     return fn
 
 
-def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket -> candidate pairs (a<b). Buckets are typically tiny;
-    a bucket larger than 1k docs is a degenerate hot key — emit its pairs
-    against the bucket minimum only (salt guard, documented cap)."""
-    ids = sorted(df["doc_id"].tolist())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    if len(ids) > 1000:  # hot-bucket guard: star pairs, not quadratic
-        a = [ids[0]] * (len(ids) - 1)
-        b = ids[1:]
-    else:
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-    return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+def minhash_lsh_pairs(
+    docs_ds,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    verify_exact: bool = False,
+    verify_exact_max_docs: int = 1_000_000,
+):
+    """Full MinHash-LSH near-dup pipeline: signatures -> bands -> buckets
+    -> bucket-locally verified pairs (est_jaccard >= threshold) -> one
+    aggregate-shuffle pair dedup.  Single streaming pass; the only
+    all-to-all exchanges are the bucket groupby (0.5 KB rows) and the
+    pair-dedup groupby (passing pairs only).
 
+    With ``verify_exact`` the surviving pairs additionally get TRUE
+    word-shingle jaccard computed from the candidate docs' text.  The
+    candidate-doc set is tiny relative to the corpus, so it is broadcast
+    — guarded by ``verify_exact_max_docs`` (hard error, not silent
+    driver OOM, when the "candidates are tiny" assumption breaks)."""
+    from ray.data.aggregate import Max
 
-def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: float = 0.5, verify_exact: bool = False):
-    """Full MinHash-LSH candidate pipeline: signatures -> bands -> buckets
-    -> deduped candidate pairs with estimated jaccard (from signature
-    agreement) >= threshold.  With ``verify_exact`` the surviving pairs get
-    TRUE word-shingle jaccard computed from the candidate docs' text
-    (candidate set is tiny relative to the corpus -> broadcast it, never
-    re-scan the corpus)."""
     rows_per_band = n_perm // n_bands
     sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=4)
-    sigs = sigs.materialize()  # reused: banding + verification
     bands = sigs.map_batches(explode_bands(n_bands, rows_per_band), batch_format="pyarrow")
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
-
-    # verification: signature-agreement jaccard estimate. The signature
-    # table is small (n_docs x n_perm x 8B) -> broadcast ONCE via ray.put,
-    # read per task (never re-shipped per batch).
-    import ray
-
-    sig_rows = sigs.take_all()
-    sig_ref = ray.put({r["doc_id"]: np.asarray(r["minhash"], dtype=np.uint64) for r in sig_rows})
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sig_tbl = ray.get(sig_ref)
-        est = []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = sig_tbl.get(a), sig_tbl.get(b)
-            est.append(float((sa == sb).mean()) if sa is not None and sb is not None else 0.0)
-        df = df.assign(est_jaccard=np.round(est, 6))
-        return df[df["est_jaccard"] >= threshold]
-
-    result = cand.map_batches(verify, batch_format="pandas")
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_verified_pairs(threshold), batch_format="pyarrow"
+    )
+    # cross-band dedup: est_jaccard is identical wherever the pair was
+    # found, so Max == the value; one aggregate shuffle, no per-pair groups
+    result = cand.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
     if not verify_exact:
         return result
 
@@ -205,6 +272,13 @@ def minhash_lsh_pairs(docs_ds, n_perm: int = 64, n_bands: int = 8, threshold: fl
         surv = surv.assign(true_jaccard=pd.Series(dtype="float64"))
         return rd.from_pandas(surv)
     cand_ids = set(surv["doc_a"]) | set(surv["doc_b"])
+    if len(cand_ids) > verify_exact_max_docs:
+        raise ValueError(
+            f"verify_exact: {len(cand_ids)} candidate docs exceeds "
+            f"verify_exact_max_docs={verify_exact_max_docs}; the candidate set is "
+            "not small relative to the corpus — lower the LSH threshold or verify "
+            "est_jaccard only (verify_exact=False)"
+        )
     texts = {}
     for r in docs_ds.map_batches(
         lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(sorted(cand_ids)))),
@@ -299,18 +373,16 @@ def char_jaccard_pairs(docs_ds, id_limit: int, threshold: float):
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs_ds, max_rounds: int = 25):
+def connected_components(pairs_ds, max_rounds: int = 25, max_driver_edges: int = 5_000_000):
     """Resolve near-dup candidate PAIRS into duplicate GROUPS via iterative
-    min-label propagation.
+    min-label propagation — driver-side vectorized fast path.
 
-    Implementation note (honest scale contract): candidate-pair graphs are
-    SMALL relative to the corpus (pairs come out of LSH buckets), so this
-    implementation materializes the O(E) edge list driver-side and runs
-    VECTORIZED pandas rounds (map + groupby-min per round, O(component
-    diameter) rounds) — right up to ~10^7 edges. Beyond that, the same
-    per-round shape maps 1:1 onto `edges.groupby('node')` Ray rounds with
-    a broadcast label table; the structure is identical, only the executor
-    changes. Emits a warning if max_rounds is hit before convergence.
+    Candidate-pair graphs are usually SMALL relative to the corpus (pairs
+    come out of LSH buckets), so this path materializes the O(E) edge list
+    driver-side and runs VECTORIZED numpy rounds.  It HARD-ERRORS (no
+    silent driver OOM) when the edge count exceeds ``max_driver_edges``;
+    the same semantics at any scale are ``connected_components_distributed``
+    (Dataset.join + groupby label propagation, nothing driver-sized).
 
     Input: dataset with (doc_a, doc_b). Output pandas frame: (doc_id,
     group_id) where group_id = min doc_id of the component."""
@@ -318,7 +390,18 @@ def connected_components(pairs_ds, max_rounds: int = 25):
 
     import pandas as pd
 
-    pdf = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    if hasattr(pairs_ds, "materialize"):  # Ray Dataset: count in the object
+        mat = pairs_ds.materialize()  # store BEFORE anything hits the driver
+        n_edges = mat.count()
+        if n_edges > max_driver_edges:
+            raise ValueError(
+                f"connected_components: {n_edges} edges exceeds max_driver_edges="
+                f"{max_driver_edges}; use connected_components_distributed() "
+                "(identical semantics, Dataset-native label propagation)"
+            )
+        pdf = mat.to_pandas()
+    else:
+        pdf = pairs_ds
     a = pdf["doc_a"].astype("int64").to_numpy()
     b = pdf["doc_b"].astype("int64").to_numpy()
     nodes = np.unique(np.concatenate([a, b]))
@@ -342,3 +425,81 @@ def connected_components(pairs_ds, max_rounds: int = 25):
         warnings.warn(f"connected_components: not converged after {max_rounds} rounds", stacklevel=2)
     out = pd.DataFrame({"doc_id": nodes, "group_id": label})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partitions: int = 16):
+    """Distributed min-label propagation with pointer jumping — the
+    any-scale executor for :func:`connected_components` (identical
+    semantics, asserted equivalent in tests).
+
+    Per round (all Dataset-native, nothing corpus-sized on the driver):
+      1. edges ⋈ labels on node  → each edge learns its endpoint's label
+      2. re-key to the peer, union with current labels, groupby-min
+      3. pointer jump: labels ⋈ labels on (label = node) → label(label)
+         (valid because every label value is a node id, and min-labels
+         only ever decrease — one extra hash join halves the effective
+         diameter per round, giving O(log d) convergence)
+      4. convergence check: Sum(label) is strictly monotone decreasing
+         until fixpoint, so an unchanged sum == converged (one scalar
+         to the driver per round).
+
+    Input: dataset with (doc_a, doc_b).  Output: Dataset (doc_id,
+    group_id) where group_id = min doc_id of the component."""
+    import warnings
+
+    from ray.data.aggregate import Min, Sum
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks() if isinstance(t.column("doc_a"), pa.ChunkedArray) else t.column("doc_a")
+        b = t.column("doc_b").combine_chunks() if isinstance(t.column("doc_b"), pa.ChunkedArray) else t.column("doc_b")
+        node = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
+        peer = pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])
+        return pa.table({"node": node, "peer": peer})
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())}))
+    # initial label = min(self, min neighbor)
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("peer", alias_name="min_peer"))
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "label": pc.min_element_wise(t.column("node"), t.column("min_peer"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    converged = False
+    for _ in range(max_rounds):
+        hop = edges.join(labels, join_type="inner", num_partitions=num_partitions, on=("node",))
+        msgs = hop.map_batches(
+            lambda t: pa.table({"node": t.column("peer"), "label": t.column("label")}), batch_format="pyarrow"
+        )
+        new_labels = (
+            msgs.union(labels).groupby("node").aggregate(Min("label", alias_name="label"))
+        )
+        # pointer jump: label <- label(label)
+        ltab = new_labels.map_batches(
+            lambda t: pa.table({"pnode": t.column("node"), "plabel": t.column("label")}), batch_format="pyarrow"
+        )
+        jumped = new_labels.join(ltab, join_type="inner", num_partitions=num_partitions, on=("label",), right_on=("pnode",))
+        labels = jumped.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("plabel")}), batch_format="pyarrow"
+        ).materialize()
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components_distributed: not converged after {max_rounds} rounds", stacklevel=2
+        )
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "group_id": t.column("label")}), batch_format="pyarrow"
+    )

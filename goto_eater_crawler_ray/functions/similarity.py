@@ -69,7 +69,18 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5, round_dp: int = 4
             }
         )
 
+    _empty_topk = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
+
     def topk_per_query(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # schema-stable empty block (sort tails emit these)
+            return _empty_topk
         # deterministic tie-break on neighbor_id
         df = df.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
         df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64), score=np.round(df["score"].to_numpy(), round_dp))
@@ -103,10 +114,19 @@ def lsh_ann_topk(emb_ds, query_ids: list[int], dim: int, k: int = 5, n_planes: i
     bucketed = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes}, batch_format="pyarrow", concurrency=4)
     qset = set(query_ids)
 
+    _empty_ann = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        qs = df[df["vec_id"].isin(qset)]
-        if qs.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [], "score": []})
+        qs = df[df["vec_id"].isin(qset)] if not df.empty else df
+        if df.empty or qs.empty:
+            return _empty_ann
         mat = _l2_normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
         ids = df["vec_id"].to_numpy()
         out = []
@@ -128,15 +148,26 @@ def lsh_ann_topk(emb_ds, query_ids: list[int], dim: int, k: int = 5, n_planes: i
 
 
 def cosine_near_dup_pairs(emb_ds, threshold: float = 0.95, id_limit: int | None = None, round_dp: int = 4):
-    """Embedding-cosine near-duplicate pairs (a<b, sim>=threshold): corpus
-    matmul against a broadcast (optionally id-bounded) reference matrix."""
+    """Embedding-cosine near-duplicate pairs (a<b, sim>=threshold).
+
+    Two paths:
+      * ``id_limit`` set — EXACT: corpus matmul against a broadcast
+        reference matrix explicitly bounded to ``vec_id < id_limit``
+        (SQL-oracle-twin-able; the broadcast is id_limit rows, never the
+        corpus).
+      * ``id_limit=None`` — the at-scale default routes through
+        multi-table sign-LSH bucketing (:func:`lsh_cosine_pairs`):
+        pairs are found inside hash buckets via groupby co-location, so
+        nothing corpus-sized is ever materialized or broadcast.
+        Approximate (recall measured against the exact path in tests).
+    """
     import ray
 
-    ref_ds = emb_ds
-    if id_limit is not None:
-        ref_ds = emb_ds.map_batches(
-            lambda t: t.filter(pa.compute.less(t["vec_id"], id_limit)), batch_format="pyarrow"
-        )
+    if id_limit is None:
+        return lsh_cosine_pairs(emb_ds, threshold=threshold, round_dp=round_dp)
+    ref_ds = emb_ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], id_limit)), batch_format="pyarrow"
+    )
     rows = ref_ds.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.array([r["vec_id"] for r in rows])
     mat = _l2_normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
@@ -167,3 +198,100 @@ def cosine_near_dup_pairs(emb_ds, threshold: float = 0.95, id_limit: int | None 
         )
 
     return emb_ds.map_batches(pairs, batch_format="pyarrow")
+
+
+_COS_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_sim", pa.float64())])
+
+
+class MultiTableSignLSH:
+    """Actor-pool stage: explode each vector into ``n_tables`` independent
+    sign-LSH bucket rows (table_id, bucket, vec_id, embedding).  Multiple
+    tables trade shuffle volume for recall: a cos≈0.95 pair lands in the
+    same bucket of at least one of 8 x 8-plane tables w.h.p. (Charikar
+    2002 collision probability (1 - theta/pi)^planes per table)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, dim, n_planes))
+        self.weights = 1 << np.arange(n_planes, dtype=np.uint64)
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base = batch.select(["vec_id", "embedding"])
+        if n == 0:
+            return base.append_column("table_id", pa.array([], pa.int32())).append_column(
+                "bucket", pa.array([], pa.uint64())
+            )
+        mat = _as_matrix(batch.column("embedding"))
+        t_ids, buckets = [], []
+        for t in range(self.n_tables):
+            signs = (mat @ self.planes[t]) > 0
+            buckets.append((signs.astype(np.uint64) * self.weights[None, :]).sum(axis=1))
+            t_ids.append(np.full(n, t, dtype=np.int32))
+        rep = pa.concat_tables([base] * self.n_tables)
+        return rep.append_column("table_id", pa.array(np.concatenate(t_ids), pa.int32())).append_column(
+            "bucket", pa.array(np.concatenate(buckets), pa.uint64())
+        )
+
+
+def lsh_cosine_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    round_dp: int = 4,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    hot_bucket_cap: int = 2000,
+):
+    """Unbounded-corpus cosine near-dup pairs via multi-table sign-LSH:
+    bucket rows shuffle (groupby co-location), pairwise matmul is
+    bucket-local, and cross-table pair dedup is ONE aggregate shuffle of
+    only the passing pairs.  Nothing touches the driver.  Buckets larger
+    than ``hot_bucket_cap`` emit star pairs against the bucket minimum
+    (documented hot-key guard)."""
+    from ray.data.aggregate import Max
+
+    first = emb_ds.take(1)
+    if not first:
+        import ray.data as rd
+
+        return rd.from_arrow(_COS_PAIR_SCHEMA.empty_table())
+    dim = len(first[0]["embedding"])
+
+    bucketed = emb_ds.map_batches(
+        MultiTableSignLSH,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "n_tables": n_tables},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _COS_PAIR_SCHEMA.empty_table()
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _l2_normalize(_as_matrix(group.column("embedding")))
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        if n > hot_bucket_cap:  # hot-bucket star guard
+            sims = mat[1:] @ mat[0]
+            keep = sims >= threshold
+            a = np.full(int(keep.sum()), ids[0], dtype=np.int64)
+            b, s = ids[1:][keep], sims[keep]
+        else:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b, s = ids[ii].astype(np.int64), ids[jj], sims[ii, jj]
+        if len(a) == 0:
+            return _COS_PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b.astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(np.round(s, round_dp), pa.float64()),
+            }
+        )
+
+    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(per_bucket, batch_format="pyarrow")
+    # cos_sim identical wherever found -> Max == the value; one shuffle
+    return cand.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))

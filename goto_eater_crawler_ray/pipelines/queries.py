@@ -472,23 +472,16 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_filter(sf_dir: str):
-    """Semi-join survivor filter: keep only first doc per distinct text —
-    broadcast the keep-set (bloom/semi-join shape, ray_guide 'Joins')."""
-    import ray
-
+    """Semi-join survivor filter: keep only first doc per distinct text.
+    True hash-shuffle semi-join (Dataset.join on doc_id == keep_id) — the
+    keep-set is corpus-sized at scale, so it must never be a driver
+    broadcast set; only (hash, id) rows shuffle."""
     from ..functions.dedup import exact_dedup
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    keep = exact_dedup(docs.select_columns(["doc_id", "text"]))
-    keep_ids = set(r["keep_id"] for r in keep.select_columns(["keep_id"]).take_all())
-    ref = ray.put(keep_ids)
-
-    def fn(t: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        mask = pa.array([i in ids for i in t.column("doc_id").to_pylist()])
-        return t.filter(mask)
-
-    return docs.map_batches(fn, batch_format="pyarrow")
+    keep = exact_dedup(docs.select_columns(["doc_id", "text"])).select_columns(["keep_id"])
+    joined = docs.join(keep, join_type="inner", num_partitions=16, on=("doc_id",), right_on=("keep_id",))
+    return joined.select_columns(["doc_id", "text", "lang"])
 
 
 SQL_DEDUP_FILTER = """
@@ -536,17 +529,14 @@ def q_langid(sf_dir: str):
 
 def q_dedup_groups(sf_dir: str):
     """Near-dup GROUPS: MinHash-LSH candidate pairs resolved to connected
-    components (iterative min-label propagation). Non-SQL (probabilistic +
-    iterative); correctness via planted-duplicate tests."""
-    import ray.data as rdata
-
-    from ..functions.dedup import connected_components, minhash_lsh_pairs
+    components via the fully DISTRIBUTED label-propagation path (join +
+    groupby rounds; nothing corpus-sized on the driver). Non-SQL
+    (probabilistic + iterative); correctness via planted-duplicate tests
+    and driver/distributed equivalence tests."""
+    from ..functions.dedup import connected_components_distributed, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), threshold=0.5)
-    pdf = pairs.to_pandas()[["doc_a", "doc_b"]]
-    if pdf.empty:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
-    return connected_components(rdata.from_pandas(pdf))
+    return connected_components_distributed(pairs)
 
 
 def q_approx_distinct_users(sf_dir: str):

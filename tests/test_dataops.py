@@ -108,6 +108,20 @@ class TestSimilarity:
             assert top1["neighbor_id"].iloc[0] == 50 + j
             assert top1["score"].iloc[0] > 0.99
 
+    def test_lsh_cosine_pairs_unbounded_default(self, emb_ds):
+        """id_limit=None routes through multi-table sign-LSH bucketing:
+        no corpus broadcast; in-bucket cos is exact so there are no false
+        positives, and planted near-copies (cos≈0.9999) are recalled."""
+        from goto_eater_crawler_ray.functions.similarity import cosine_near_dup_pairs
+
+        exact = cosine_near_dup_pairs(emb_ds, threshold=0.95, id_limit=100).to_pandas()
+        approx = cosine_near_dup_pairs(emb_ds, threshold=0.95).to_pandas()
+        exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+        approx_pairs = set(zip(approx["vec_a"], approx["vec_b"]))
+        assert approx_pairs <= exact_pairs  # verification is exact cosine
+        planted = {(j, 50 + j) for j in range(5)}
+        assert len(planted & approx_pairs) >= 4, approx_pairs
+
     def test_lsh_recall_vs_brute_force(self, emb_ds):
         from goto_eater_crawler_ray.functions.similarity import brute_force_topk, lsh_ann_topk
 
@@ -215,12 +229,74 @@ class TestConnectedComponents:
 
         ds, _ = planted_docs
         pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4)
-        import ray.data as rd
-
-        out = connected_components(rd.from_pandas(pairs.to_pandas()[["doc_a", "doc_b"]]))
+        out = connected_components(pairs)
         groups = dict(zip(out["doc_id"], out["group_id"]))
         for j in range(10):  # exact dups grouped with their originals
             assert groups.get(100 + j) == groups.get(j)
+
+    def test_distributed_matches_driver(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)]
+        ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+        drv = connected_components(ds).reset_index(drop=True)
+        dist = (
+            connected_components_distributed(ds, num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert drv.equals(dist.astype(drv.dtypes.to_dict()))
+
+    def test_distributed_long_chain_pointer_jumping(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import connected_components_distributed
+
+        # chain of 40 nodes: plain propagation needs ~40 rounds; pointer
+        # jumping converges in O(log d) — max_rounds=10 proves the jump works
+        ds = rd.from_items([{"doc_a": i, "doc_b": i + 1} for i in range(39)])
+        out = connected_components_distributed(ds, max_rounds=10, num_partitions=4).to_pandas()
+        assert (out["group_id"] == 0).all()
+        assert len(out) == 40
+
+    def test_driver_guard_hard_errors(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import connected_components
+
+        ds = rd.from_items([{"doc_a": i, "doc_b": i + 100} for i in range(8)])
+        with pytest.raises(ValueError, match="max_driver_edges"):
+            connected_components(ds, max_driver_edges=3)
+
+    def test_lsh_10x_corpus_fully_distributed(self, ray_session):
+        """10x planted corpus through the end-to-end distributed path
+        (minhash -> bucket-local verify -> aggregate dedup -> distributed
+        CC): no stage materializes anything corpus-sized on the driver."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import (
+            connected_components_distributed,
+            minhash_lsh_pairs,
+        )
+
+        rng = np.random.default_rng(13)
+        words = [f"w{i:03d}" for i in range(400)]
+        texts = [" ".join(rng.choice(words, size=30)) for _ in range(1000)]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        for j in range(100):  # exact dups of docs 0..99
+            rows.append({"doc_id": 1000 + j, "text": texts[j]})
+        ds = rd.from_items(rows)
+        pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4)
+        out = connected_components_distributed(pairs, num_partitions=8).to_pandas()
+        groups = dict(zip(out["doc_id"], out["group_id"]))
+        for j in range(100):
+            assert groups.get(1000 + j) == groups.get(j, -1) == j
 
 
 class TestHLL:
