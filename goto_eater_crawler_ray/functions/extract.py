@@ -125,16 +125,60 @@ def map_code(code: str | int | None, table: list[str]) -> str | None:
 
 # --- js-object literal decode ----------------------------------------------
 # reference: miyagi.py:71-86 uses demjson for non-JSON JS literals; here a
-# tolerant converter: quote unquoted keys, single->double quotes, drop
-# trailing commas, then json.loads.
+# tolerant converter: a quote-aware tokenizer rewrites single-quoted JS
+# strings to JSON double-quoted strings (preserving apostrophes INSIDE
+# double-quoted strings and escaping embedded double quotes — a naive
+# global quote swap corrupts values like "Bob's diner", which is exactly
+# why the reference reaches for demjson), then quotes unquoted keys and
+# drops trailing commas OUTSIDE string spans, then json.loads.
 _JS_KEY = re.compile(r"([{,]\s*)([A-Za-z_]\w*)\s*:")
 _JS_TRAILING = re.compile(r",(\s*[}\]])")
+
+
+def _js_segments(src: str):
+    """Split into (is_string, text) segments; string segments are emitted
+    already converted to valid JSON double-quoted strings."""
+    out = []
+    i, n = 0, len(src)
+    plain_start = 0
+    while i < n:
+        c = src[i]
+        if c not in "'\"":
+            i += 1
+            continue
+        if plain_start < i:
+            out.append((False, src[plain_start:i]))
+        if c == '"':  # double-quoted: copy verbatim (escapes already JSON-ish)
+            j = i + 1
+            while j < n and src[j] != '"':
+                j += 2 if src[j] == "\\" else 1
+            out.append((True, src[i : min(j + 1, n)]))
+            i = j + 1
+        else:  # single-quoted: convert
+            j, buf = i + 1, []
+            while j < n and src[j] != "'":
+                if src[j] == "\\":
+                    nxt = src[j + 1] if j + 1 < n else ""
+                    buf.append("'" if nxt == "'" else src[j : j + 2])
+                    j += 2
+                    continue
+                buf.append('\\"' if src[j] == '"' else src[j])
+                j += 1
+            out.append((True, '"' + "".join(buf) + '"'))
+            i = j + 1
+        plain_start = i
+    if plain_start < n:
+        out.append((False, src[plain_start:]))
+    return out
 
 
 def decode_js_object(src: str):
     import json
 
-    s = _JS_KEY.sub(r'\1"\2":', src)
-    s = s.replace("'", '"')
-    s = _JS_TRAILING.sub(r"\1", s)
-    return json.loads(s)
+    parts = []
+    for is_str, seg in _js_segments(src):
+        if not is_str:
+            seg = _JS_KEY.sub(r'\1"\2":', seg)
+            seg = _JS_TRAILING.sub(r"\1", seg)
+        parts.append(seg)
+    return json.loads("".join(parts))

@@ -56,6 +56,9 @@ def apply_overrides(tbl: pa.Table, rules: tuple[OverrideRule, ...] = BUILTIN_RUL
     if "prefecture" not in tbl.column_names or len(tbl) == 0:
         return tbl
     prefectures = tbl.column("prefecture")
+    # first-match-wins per (field, row): once a rule rewrites a row's field,
+    # later rules must not rematch the produced value
+    done: dict[str, pa.Array] = {}
     for rule in rules:
         if rule.field not in tbl.column_names:
             continue
@@ -64,6 +67,8 @@ def apply_overrides(tbl: pa.Table, rules: tuple[OverrideRule, ...] = BUILTIN_RUL
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         src_mask = pc.equal(prefectures, rule.source) if rule.source != "*" else pa.array([True] * len(tbl))
         src_mask = pc.fill_null(src_mask, False)
+        already = done.get(rule.field, pa.array([False] * len(tbl)))
+        src_mask = pc.and_(src_mask, pc.invert(already))
         if rule.prefix is not None:
             needs = pc.and_(pc.invert(pc.starts_with(pc.fill_null(arr, ""), rule.prefix)), pc.is_valid(arr))
             mask = pc.and_(src_mask, needs)
@@ -73,5 +78,6 @@ def apply_overrides(tbl: pa.Table, rules: tuple[OverrideRule, ...] = BUILTIN_RUL
             val_mask = pc.is_null(arr) if rule.match is None else pc.fill_null(pc.equal(arr, rule.match), False)
             mask = pc.and_(src_mask, val_mask)
             arr = pc.if_else(mask, pa.scalar(rule.replace, pa.string()), arr)
+        done[rule.field] = pc.or_(already, mask)
         tbl = tbl.set_column(i, rule.field, arr)
     return tbl

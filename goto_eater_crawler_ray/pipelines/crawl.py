@@ -305,7 +305,7 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
                 host = r["host"]
                 lease = leases[host]
                 clock, seq, delay = lease["next_free_ts"], lease["visit_count"], lease["crawl_delay"]
-                disallow = lease["disallow"]
+                disallow = lease["rules"]
                 # Same-host links are discoverable ONLY from this host's own
                 # pages and this task owns the host exclusively this wave, so
                 # admission is task-local for a FRESH host (visit_count==1:
@@ -647,11 +647,19 @@ def _empty_admitted() -> pa.Table:
     )
 
 
-def make_schedule_fn(sched_actors: list, n_parts: int, mega_hosts: frozenset[str]):
+def make_schedule_fn(sched_actors: list, n_parts: int, mega_hosts: frozenset[str], chain_mode: bool = False):
     """One map_groups call per politeness shard: assigns (visit_seq,
     sched_ts), applies robots gate, computes the salted output partition
     (mega-hosts spread by url_key, politeness still per-host serialized —
-    SURVEY.md §7.4)."""
+    SURVEY.md §7.4).
+
+    With ``chain_mode`` the per-host chain flag is set HERE, group-locally:
+    hosts are hash-routed to exactly one sched_shard, so a host's frontier
+    rows are always all in this group and a group-local count equals the
+    wave-global count.  Setting it here (not on the driver-merged frame)
+    keeps chain-following alive on the distributed phase-B path too —
+    otherwise the scale-critical optimization would silently turn off for
+    any wave larger than driver_admit_max_pages."""
     import ray
 
     def schedule_group(df):
@@ -676,6 +684,9 @@ def make_schedule_fn(sched_actors: list, n_parts: int, mega_hosts: frozenset[str
             for h, k in zip(df["host"], df["url_key"])
         ]
         df = df.assign(part=np.array(parts, dtype=np.int32))
+        if chain_mode and len(df):
+            counts = df["host"].value_counts()
+            df = df.assign(chain=df["host"].map(counts).eq(1).astype("int8"))
         return df
 
     return schedule_group
@@ -852,15 +863,12 @@ class CrawlEngine:
         shard (same semantics as the distributed map_groups path)."""
         import pandas as pd
 
-        sched_fn = make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts)
+        sched_fn = make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts, chain_mode=self.chain_mode)
         frames = []
         df = admitted.to_pandas()
         for _, g in df.groupby("sched_shard", sort=True):
             frames.append(sched_fn(g))
         merged = pd.concat(frames) if frames else pd.DataFrame()
-        if len(merged) and self.chain_mode:
-            counts = merged["host"].value_counts()
-            merged = merged.assign(chain=merged["host"].map(counts).eq(1).astype("int8"))
         return to_frontier_table(merged)
 
     def _admit_driver(self, wave: int, parsed_dir: str) -> int:
@@ -951,7 +959,8 @@ class CrawlEngine:
         )
         admitted = deduped.map_batches(make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts), batch_format="pyarrow")
         scheduled = admitted.groupby("sched_shard").map_groups(
-            make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts), batch_format="pandas"
+            make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts, chain_mode=self.chain_mode),
+            batch_format="pandas",
         )
         next_frontier = scheduled.map_batches(to_frontier_table, batch_format="pandas")
         next_path = os.path.join(self.out_dir, "frontier", f"wave={wave + 1}")

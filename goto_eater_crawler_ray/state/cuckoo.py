@@ -8,10 +8,20 @@ frontier re-admits it).
 
 Standard design (Fan, Andersen, Kaminsky, Mitzenmacher, "Cuckoo Filter:
 Practically Better Than Bloom", CoNEXT 2014 — public literature):
-buckets of 4 slots, 16-bit fingerprints, partial-key cuckoo hashing with
+buckets of 4 slots, 32-bit fingerprints, partial-key cuckoo hashing with
 alt bucket = bucket XOR hash(fingerprint).
 
-State = one (n_buckets, 4) uint16 array (0 = empty slot) -> trivially
+Fingerprint width is a coverage budget, not just memory: a false positive
+here reports a genuinely-new URL as already-seen and silently drops the
+page.  At design load (4-slot buckets, 2 candidate buckets) the false-seen
+probability per novel key is ~= 8/2^fp_bits: 16-bit fp -> ~1.2e-4 (~1M
+silently dropped pages at the 10^10-URL design point) — unacceptable
+divergence from the reference's exact RFPDupeFilter; 32-bit fp -> ~1.9e-9
+(~tens of pages at 10^10), which is below the reference's own noise floor
+(network flakes).  Memory cost is 2x (16 B/bucket -> 32 B/bucket), still
+~10 GiB/shard-group at 10^10 keys across shards.
+
+State = one (n_buckets, 4) uint32 array (0 = empty slot) -> trivially
 serializable for checkpoints.  Lookup/delete are fully vectorized; insert
 does its cuckoo-kick loop per *novel* key only (admission volume), with a
 vectorized fast path for keys whose primary bucket has a free slot.
@@ -27,7 +37,7 @@ _FP_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio constant (public)
 
 
 def _fingerprint_and_bucket(keys: np.ndarray, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
-    """sha1 (n,20) u8 -> (fp uint16 in 1..65535, primary bucket int64).
+    """sha1 (n,20) u8 -> (fp uint32 in 1..2^32-1, primary bucket int64).
 
     ``n_buckets`` must be a power of two so the XOR alt-bucket mapping is
     an involution (alt(alt(b)) == b) — required for kicked items to stay
@@ -35,8 +45,8 @@ def _fingerprint_and_bucket(keys: np.ndarray, n_buckets: int) -> tuple[np.ndarra
     """
     flat = keys.view(np.uint8).reshape(-1, 20)
     w = flat[:, :16].copy().view(np.uint64).reshape(-1, 2)
-    fp = (w[:, 1] & np.uint64(0xFFFF)).astype(np.uint16)
-    fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty marker
+    fp = (w[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    fp = np.where(fp == 0, np.uint32(1), fp)  # 0 is the empty marker
     b = (w[:, 0] & np.uint64(n_buckets - 1)).astype(np.int64)
     return fp, b
 
@@ -53,7 +63,7 @@ class CuckooFilter:
         need = max(8, int(np.ceil(capacity / (0.95 * _SLOTS))))
         n = 1 << int(np.ceil(np.log2(need)))
         self.n_buckets = n
-        self.table = np.zeros((n, _SLOTS), dtype=np.uint16)
+        self.table = np.zeros((n, _SLOTS), dtype=np.uint32)
         self.count = 0
         self._rng = np.random.default_rng(0xC0FFEE)  # deterministic kicks
 
@@ -101,7 +111,7 @@ class CuckooFilter:
         return inserted
 
     def _insert_one(self, fp: int, b1: int) -> bool:
-        b2 = int(_alt_bucket(np.array([b1]), np.array([fp], dtype=np.uint16), self.n_buckets)[0])
+        b2 = int(_alt_bucket(np.array([b1]), np.array([fp], dtype=np.uint32), self.n_buckets)[0])
         row1, row2 = self.table[b1], self.table[b2]
         if (row1 == fp).any() or (row2 == fp).any():
             return False  # already present (fingerprint-level dedup)
@@ -117,7 +127,7 @@ class CuckooFilter:
         for _ in range(_MAX_KICKS):
             slot = int(self._rng.integers(_SLOTS))
             cur, self.table[b, slot] = int(self.table[b, slot]), cur
-            b = int(_alt_bucket(np.array([b]), np.array([cur], dtype=np.uint16), self.n_buckets)[0])
+            b = int(_alt_bucket(np.array([b]), np.array([cur], dtype=np.uint32), self.n_buckets)[0])
             row = self.table[b]
             empty = np.flatnonzero(row == 0)
             if len(empty):
@@ -155,6 +165,6 @@ class CuckooFilter:
         obj = cls.__new__(cls)
         obj.n_buckets = int(n_buckets)
         obj.count = int(count)
-        obj.table = np.frombuffer(blob[16:], dtype=np.uint16).reshape(int(n_buckets), _SLOTS).copy()
+        obj.table = np.frombuffer(blob[16:], dtype=np.uint32).reshape(int(n_buckets), _SLOTS).copy()
         obj._rng = np.random.default_rng(0xC0FFEE)
         return obj

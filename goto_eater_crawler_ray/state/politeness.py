@@ -32,13 +32,16 @@ import numpy as np
 DEFAULT_CRAWL_DELAY = 3.0  # reference settings.py:32
 
 
-def parse_robots(robots_txt: str, user_agent: str = "goto-eater-crawler") -> tuple[list[str], float | None]:
-    """Minimal robots.txt parse -> (disallow prefixes for our UA, crawl-delay).
+def parse_robots(robots_txt: str, user_agent: str = "goto-eater-crawler") -> tuple[list[tuple[str, bool]], float | None]:
+    """robots.txt parse -> (rules for our UA, crawl-delay).
 
-    Groups are matched for exact UA or '*'; a specific-UA group overrides
-    '*' (standard REP semantics, public spec).  Empty Disallow = allow all.
-    """
-    groups: dict[str, tuple[list[str], float | None]] = {}
+    Rules are (prefix, is_allow) pairs — BOTH Allow and Disallow lines are
+    stored, and :func:`robots_allowed` applies standard REP longest-match
+    precedence (so 'Disallow: /' + 'Allow: /public/' admits /public/*, as
+    protego/Scrapy does for the reference).  Groups are matched for exact
+    UA or '*'; a specific-UA group overrides '*'.  Empty Disallow = allow
+    all (no rule stored)."""
+    groups: dict[str, tuple[list[tuple[str, bool]], float | None]] = {}
     current_agents: list[str] = []
     pending_new_group = True
     for raw in robots_txt.splitlines():
@@ -57,29 +60,40 @@ def parse_robots(robots_txt: str, user_agent: str = "goto-eater-crawler") -> tup
         elif key in ("disallow", "allow", "crawl-delay"):
             pending_new_group = True
             for a in current_agents:
-                dis, cd = groups.get(a, ([], None))
-                if key == "disallow" and val:
-                    dis = dis + [val]
+                rules, cd = groups.get(a, ([], None))
+                if key in ("disallow", "allow") and val:
+                    rules = rules + [(val, key == "allow")]
                 elif key == "crawl-delay":
                     try:
                         cd = float(val)
                     except ValueError:
                         pass
-                groups[a] = (dis, cd)
+                groups[a] = (rules, cd)
     ua = user_agent.lower()
     if ua in groups:
         return groups[ua]
     return groups.get("*", ([], None))
 
 
-def robots_allowed(path: str, disallow_prefixes: list[str]) -> bool:
-    return not any(path.startswith(p) for p in disallow_prefixes)
+def robots_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """Standard REP precedence: the longest matching prefix wins; on a
+    length tie Allow wins (least-restrictive, per the public REP spec).
+    No matching rule -> allowed.  Also accepts the legacy plain-string
+    form (a bare disallow-prefix list)."""
+    best_len, best_allow = -1, True
+    for rule in rules:
+        prefix, is_allow = rule if isinstance(rule, tuple) else (rule, False)
+        if path.startswith(prefix):
+            ln = len(prefix)
+            if ln > best_len or (ln == best_len and is_allow):
+                best_len, best_allow = ln, is_allow
+    return best_allow
 
 
 @dataclass
 class HostState:
     crawl_delay: float = DEFAULT_CRAWL_DELAY
-    disallow: list[str] = field(default_factory=list)
+    rules: list[tuple[str, bool]] = field(default_factory=list)  # (prefix, is_allow)
     next_free_ts: float = 0.0  # virtual clock
     visit_count: int = 0  # per-host visit_seq counter
     is_mega: bool = False
@@ -103,7 +117,7 @@ class PolitenessScheduler:
                 delay = robots_delay if robots_delay is not None else self.default_delay
             st = self.hosts.setdefault(r["host"], HostState())
             st.crawl_delay = float(delay)
-            st.disallow = dis
+            st.rules = dis
             st.is_mega = bool(r.get("is_mega_host", False))
         return len(self.hosts)
 
@@ -144,8 +158,8 @@ class PolitenessScheduler:
         groups = {str(sorted_hosts[b]): order_by_host[b:e] for b, e in zip(boundaries, np.append(boundaries[1:], len(sorted_hosts)))}
         for host, idxs in groups.items():
             st = self._state(host)
-            if st.disallow:
-                ok = np.array([robots_allowed(paths[i], st.disallow) for i in idxs])
+            if st.rules:
+                ok = np.array([robots_allowed(paths[i], st.rules) for i in idxs])
                 allowed[idxs[~ok]] = False
                 idxs = idxs[ok]
             if len(idxs) == 0:
@@ -174,7 +188,7 @@ class PolitenessScheduler:
                 "visit_count": st.visit_count,
                 "next_free_ts": st.next_free_ts,
                 "crawl_delay": st.crawl_delay,
-                "disallow": list(st.disallow),
+                "rules": list(st.rules),
             }
         return out
 

@@ -141,6 +141,22 @@ class TestMisc:
         assert out[0]["lat"] == 38.26
         assert len(out) == 2
 
+    def test_decode_js_object_apostrophes_survive(self):
+        # the reference uses demjson precisely because real pages contain
+        # apostrophes inside strings; a naive global quote swap corrupts them
+        src = "{name: 'Bob''s diner', note: \"it's fine\", alt: 'say \"hi\"',}".replace("''", "\\'")
+        out = decode_js_object(src)
+        assert out["name"] == "Bob's diner"
+        assert out["note"] == "it's fine"
+        assert out["alt"] == 'say "hi"'
+
+    def test_decode_js_object_braces_inside_strings(self):
+        # key-quoting / trailing-comma regexes must not fire inside strings
+        src = "{tpl: '{x: 1,}', n: 2}"
+        out = decode_js_object(src)
+        assert out["tpl"] == "{x: 1,}"
+        assert out["n"] == 2
+
 
 class TestRegistry:
     def test_builtin_families(self):

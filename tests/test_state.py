@@ -182,6 +182,20 @@ class TestRobots:
         assert robots_allowed("/x", dis)
         assert cd is None
 
+    def test_allow_longest_match_precedence(self):
+        # full REP: Disallow:/ + Allow:/public/ admits /public/* (the
+        # protego/Scrapy behavior the reference relies on)
+        rules, _ = parse_robots("User-agent: *\nDisallow: /\nAllow: /public/\n")
+        assert robots_allowed("/public/x", rules)
+        assert not robots_allowed("/private/x", rules)
+        # deeper disallow inside an allowed subtree wins by length
+        rules2, _ = parse_robots("User-agent: *\nAllow: /a/\nDisallow: /a/secret/\n")
+        assert robots_allowed("/a/ok", rules2)
+        assert not robots_allowed("/a/secret/x", rules2)
+        # exact length tie -> allow wins
+        rules3, _ = parse_robots("User-agent: *\nDisallow: /tie/\nAllow: /tie/\n")
+        assert robots_allowed("/tie/x", rules3)
+
 
 class TestPoliteness:
     def test_per_host_serialization_and_delay(self):
@@ -271,7 +285,7 @@ class TestLeaseCommit:
         sched.configure([{"host": "h.jp", "crawl_delay_s": 1.5, "robots_txt": "User-agent: *\nDisallow: /priv/\n"}])
         lease = sched.lease_hosts(["h.jp", "fresh.jp"])
         assert lease["h.jp"]["crawl_delay"] == 1.5
-        assert lease["h.jp"]["disallow"] == ["/priv/"]
+        assert lease["h.jp"]["rules"] == [("/priv/", False)]
         assert lease["fresh.jp"]["crawl_delay"] == 2.0  # default
         # chain follower advances locally, commits back
         sched.commit_hosts({"h.jp": {"visit_count": 7, "next_free_ts": 10.5}})
