@@ -650,6 +650,40 @@ def q_media_features(sf_dir: str):
     return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=4)
 
 
+def q_site_items(sf_dir: str):
+    """Concrete per-site extractor configurations (sites/: tochigi,
+    niigata, fukuoka, yamagata, miyagi) run registry-driven over their
+    reference-DOM-shaped fixture pages as a map_batches stage.  Non-SQL
+    (fixture input, not an sf table); goldens in tests/test_sites.py."""
+    import ray.data as rdata
+
+    from ..sites import fixtures, reference_sites_registry
+
+    rows = [
+        {"prefecture": site, "url": url, "body": body}
+        for site, pages in sorted(fixtures.pages().items())
+        for url, body in pages
+    ]
+    reg = reference_sites_registry()
+
+    def run_parse(batch: pa.Table) -> pa.Table:
+        items = []
+        for pref, url, body in zip(
+            batch.column("prefecture").to_pylist(),
+            batch.column("url").to_pylist(),
+            batch.column("body").to_pylist(),
+        ):
+            res = reg.parse(pref, "parse", url, body, {}, 0)
+            for it in res.items:
+                items.append({"prefecture": pref, "source_url": url, **it})
+        from ..stages.parse import _EMPTY_ITEM
+
+        fields = [("prefecture", pa.string()), ("source_url", pa.string())] + [(k, pa.string()) for k in _EMPTY_ITEM]
+        return pa.Table.from_pylist(items, schema=pa.schema(fields))
+
+    return rdata.from_items(rows).map_batches(run_parse, batch_format="pyarrow", batch_size=16)
+
+
 # ---------------------------------------------------------------------------
 # crawl-engine queries (non-SQL: full engine semantics)
 # ---------------------------------------------------------------------------
@@ -756,6 +790,7 @@ QUERIES = {
     "media_features": q_media_features,
     "crawl_lineage": q_crawl_lineage,
     "crawl_documents": q_crawl_documents,
+    "site_items": q_site_items,
     "doc_spans": q_doc_spans,
 }
 

@@ -1,0 +1,33 @@
+"""Concrete per-site extractor configurations (SURVEY.md §2.9).
+
+The engine ships generic parser *families*; the reference's practical value
+is the per-prefecture quirk tables — area lists, genre code tables, seed
+URL sets, DOM paths.  Each module here ports ONE reference spider's
+configuration as a ``ParserSpec``: the quirk data verbatim-equivalent
+(cited), the extraction re-expressed over the repo's HTML-tree selector
+engine (functions/htmlsel.py) instead of Scrapy XPath.
+
+``reference_sites_registry()`` returns a registry with the builtin
+families PLUS these concrete sites — pass it to ``CrawlEngine(...,
+registry=...)`` or use ``SITE_SPECS`` directly.
+"""
+
+from __future__ import annotations
+
+from ..registry import ParserRegistry, ParserSpec, builtin_registry
+from . import fukuoka, miyagi, niigata, tochigi, yamagata
+
+SITE_SPECS: tuple[ParserSpec, ...] = (
+    tochigi.SPEC,
+    niigata.SPEC,
+    fukuoka.SPEC,
+    yamagata.SPEC,
+    miyagi.SPEC,
+)
+
+
+def reference_sites_registry() -> ParserRegistry:
+    reg = builtin_registry()
+    for spec in SITE_SPECS:
+        reg.register(spec)
+    return reg
