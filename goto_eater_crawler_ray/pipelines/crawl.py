@@ -106,6 +106,22 @@ def _cached_browser(spec: ScaleSpec):
     return b
 
 
+_HTTP_FETCHER_CACHE: dict[tuple, object] = {}
+
+
+def _cached_http_fetcher(http_opts: dict):
+    """Process-level real-network fetcher (requests.Session + per-host
+    wall clocks built once per worker process; all tasks in the process
+    share the host pacing state, which only strengthens politeness)."""
+    from ..stages.fetch import HttpFetcher
+
+    key = tuple(sorted(http_opts.items()))
+    f = _HTTP_FETCHER_CACHE.get(key)
+    if f is None:
+        f = _HTTP_FETCHER_CACHE[key] = HttpFetcher(**http_opts)
+    return f
+
+
 def make_fetch_fn(spec: ScaleSpec, max_retries: int = 8):
     from ..stages.fetch import fetch_simulated
 
@@ -162,7 +178,7 @@ def make_parse_emit(wave: int):
 CHAIN_EPS = 1e-6
 
 
-def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None):
+def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None, fetch_kind: str = "simulated", http_opts: dict | None = None):
     """Chain-following fetch+parse stage (the scale-critical design move).
 
     Politeness is per-host SERIAL (reference settings.py:34), so a host's
@@ -223,9 +239,14 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         def fetch_one(url, method, form_json, sched_ts, meta_json=""):
             form = json.loads(form_json) if form_json else {}
             meta = json.loads(meta_json) if meta_json else {}
-            status, _ctype, body, _lat, att, fetched_at = fetch_simulated(
-                store, url, method, form, sched_ts, meta, browser_factory=lambda: _cached_browser(spec), max_retries=max_retries
-            )
+            if fetch_kind == "http":  # real network (requests), same contract
+                status, _ctype, body, _lat, att, fetched_at = _cached_http_fetcher(http_opts or {}).fetch(
+                    url, method, form, sched_ts, meta
+                )
+            else:
+                status, _ctype, body, _lat, att, fetched_at = fetch_simulated(
+                    store, url, method, form, sched_ts, meta, browser_factory=lambda: _cached_browser(spec), max_retries=max_retries
+                )
             return status, att, body, fetched_at, form
 
         def emit(row, status, att, body, res, fetched_at, followed_mask):
@@ -753,6 +774,10 @@ class CrawlEngine:
         driver_admit_max_pages: int = 20_000,
         chain_mode: bool = True,
         registry=None,
+        fetch_kind: str = "simulated",
+        http_opts: dict | None = None,
+        seeds: list[dict] | None = None,
+        politeness: list[dict] | None = None,
     ):
         self.spec = spec
         self.out_dir = out_dir
@@ -768,19 +793,30 @@ class CrawlEngine:
         self.registry = registry  # ParserSpec registry (None -> module PARSERS)
         self.debug_timing = os.environ.get("CRAWL_DEBUG_TIMING", "") == "1"
         self.store = PageStore(spec)
-        self.mega_hosts = frozenset(r["host"] for r in self.store.politeness_rows() if r.get("is_mega_host"))
+        # fetch seam: "simulated" (deterministic corpus) or "http" (real
+        # network via requests — seeds/politeness overrides point the
+        # engine at real hosts; everything else is shared machinery)
+        self.fetch_kind = fetch_kind
+        self.http_opts = dict(http_opts or {})
+        self._seeds_override = seeds
+        self._politeness_override = politeness
+        pol = self._politeness_rows()
+        self.mega_hosts = frozenset(r["host"] for r in pol if r.get("is_mega_host"))
         # allowed_domains scope (reference: every spider declares one):
         # admission drops links to hosts outside the configured budget table
-        self.allowed_hosts = frozenset(r["host"] for r in self.store.politeness_rows())
+        self.allowed_hosts = frozenset(r["host"] for r in pol)
         self.seen_shards: list = []
         self.sched_actors: list = []
         self.totals = {"pages": 0, "items": 0, "waves": 0, "fetch_parse_sec": 0.0}
+
+    def _politeness_rows(self) -> list[dict]:
+        return self._politeness_override if self._politeness_override is not None else self.store.politeness_rows()
 
     # --- state management ------------------------------------------------
     def _init_state(self, seen_blobs=None, sched_blobs=None):
         import ray
 
-        pol_rows = self.store.politeness_rows()
+        pol_rows = self._politeness_rows()
         RemoteSeen = ray.remote(num_cpus=0.05)(SeenShard)
         RemoteSched = ray.remote(num_cpus=0.05)(PolitenessScheduler)
         self.seen_shards = [RemoteSeen.remote(self.seen_capacity) for _ in range(self.n_seen_shards)]
@@ -823,7 +859,7 @@ class CrawlEngine:
 
     # --- seeds -----------------------------------------------------------
     def _seed_frontier(self) -> pa.Table:
-        rows = self.store.seeds()
+        rows = self._seeds_override if self._seeds_override is not None else self.store.seeds()
         batch = pa.Table.from_pydict(
             {
                 "url": [r["url"] for r in rows],
@@ -921,7 +957,10 @@ class CrawlEngine:
         import time as _time
 
         t0 = _time.time()
-        chain_fn = make_chain_fetch_fn(self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave, registry=self.registry)
+        chain_fn = make_chain_fetch_fn(
+            self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave,
+            registry=self.registry, fetch_kind=self.fetch_kind, http_opts=self.http_opts,
+        )
         parsed_dir = os.path.join(self.out_dir, "parsed", f"wave={wave}")
         shutil.rmtree(parsed_dir, ignore_errors=True)  # idempotent re-run of a killed wave
         frontier_ds = rd.read_parquet(frontier_path, override_num_blocks=self._n_blocks(n_frontier))

@@ -105,6 +105,94 @@ class FetchWorker:
             .append_column("fetched_at", pa.array(fetched_at, pa.float64()))
 
 
+# Scrapy's default RETRY_HTTP_CODES (public docs) — the reference relies on
+# them via CustomRetryMiddleware (middlewares.py:109-130)
+RETRY_HTTP_CODES = frozenset({500, 502, 503, 504, 522, 524, 408, 429})
+DEFAULT_USER_AGENT = "goto-eater-crawler-ray (+politeness-aware; requests)"
+
+
+class HttpFetcher:
+    """Real-network fetch over ``requests`` — the same result contract as
+    :func:`fetch_simulated` (``(status, content_type, body, latency_ms,
+    attempts, fetched_at)``), usable wherever the simulated fetcher is.
+
+    Semantics mirrored from the reference's downloader stack:
+      * in-worker retry with exponential backoff ``2**n + rand(0,1)``
+        seconds on RETRY_HTTP_CODES and connection errors
+        (middlewares.py:109-130, RETRY_TIMES settings.py:119);
+        ``backoff_scale`` shrinks the real sleeps for tests;
+      * per-host wall-clock crawl delay: consecutive requests to one host
+        are spaced >= ``delay_s`` apart (DOWNLOAD_DELAY settings.py:32).
+        The caller must route one host's rows through one fetcher — which
+        the engine's chain-following fetch does by construction;
+      * UA header on every request (settings.py:17-20 shape);
+      * terminal failures are status rows (status 503 and empty body for
+        exhausted retries / network errors), never exceptions.
+
+    Stateful -> built once per actor/task (session + host clocks), used
+    per batch.  robots gating stays the scheduler's job, as in the
+    simulated path.
+    """
+
+    def __init__(
+        self,
+        delay_s: float = 0.0,
+        max_retries: int = RETRY_TIMES,
+        timeout_s: float = 20.0,
+        backoff_scale: float = 1.0,
+        user_agent: str = DEFAULT_USER_AGENT,
+    ):
+        import requests
+
+        self.session = requests.Session()  # per-actor, once: pooled keep-alive
+        self.session.headers["User-Agent"] = user_agent
+        self.delay_s = delay_s
+        self.max_retries = max_retries
+        self.timeout_s = timeout_s
+        self.backoff_scale = backoff_scale
+        self._next_free: dict[str, float] = {}  # host -> wall-clock next slot
+
+    def _polite_wait(self, host: str):
+        now = time.time()
+        nxt = self._next_free.get(host, 0.0)
+        if nxt > now:
+            time.sleep(nxt - now)
+            now = nxt
+        self._next_free[host] = now + self.delay_s
+
+    def fetch(self, url: str, method: str = "GET", form: dict | None = None, sched_ts: float = 0.0, meta: dict | None = None):
+        import random
+        from urllib.parse import urlsplit
+
+        import requests
+
+        host = urlsplit(url).netloc
+        attempts = 0
+        t0 = time.time()
+        while True:
+            attempts += 1
+            self._polite_wait(host)
+            try:
+                if method == "POST":
+                    resp = self.session.post(url, data=form or {}, timeout=self.timeout_s)
+                else:
+                    resp = self.session.get(url, timeout=self.timeout_s)
+                status, body = resp.status_code, resp.content
+                ctype = resp.headers.get("Content-Type", "")
+            except requests.RequestException:  # conn error == retryable
+                status, body, ctype = 503, b"", ""
+            retryable = status in RETRY_HTTP_CODES
+            if not retryable or attempts > self.max_retries:
+                break
+            # middlewares.py:123-127 backoff, scaled for tests
+            time.sleep(((2**attempts) + random.random()) * self.backoff_scale)
+        fetched_at = time.time()
+        latency_ms = int((fetched_at - t0) * 1000)
+        if status in RETRY_HTTP_CODES:  # retries exhausted -> terminal 503 row
+            return 503, ctype, b"", latency_ms, attempts, fetched_at
+        return status, ctype, body, latency_ms, attempts, fetched_at
+
+
 class SimBrowser:
     """Headless-browser fetch actor (reference: oita.py:19-46 playwright
     infinite scroll).  Expensive per-actor init (a real impl launches a
