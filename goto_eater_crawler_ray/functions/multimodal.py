@@ -37,15 +37,41 @@ def binary_metadata_batch(batch: pa.Table, col: str = "media_bytes") -> pa.Table
 
 
 class DecodeImage:
-    """binary -> (width, height, mode) — STUB codec (no Pillow here)."""
+    """binary -> (width, height, mode) — codec SEAM: auto-upgrades to a
+    real Pillow decode when ``import PIL`` succeeds (once per actor, in
+    __init__); otherwise ``strict=True`` raises (honest production
+    behavior) and ``strict=False`` runs the deterministic fake."""
 
     def __init__(self, strict: bool = False):
-        self.strict = strict  # a real impl would open the codec here, once
+        self.strict = strict
+        try:  # real codec if present — loaded once per actor
+            from PIL import Image  # noqa: PLC0415
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("image decode requires an image codec (not installed in this container)")
         data = batch.column("media_bytes").to_pylist()
+        if self._pil is not None:
+            import io
+
+            w, h, mode = [], [], []
+            for b in data:
+                with self._pil.open(io.BytesIO(b)) as im:
+                    w.append(im.width)
+                    h.append(im.height)
+                    mode.append(im.mode)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "width": pa.array(w, pa.int32()),
+                    "height": pa.array(h, pa.int32()),
+                    "mode": pa.array(mode, pa.string()),
+                }
+            )
+        if self.strict:
+            raise NotImplementedError("image decode requires Pillow (not installed in this container)")
         w, h = [], []
         for b in data:
             d = hashlib.md5(b).digest()

@@ -345,33 +345,85 @@ def parse_file_csv_coded(url: str, body: bytes, meta: dict, depth: int) -> Parse
     return res
 
 
+def _xlsx_rows_real(body: bytes) -> list[list[str]] | None:
+    """Codec seam: real .xlsx decode when openpyxl imports (sheet 'リスト'
+    preferred, else active — nara.py:31 semantics); None when the codec is
+    absent so the caller can fall back to the deterministic fake."""
+    try:
+        import io
+
+        import openpyxl  # noqa: PLC0415
+    except ImportError:
+        return None
+    wb = openpyxl.load_workbook(io.BytesIO(body), read_only=True, data_only=True)
+    ws = wb["リスト"] if "リスト" in wb.sheetnames else wb.active
+    return [["" if c is None else str(c) for c in row] for row in ws.iter_rows(values_only=True)]
+
+
 def parse_file_xlsx(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
-    """XLSX sheet parse — STUB decode (no openpyxl in container): the body is
-    a deterministic TSV fake produced by the page store; real plumbing
-    (binary body -> tabular rows) mirrors nara.py:31 (sheet 'リスト',
-    dtype=str)."""
+    """XLSX sheet parse (nara.py:31: sheet 'リスト', dtype=str).  Codec
+    SEAM: a real zip-container body decodes via openpyxl when installed;
+    the page store's deterministic TSV fake (FAKE-XLSX marker) keeps the
+    plumbing testable without the codec; a real body without a codec is an
+    explicit NotImplementedError, never silent garbage."""
     res = ParseResult()
-    lines = body.decode("utf-8", "replace").splitlines()
-    if not lines or not lines[0].startswith("FAKE-XLSX"):
-        raise NotImplementedError("real .xlsx decode requires openpyxl (stubbed in this container)")
-    for line in lines[1:]:
-        parts = line.split("\t")
+
+    def add(parts: list[str]):
         if len(parts) < 3:
-            continue
+            return
         item = dict(_EMPTY_ITEM)
         item["shop_name"], item["address"], item["tel"] = parts[0], parts[1], normalize_tel(parts[2])
         res.items.append(item)
         res.spans.append(("text", parts[0].strip(), ""))
         res.spans.append(("text", parts[1].strip(), ""))
+
+    if body[:2] == b"PK":  # real xlsx (zip container)
+        rows = _xlsx_rows_real(body)
+        if rows is None:
+            raise NotImplementedError("real .xlsx decode requires openpyxl (not installed in this container)")
+        for parts in rows[1:]:  # header row
+            add(parts)
+        return res
+    lines = body.decode("utf-8", "replace").splitlines()
+    if not lines or not lines[0].startswith("FAKE-XLSX"):
+        raise NotImplementedError("unrecognized xlsx body (neither real zip nor FAKE-XLSX fixture)")
+    for line in lines[1:]:
+        add(line.split("\t"))
     return res
 
 
+def _pdf_pages_real(body: bytes) -> list[str] | None:
+    """Codec seam: real PDF table extraction when a pdf library imports
+    (pdfplumber; the reference uses tabula+JVM, tokyo.py:50-63 — neither
+    is in this container).  Returns per-page CSV text, or None when no
+    codec is available."""
+    try:
+        import io
+
+        import pdfplumber  # noqa: PLC0415
+    except ImportError:
+        return None
+    pages = []
+    with pdfplumber.open(io.BytesIO(body)) as pdf:
+        for page in pdf.pages:
+            tbl = page.extract_table() or []
+            pages.append("\n".join(",".join("" if c is None else str(c) for c in row) for row in tbl))
+    return pages
+
+
 def parse_file_pdf(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
-    """PDF table parse — STUB decode (no tabula/JVM): form-feed-separated
-    CSV 'pages' with a header row per page to drop; mirrors the per-page
-    fan-out + df repair of tokyo.py:50-98."""
+    """PDF table parse with per-page fan-out + df repair (tokyo.py:50-98).
+    Codec SEAM: a real %PDF body decodes via pdfplumber when installed
+    (explicit NotImplementedError otherwise); the page store's form-feed
+    CSV fake keeps the plumbing testable without a codec."""
     res = ParseResult()
-    text = body.decode("utf-8", "replace")
+    if body[:5] == b"%PDF-":  # real pdf container
+        pages = _pdf_pages_real(body)
+        if pages is None:
+            raise NotImplementedError("real .pdf decode requires pdfplumber or tabula (not installed in this container)")
+        text = "\f".join(pages)
+    else:
+        text = body.decode("utf-8", "replace")
     for page in text.split("\f"):
         lines = page.splitlines()
         for line in lines[1:]:  # header row per page (tokyo.py:84-89)

@@ -158,6 +158,59 @@ class TestMisc:
         assert out["n"] == 2
 
 
+class TestGeoMesh:
+    # the reference's own self-test ring (abstract_liny.py:69-87)
+    REF_RING = [
+        [
+            [140.1125, 35.5416666666667],
+            [140.125, 35.5416666666667],
+            [140.125, 35.55],
+            [140.1125, 35.55],
+            [140.1125, 35.5416666666667],
+        ]
+    ]
+
+    def test_reference_vector(self):
+        from goto_eater_crawler_ray.functions.geomesh import mesh_bbox
+
+        x1, x2, y1, y2 = mesh_bbox(self.REF_RING)
+        assert x1 == 35.5416666666667
+        assert x2 == 35.55
+        assert y1 == 140.1125
+        assert y2 == 140.125
+
+    def test_seed_rows_from_geojson(self):
+        from goto_eater_crawler_ray.functions.geomesh import mesh_seed_rows
+
+        geojson = {
+            "type": "FeatureCollection",
+            "features": [
+                {"id": 7, "geometry": {"type": "Polygon", "coordinates": self.REF_RING}},
+                {
+                    "id": 8,
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[[139.0, 36.0], [139.0125, 36.0], [139.0125, 36.0083], [139.0, 36.0083], [139.0, 36.0]]],
+                    },
+                },
+            ],
+        }
+        rows = mesh_seed_rows(geojson, "https://liny.example/api/shops")
+        assert len(rows) == 2
+        assert rows[0]["url"] == "https://liny.example/api/shops?x1=35.5416666666667&x2=35.55&y1=140.1125&y2=140.125"
+        assert rows[1]["meta"]["mesh_id"] == "8"
+
+    def test_batch_form(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.geomesh import mesh_seeds_batch
+
+        ds = rd.from_items([{"coordinates": self.REF_RING}] * 3)
+        out = ds.map_batches(mesh_seeds_batch("https://liny.example/api"), batch_format="pyarrow").to_pandas()
+        assert len(out) == 3
+        assert out["url"].str.contains("x1=35.5416666666667").all()
+
+
 class TestRegistry:
     def test_builtin_families(self):
         from goto_eater_crawler_ray.registry import builtin_registry

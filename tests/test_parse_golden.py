@@ -147,3 +147,64 @@ def test_retryable_failures_deterministic(store):
     assert p1.body == p2.body
     assert p1.retryable_failures == p2.retryable_failures
     assert p1.latency_ms == p2.latency_ms
+
+
+class TestCodecSeams:
+    """The xlsx/pdf/image codec seams: deterministic fakes keep plumbing
+    testable in this container; REAL bodies either decode through the real
+    library (conditional tests, skipped when absent) or raise an explicit
+    NotImplementedError — never silent garbage."""
+
+    def test_real_xlsx_body_without_codec_raises(self):
+        from goto_eater_crawler_ray.stages.parse import parse_file_xlsx
+
+        try:
+            import openpyxl  # noqa: F401
+
+            pytest.skip("openpyxl installed; the no-codec branch is unreachable")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            parse_file_xlsx("u", b"PK\x03\x04 not really a sheet", {}, 0)
+
+    def test_real_pdf_body_without_codec_raises(self):
+        from goto_eater_crawler_ray.stages.parse import parse_file_pdf
+
+        try:
+            import pdfplumber  # noqa: F401
+
+            pytest.skip("pdfplumber installed; the no-codec branch is unreachable")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="pdf"):
+            parse_file_pdf("u", b"%PDF-1.7 fake", {}, 0)
+
+    def test_real_xlsx_decode_when_codec_present(self):
+        openpyxl = pytest.importorskip("openpyxl")
+        import io
+
+        from goto_eater_crawler_ray.stages.parse import parse_file_xlsx
+
+        wb = openpyxl.Workbook()
+        ws = wb.active
+        ws.title = "リスト"
+        ws.append(["店名", "住所", "電話"])
+        ws.append(["店A", "奈良市1-1", "0742-00-0001"])
+        buf = io.BytesIO()
+        wb.save(buf)
+        res = parse_file_xlsx("u", buf.getvalue(), {}, 0)
+        assert res.items[0]["shop_name"] == "店A"
+
+    def test_real_image_decode_when_codec_present(self):
+        PIL = pytest.importorskip("PIL")  # noqa: F841
+        import io
+
+        from PIL import Image
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage
+
+        buf = io.BytesIO()
+        Image.new("RGB", (17, 9)).save(buf, format="PNG")
+        out = DecodeImage()(pa.table({"doc_id": ["d1"], "media_bytes": [buf.getvalue()]}))
+        assert out.column("width")[0].as_py() == 17
+        assert out.column("height")[0].as_py() == 9
