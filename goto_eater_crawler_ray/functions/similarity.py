@@ -216,12 +216,16 @@ class MultiTableSignLSH:
         self.weights = 1 << np.arange(n_planes, dtype=np.uint64)
         self.n_tables = n_tables
 
+    N_BUCKET_PARTS = 256  # coarse groupby partitions (see lsh_cosine_pairs)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         base = batch.select(["vec_id", "embedding"])
         if n == 0:
-            return base.append_column("table_id", pa.array([], pa.int32())).append_column(
-                "bucket", pa.array([], pa.uint64())
+            return (
+                base.append_column("table_id", pa.array([], pa.int32()))
+                .append_column("bucket", pa.array([], pa.uint64()))
+                .append_column("bucket_part", pa.array([], pa.int32()))
             )
         mat = _as_matrix(batch.column("embedding"))
         t_ids, buckets = [], []
@@ -230,8 +234,13 @@ class MultiTableSignLSH:
             buckets.append((signs.astype(np.uint64) * self.weights[None, :]).sum(axis=1))
             t_ids.append(np.full(n, t, dtype=np.int32))
         rep = pa.concat_tables([base] * self.n_tables)
-        return rep.append_column("table_id", pa.array(np.concatenate(t_ids), pa.int32())).append_column(
-            "bucket", pa.array(np.concatenate(buckets), pa.uint64())
+        tid = np.concatenate(t_ids)
+        bkt = np.concatenate(buckets)
+        part = ((bkt * np.uint64(self.n_tables) + tid.astype(np.uint64)) & np.uint64(self.N_BUCKET_PARTS - 1)).astype(np.int32)
+        return (
+            rep.append_column("table_id", pa.array(tid, pa.int32()))
+            .append_column("bucket", pa.array(bkt, pa.uint64()))
+            .append_column("bucket_part", pa.array(part, pa.int32()))
         )
 
 
@@ -265,33 +274,51 @@ def lsh_cosine_pairs(
         concurrency=4,
     )
 
-    def per_bucket(group: pa.Table) -> pa.Table:
-        n = group.num_rows
+    def per_bucket_part(part_tbl: pa.Table) -> pa.Table:
+        # coarse partition: many complete (table_id, bucket) buckets per
+        # call, singleton runs skipped wholesale (cuts the dominant
+        # per-tiny-group map_groups overhead; co-location preserved since
+        # bucket_part is a pure function of the bucket key)
+        n = part_tbl.num_rows
         if n < 2:
             return _COS_PAIR_SCHEMA.empty_table()
-        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _l2_normalize(_as_matrix(group.column("embedding")))
-        order = np.argsort(ids, kind="stable")
-        ids, mat = ids[order], mat[order]
-        if n > hot_bucket_cap:  # hot-bucket star guard
-            sims = mat[1:] @ mat[0]
-            keep = sims >= threshold
-            a = np.full(int(keep.sum()), ids[0], dtype=np.int64)
-            b, s = ids[1:][keep], sims[keep]
-        else:
-            sims = mat @ mat.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            a, b, s = ids[ii].astype(np.int64), ids[jj], sims[ii, jj]
-        if len(a) == 0:
+        tid = part_tbl.column("table_id").to_numpy(zero_copy_only=False)
+        bkt = part_tbl.column("bucket").to_numpy(zero_copy_only=False)
+        ids = part_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _l2_normalize(_as_matrix(part_tbl.column("embedding")))
+        order = np.lexsort((ids, bkt, tid))
+        tid, bkt, ids, mat = tid[order], bkt[order], ids[order], mat[order]
+        starts = np.flatnonzero(np.concatenate(([True], (tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1]))))
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        out_a, out_b, out_s = [], [], []
+        for s_, e_ in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            b_ids, b_mat = ids[s_:e_], mat[s_:e_]
+            bn = e_ - s_
+            if bn > hot_bucket_cap:  # hot-bucket star guard
+                sims = b_mat[1:] @ b_mat[0]
+                keep = sims >= threshold
+                if keep.any():
+                    out_a.append(np.full(int(keep.sum()), b_ids[0], dtype=np.int64))
+                    out_b.append(b_ids[1:][keep])
+                    out_s.append(sims[keep])
+            else:
+                sims = b_mat @ b_mat.T
+                ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+                if len(ii):
+                    out_a.append(b_ids[ii].astype(np.int64))
+                    out_b.append(b_ids[jj])
+                    out_s.append(sims[ii, jj])
+        if not out_a:
             return _COS_PAIR_SCHEMA.empty_table()
         return pa.table(
             {
-                "vec_a": pa.array(a, pa.int64()),
-                "vec_b": pa.array(b.astype(np.int64), pa.int64()),
-                "cos_sim": pa.array(np.round(s, round_dp), pa.float64()),
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(np.round(np.concatenate(out_s), round_dp), pa.float64()),
             }
         )
 
-    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(per_bucket, batch_format="pyarrow")
+    cand = bucketed.groupby("bucket_part").map_groups(per_bucket_part, batch_format="pyarrow")
     # cos_sim identical wherever found -> Max == the value; one shuffle
     return cand.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))

@@ -79,33 +79,81 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 class LangId:
-    """Character-n-gram language heuristic — stateful stage (profiles built
-    once per actor in ``__init__``, SURVEY guidance on actor pools).
+    """Language ID heuristic — stateful stage (tables built once per actor
+    in ``__init__``, SURVEY guidance on actor pools).
 
-    The synthetic corpus has no real cross-language signal, so the profile
-    is a deterministic hash-based scorer: reproducible, plumbing-real,
-    clearly not a linguistic claim.  Swap ``_profiles`` for real trigram
-    tables when shipping against natural text.
+    Two real, public signals (no model download needed):
+      1. SCRIPT pass, fully vectorized: the whole batch's text is decoded
+         to a single uint32 codepoint array (one ``utf-32`` encode), and
+         per-doc Unicode-block counts (kana / CJK / hangul / cyrillic /
+         arabic / latin) come from ``np.add.reduceat`` over block masks.
+         Kana>0 -> ja; CJK w/o kana -> zh; hangul -> ko; etc.
+      2. For latin-script docs, a STOPWORD vote: token-set overlap with
+         small per-language function-word lists (en/de/fr/es) — the
+         classic cheap discriminator among European languages.
+
+    Deterministic across processes (pure table lookups, no hashing).
     """
 
-    LANGS = ("en", "de", "fr", "es", "zh", "ja")
+    STOPWORDS = {
+        "en": frozenset("the of and to in is you that it he was for on are as with his they at be this".split()),
+        "de": frozenset("der die das und ist du dass es er war für auf sind als mit sein sie bei sei nicht ein eine".split()),
+        "fr": frozenset("le la les de et est tu que il était pour sur sont comme avec son ils à être ce une dans".split()),
+        "es": frozenset("el la los de y es tú que él era para en son como con su ellos ser esta una las del".split()),
+    }
+    # (lo, hi, lang-or-script) unicode blocks
+    _BLOCKS = (
+        (0x3040, 0x30FF, "kana"),  # hiragana + katakana
+        (0x4E00, 0x9FFF, "cjk"),
+        (0xAC00, 0xD7AF, "hangul"),
+        (0x0400, 0x04FF, "cyrillic"),
+        (0x0600, 0x06FF, "arabic"),
+    )
 
     def __init__(self):
-        import zlib
+        self._word_re = __import__("re").compile(r"[a-zà-ÿäöüß]+")
 
-        self._crc = zlib.crc32  # deterministic across processes (NOT builtins.hash)
-        self._seeds = {lang: hashlib.md5(lang.encode()).digest()[:4] for lang in self.LANGS}
+    def _latin_vote(self, text: str) -> str:
+        tokens = set(self._word_re.findall(text.lower()))
+        best, best_n = "en", -1
+        for lang, sw in self.STOPWORDS.items():
+            n = len(tokens & sw)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array([], pa.string())})
+        # one vectorized codepoint pass over the whole batch; a 0 sentinel
+        # keeps reduceat bounds in range, and zero-length docs (reduceat's
+        # empty-segment quirk returns a neighbor element) are masked out
+        joined = "".join(texts)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        cps = np.append(cps, np.uint32(0))
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        empty = lens == 0
+        counts = {}
+        for lo, hi, name in self._BLOCKS:
+            mask = ((cps >= lo) & (cps <= hi)).astype(np.int64)
+            counts[name] = np.add.reduceat(mask, bounds)
+            counts[name][empty] = 0
         preds = []
-        for t in batch.column("text").to_pylist():
-            tri = set(t[i : i + 3] for i in range(0, max(len(t) - 2, 1), 7))
-            best, best_score = "en", -1.0
-            for lang, seed in self._seeds.items():
-                score = sum(1 for g in tri if (self._crc(g.encode("utf-8") + seed) & 0xFF) < 8) / max(len(tri), 1)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
+        for i, t in enumerate(texts):
+            if counts["kana"][i] > 0:
+                preds.append("ja")
+            elif counts["cjk"][i] > 0:
+                preds.append("zh")
+            elif counts["hangul"][i] > 0:
+                preds.append("ko")
+            elif counts["cyrillic"][i] > 0:
+                preds.append("ru")
+            elif counts["arabic"][i] > 0:
+                preds.append("ar")
+            else:
+                preds.append(self._latin_vote(t))
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})
 
 

@@ -534,14 +534,14 @@ def metrics_partial_batch(batch: pa.Table) -> pa.Table:
 
     df = pd.DataFrame(
         {
-            "wave": batch.column("wave").to_pylist(),
+            "wave": batch.column("wave").to_numpy(zero_copy_only=False),
             "host": batch.column("host").to_pylist(),
             "pages": 1,
             "items": pc.list_value_length(batch.column("items").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
-            "links": batch.column("n_links").to_pylist(),
-            "bytes": batch.column("bytes").to_pylist(),
-            "errors": pc.not_equal(batch.column("status"), 200).to_pylist(),
-            "retries": pc.subtract(batch.column("attempts"), 1).to_pylist(),
+            "links": batch.column("n_links").to_numpy(zero_copy_only=False),
+            "bytes": batch.column("bytes").to_numpy(zero_copy_only=False),
+            "errors": pc.not_equal(batch.column("status"), 200).to_numpy(zero_copy_only=False).astype(np.int64),
+            "retries": pc.subtract(batch.column("attempts"), 1).to_numpy(zero_copy_only=False),
         }
     )
     return pa.Table.from_pandas(df.groupby(["wave", "host"], as_index=False).sum(), preserve_index=False)
@@ -875,22 +875,24 @@ class CrawlEngine:
             }
         )
         # admission (canonicalize + sha1 + seen RPC) is CPU-bound over tens
-        # of thousands of seed rows -> run it as a small dataset pipeline;
-        # scheduling stays driver-side (one deterministic call per shard)
+        # of thousands of seed rows.  This is a CONTROL-PLANE step of fixed,
+        # modest size (the seed list), so it fans out as plain ray.remote
+        # slice tasks over the same admit_fn — a Dataset execution here pays
+        # streaming-executor startup + a repartition shuffle that dwarf the
+        # work and grow WITH cpu count (measured: 2.1 s @8 -> 3.9 s @32 as a
+        # dataset vs <1.5 s flat as tasks); scheduling stays driver-side
+        # (one deterministic call per shard)
         import pyarrow as _pa
 
-        import ray.data as rd
-
-        admit_fn = make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts)
-        admitted_parts = (
-            rd.from_arrow(batch)
-            .repartition(self._n_blocks(len(batch)))
-            .map_batches(admit_fn, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
         import ray as _ray
 
-        tables = [t for t in _ray.get(admitted_parts) if len(t)]
+        admit_fn = make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts)
+        n = len(batch)
+        n_slices = max(1, min(int(_ray.cluster_resources().get("CPU", 8)), n // 4096 + 1))
+        admit_task = _ray.remote(num_cpus=1)(admit_fn)
+        bounds = [(i * n) // n_slices for i in range(n_slices + 1)]
+        refs = [admit_task.remote(batch.slice(lo, hi - lo)) for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
+        tables = [t for t in _ray.get(refs) if len(t)]
         admitted = _pa.concat_tables(tables) if tables else _empty_admitted()
         return self._schedule_driver(admitted)
 
@@ -1028,7 +1030,15 @@ class CrawlEngine:
         for d in ("items", "documents", "lineage", "metrics"):
             shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)  # full idempotent rewrite
         n_rows = pads.dataset(parsed_dir).count_rows()
-        nb = self._n_blocks(n_rows)
+        # four dataset jobs run CONCURRENTLY below: give each ~cpus blocks,
+        # not 2*cpus — 8x-oversubscribing the pool just adds task overhead
+        # and write contention (measured on the bench corpus)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        nb = max(1, min(cpus, n_rows // 512 + 1))
+        if os.environ.get("CRAWL_FINALIZE_NB"):
+            nb = int(os.environ["CRAWL_FINALIZE_NB"])
 
         def timed(name, fn):
             t0 = _t.time()

@@ -519,6 +519,15 @@ def q_simhash_groups(sf_dir: str):
     return simhash_dup_groups(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]))
 
 
+def q_simhash_near_pairs(sf_dir: str):
+    """Hamming<=3 SimHash near-dup pairs via pigeonhole banding (exact for
+    the radius, bucket-local verification).  Non-SQL (bit-level op);
+    correctness via planted bit-flip pytest."""
+    from ..functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), max_hamming=3)
+
+
 def q_langid(sf_dir: str):
     from ..functions.text import LangId
 
@@ -778,6 +787,7 @@ QUERIES = {
     "dedup_filter": q_dedup_filter,
     "char_jaccard": q_char_jaccard,
     "minhash_pairs": q_minhash_pairs,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "simhash_groups": q_simhash_groups,
     "langid": q_langid,
     "dedup_groups": q_dedup_groups,

@@ -15,7 +15,7 @@ registry=...)`` or use ``SITE_SPECS`` directly.
 from __future__ import annotations
 
 from ..registry import ParserRegistry, ParserSpec, builtin_registry
-from . import fukuoka, miyagi, niigata, tochigi, yamagata
+from . import fukuoka, miyagi, niigata, saitama, tochigi, yamagata
 
 SITE_SPECS: tuple[ParserSpec, ...] = (
     tochigi.SPEC,
@@ -23,6 +23,7 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     fukuoka.SPEC,
     yamagata.SPEC,
     miyagi.SPEC,
+    saitama.SPEC,
 )
 
 

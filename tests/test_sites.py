@@ -151,6 +151,30 @@ class TestMiyagi:
         assert rows[0]["form"]["area"] == "仙台市青葉区"
 
 
+class TestSaitama:
+    def test_golden(self):
+        res = _parse("saitama")
+        assert len(res.items) == 3
+        by_name = {i["shop_name"]: i for i in res.items}
+        # genre comes from the surrounding tab, area from the page name
+        assert by_name["川越亭"]["genre_name"] == "和食"
+        assert by_name["喫茶ひばり"]["genre_name"] == "カフェ"
+        assert all(i["area_name"] == "川越市" for i in res.items)
+        # positional span fields (saitama.py:109-114)
+        assert by_name["川越亭"]["zip_code"] == "350-0041"
+        assert by_name["川越亭"]["official_page"] == "http://kawagoetei.example"
+        assert by_name["うなぎ藤棚"]["official_page"] is None
+
+    def test_area_list_is_the_reference_table(self):
+        from goto_eater_crawler_ray.sites.saitama import AREA_LIST, seeds
+
+        assert len(AREA_LIST) == 73  # saitama.py:16-90
+        rows = seeds()
+        assert len(rows) == 73
+        assert rows[0]["url"].endswith("/store/さいたま市西区.html")
+        assert rows[0]["meta"]["area_name"] == "さいたま市西区"
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -177,6 +201,6 @@ class TestSiteItemsQuery:
         from goto_eater_crawler_ray.pipelines.queries import q_site_items
 
         out = q_site_items("unused").to_pandas()
-        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4  # all fixture items
-        assert set(out["prefecture"]) == {"tochigi", "niigata", "fukuoka", "yamagata", "miyagi"}
+        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3  # all fixture items
+        assert set(out["prefecture"]) == {"tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama"}
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
