@@ -189,21 +189,14 @@ def make_shard_actors(n_shards: int, capacity_per_shard: int, restore_blobs: lis
     """Create N named-less shard actors; optionally restore from checkpoint."""
     import ray
 
-    RemoteShard = ray.remote(num_cpus=0.25)(SeenShard)
+    # num_cpus=0.05: shard actors are RPC-bound; a bigger reservation steals
+    # task slots from the data plane at low cpu counts (engine uses the same)
+    RemoteShard = ray.remote(num_cpus=0.05)(SeenShard)
+    actors = [RemoteShard.remote(capacity_per_shard) for _ in range(n_shards)]
     if restore_blobs is not None:
         assert len(restore_blobs) == n_shards
-        actors = []
-        for blob in restore_blobs:
-            a = RemoteShard.remote(capacity_per_shard)
-            # restore via a method call (classmethod not callable remotely on instance)
-            a.__ray_terminate__  # noqa: B018 — touch to assert actor-ness
-            actors.append(a)
-        # restore state through a dedicated method
-        import numpy as _np  # noqa: F401
-
         ray.get([a._restore_inplace.remote(blob) for a, blob in zip(actors, restore_blobs)])
-        return actors
-    return [RemoteShard.remote(capacity_per_shard) for _ in range(n_shards)]
+    return actors
 
 
 def _restore_inplace(self: SeenShard, blob: bytes) -> bool:
