@@ -322,3 +322,126 @@ def lsh_cosine_pairs(
     cand = bucketed.groupby("bucket_part").map_groups(per_bucket_part, batch_format="pyarrow")
     # cos_sim identical wherever found -> Max == the value; one shuffle
     return cand.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — trained coarse quantizer, the classic scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(emb_ds, n_centroids: int = 16, sample_limit: int = 4096, iters: int = 10, seed: int = 3):
+    """Train the IVF coarse quantizer: Lloyd's k-means on a BOUNDED sample
+    (explicit ``sample_limit`` — the standard IVF recipe trains on a small
+    sample, never the corpus; public literature: Sivic-Zisserman Video
+    Google 2003, FAISS IVF docs).  Returns an L2-normalized (k, d) centroid
+    matrix — a few KB, broadcast to every stage."""
+    rows = emb_ds.limit(sample_limit).take_all()
+    X = _l2_normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    cent = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+            else:  # empty cluster: reseed to the worst-served point
+                new[c] = X[sims.max(axis=1).argmin()]
+        cent = _l2_normalize(new)
+    return cent
+
+
+def ivf_ann_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16, n_probe: int = 2, round_dp: int = 4):
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    trained centroid (one matmul per batch against the broadcast centroid
+    matrix), route each query to its ``n_probe`` nearest lists, search
+    only inside those lists via groupby co-location, then merge per-query
+    candidates with one tiny groupby.  Recall is tested against brute
+    force; raise ``n_probe`` to trade throughput for recall."""
+    import ray
+
+    cent = ivf_train_centroids(emb_ds, n_centroids=n_centroids)
+    cent_ref = ray.put(cent)
+
+    q_rows = emb_ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _l2_normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    # each query probes its n_probe nearest lists
+    probe_lists = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    q_ref = ray.put((q_ids, q_mat, probe_lists))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch.schema.field("embedding").type),
+                    "list_id": pa.array([], pa.int32()),
+                }
+            )
+        mat = _l2_normalize(_as_matrix(batch.column("embedding")))
+        lists = (mat @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {"vec_id": batch.column("vec_id"), "embedding": batch.column("embedding"), "list_id": pa.array(lists, pa.int32())}
+        )
+
+    _cand_schema = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
+    )
+
+    def search_list(group: pa.Table) -> pa.Table:
+        ids_, mat_, probes_ = ray.get(q_ref)
+        if group.num_rows == 0:
+            return _cand_schema.empty_table()
+        lid = int(group.column("list_id")[0].as_py())
+        probing = np.flatnonzero((probes_ == lid).any(axis=1))
+        if len(probing) == 0:
+            return _cand_schema.empty_table()
+        c_ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        c_mat = _l2_normalize(_as_matrix(group.column("embedding")))
+        sims = c_mat @ mat_[probing].T  # (n_list, n_probing)
+        out_q, out_n, out_s = [], [], []
+        for j, qi in enumerate(probing):
+            qid = ids_[qi]
+            mask = c_ids != qid  # exclude self
+            top = np.argsort(-sims[mask, j], kind="stable")[:k]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_n.append(c_ids[mask][top].astype(np.int64))
+            out_s.append(sims[mask, j][top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    _empty_final = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_final
+        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        return df.assign(
+            rank=np.arange(1, len(df) + 1, dtype=np.int64), score=np.round(df["score"].to_numpy(), round_dp)
+        )
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    cands = assigned.groupby("list_id").map_groups(search_list, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

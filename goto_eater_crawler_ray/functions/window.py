@@ -1,0 +1,83 @@
+"""Windowed per-key aggregates, Ray-Data-first.
+
+The reference has no in-engine aggregation (SURVEY.md §2.7), but a
+training-data pipeline needs ordered per-key window ops (rolling quality
+averages, per-host rate windows).  Pattern (the same coarse-partition
+trick as the LSH buckets): hash keys into ``n_key_parts`` partitions via
+one groupby — each ``map_groups`` call receives MANY complete key groups
+— then sort and compute all windows segment-vectorized with numpy (no
+per-key Python calls, no per-key shuffle).
+
+SQL-oracle twin: ``avg(x) OVER (PARTITION BY key ORDER BY ... ROWS
+BETWEEN w-1 PRECEDING AND CURRENT ROW)`` — rolling mean emitted as a
+scaled BIGINT so the DuckDB hash-compare is float-rounding-proof.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def rolling_mean_per_key(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 3,
+    out_col: str = "mov_avg_c",
+    scale: int = 100,
+    n_key_parts: int = 64,
+):
+    """ROWS window-1 PRECEDING..CURRENT rolling mean per key, ordered by
+    ``order_cols`` — returns (key, *order_cols, out_col) with the mean as
+    ``round(mean*scale)`` BIGINT.  One hash shuffle (the coarse groupby);
+    everything inside is a numpy segment pass."""
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    def windows(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        out_schema = pa.schema(
+            [part.schema.field(key_col)]
+            + [part.schema.field(c) for c in order_cols]
+            + [pa.field(out_col, pa.int64())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        orders = [part.column(c).to_numpy(zero_copy_only=False) for c in order_cols]
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        sort_idx = np.lexsort(tuple(reversed(orders)) + (keys,))
+        keys, vals = keys[sort_idx], vals[sort_idx]
+        orders = [o[sort_idx] for o in orders]
+        seg_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        # position within segment, vectorized
+        idx = np.arange(n)
+        start_of = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        pos = idx - start_of
+        win = np.minimum(pos + 1, window)
+        # frame sum in ascending order (shifted adds) to mirror the frame
+        # scan a window function does — keeps float rounding bit-compatible
+        s = vals.copy()
+        shifted = vals
+        for d in range(1, window):
+            shifted = np.concatenate(([0.0] * 1, shifted[:-1]))
+            s = np.where(pos >= d, s + shifted, s)
+        mean = s / win
+        # DuckDB round() is half-AWAY-from-zero; np.round is half-to-even —
+        # window means land exactly on .5 (sum/2), so match DuckDB explicitly
+        scaled = mean * scale
+        scaled = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        cols = {key_col: keys}
+        for c, o in zip(order_cols, orders):
+            cols[c] = o
+        cols[out_col] = scaled.astype(np.int64)
+        arrays = []
+        for f in out_schema:
+            arrays.append(pa.array(cols[f.name]).cast(f.type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(windows, batch_format="pyarrow")

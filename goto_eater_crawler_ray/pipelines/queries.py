@@ -414,6 +414,25 @@ SELECT count(*) AS n_distinct_pairs FROM (SELECT DISTINCT user_id, event_type FR
 """
 
 
+def q_events_moving_avg(sf_dir: str):
+    """Per-user ROWS-window rolling mean of event value (window 3, ordered
+    by ts then event_id) — the windowed-aggregate operator: one coarse
+    hash shuffle on user_id, segment-vectorized windows inside."""
+    from ..functions.window import rolling_mean_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
+    return rolling_mean_per_key(ds, key_col="user_id", order_cols=["ts", "event_id"], value_col="value", window=3)
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT user_id, ts, event_id,
+       CAST(round(avg(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS mov_avg_c
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -622,6 +641,15 @@ def q_lsh_ann(sf_dir: str):
     return lsh_ann_topk(emb, query_ids=list(range(10)), dim=dim, k=5)
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF (trained coarse quantizer) ANN — approximate; recall vs brute
+    force asserted in tests, so rows-only here."""
+    from ..functions.similarity import ivf_ann_topk
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_ann_topk(emb, query_ids=list(range(10)), k=5, n_centroids=16, n_probe=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary column plumbing; codecs stubbed)
 # ---------------------------------------------------------------------------
@@ -777,6 +805,7 @@ QUERIES = {
     "events_top_users": q_events_top_users,
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
+    "events_moving_avg": q_events_moving_avg,
     "bucket_join": q_bucket_join,
     "asof_join": q_asof_join,
     "distinct_pairs": q_distinct_pairs,
@@ -795,6 +824,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "cosine_dups": q_cosine_dups,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
     "media_features": q_media_features,
@@ -815,6 +845,7 @@ ORACLES = {
     "events_top_users": SQL_EVENTS_TOP_USERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "bucket_join": SQL_BUCKET_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "distinct_pairs": SQL_DISTINCT_PAIRS,
@@ -827,7 +858,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "cosine_dups": SQL_COSINE_DUPS,
     "media_metadata": SQL_MEDIA_METADATA,
-    # minhash_pairs / simhash_groups / langid / lsh_ann / media_decode /
+    # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
 }

@@ -156,6 +156,25 @@ class TestSimilarity:
         planted = {(j, 50 + j) for j in range(5)}
         assert len(planted & approx_pairs) >= 4, approx_pairs
 
+    def test_ivf_recall_vs_brute_force(self, emb_ds):
+        from goto_eater_crawler_ray.functions.similarity import brute_force_topk, ivf_ann_topk
+
+        bf = brute_force_topk(emb_ds, query_ids=[0, 1, 2, 3, 4], k=1).to_pandas()
+        ivf = ivf_ann_topk(emb_ds, query_ids=[0, 1, 2, 3, 4], k=1, n_centroids=8, n_probe=3).to_pandas()
+        bf_top = dict(zip(bf["query_id"], bf["neighbor_id"]))
+        ivf_top = dict(zip(ivf["query_id"], ivf["neighbor_id"]))
+        # a near-copy (cos≈0.9999) shares its query's nearest centroid, so
+        # the trained quantizer recalls planted top-1s reliably
+        recall = sum(ivf_top.get(q) == n for q, n in bf_top.items()) / len(bf_top)
+        assert recall >= 0.8, f"IVF top-1 recall {recall}"
+
+    def test_ivf_centroids_shape(self, emb_ds):
+        from goto_eater_crawler_ray.functions.similarity import ivf_train_centroids
+
+        cent = ivf_train_centroids(emb_ds, n_centroids=8)
+        assert cent.shape == (8, 16)
+        assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
     def test_lsh_recall_vs_brute_force(self, emb_ds):
         from goto_eater_crawler_ray.functions.similarity import brute_force_topk, lsh_ann_topk
 
@@ -362,6 +381,31 @@ class TestConnectedComponents:
         groups = dict(zip(out["doc_id"], out["group_id"]))
         for j in range(100):
             assert groups.get(1000 + j) == groups.get(j, -1) == j
+
+
+class TestRollingWindow:
+    def test_rolling_mean_segments_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import rolling_mean_per_key
+
+        rows = [
+            # user 1: values 1,2,4 -> windows: 1 | 1.5 | 7/3
+            {"user_id": 1, "ts": 1, "event_id": 10, "value": 1.0},
+            {"user_id": 1, "ts": 2, "event_id": 11, "value": 2.0},
+            {"user_id": 1, "ts": 3, "event_id": 12, "value": 4.0},
+            # user 2: single row, window resets at the segment boundary
+            {"user_id": 2, "ts": 1, "event_id": 20, "value": 9.0},
+            # user 3: mean hits exactly x.5 at scale -> half-AWAY (DuckDB), not half-even
+            {"user_id": 3, "ts": 1, "event_id": 30, "value": 0.01},
+            {"user_id": 3, "ts": 2, "event_id": 31, "value": 0.02},
+        ]
+        ds = rd.from_items(rows)
+        out = rolling_mean_per_key(ds, "user_id", ["ts", "event_id"], "value", window=3, n_key_parts=4).to_pandas()
+        got = dict(zip(out["event_id"], out["mov_avg_c"]))
+        assert got[10] == 100 and got[11] == 150 and got[12] == round(7 / 3 * 100)
+        assert got[20] == 900  # segment reset: window never crosses users
+        assert got[31] == 2  # (0.01+0.02)/2*100 = 1.5 -> 2 (half-away), not 1
 
 
 class TestHLL:
