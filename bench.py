@@ -149,6 +149,7 @@ def main() -> None:
         "exact_dedup",
         "minhash_pairs",
         "ann_topk",
+        "orders_topn_per_cust",
         "doc_spans",
     ]
     qtimes = {}

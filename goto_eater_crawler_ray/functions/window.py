@@ -81,3 +81,59 @@ def rolling_mean_per_key(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(windows, batch_format="pyarrow")
+
+
+def top_n_per_key(
+    ds,
+    key_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    rank_col: str = "rn",
+    n_key_parts: int = 64,
+):
+    """``row_number() OVER (PARTITION BY key ORDER BY order_col [DESC],
+    tiebreak_col) <= n`` — per-key top-N with a deterministic tie-break.
+    Same shape as :func:`rolling_mean_per_key`: one coarse hash shuffle,
+    then an in-part lexsort + segment-position mask (no per-key Python
+    calls).  A per-batch pre-prune keeps only each batch's local top-N per
+    key before the shuffle, so the exchange carries O(n_keys·N) rows, not
+    the full table — the partial-aggregate trick applied to a window op."""
+
+    def _local_positions(keys: np.ndarray, order: np.ndarray, tie: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ord_key = -order if descending else order
+        sort_idx = np.lexsort((tie, ord_key, keys))
+        skeys = keys[sort_idx]
+        seg_start = np.concatenate(([True], skeys[1:] != skeys[:-1]))
+        idx = np.arange(len(keys))
+        pos = idx - np.maximum.accumulate(np.where(seg_start, idx, 0))
+        return sort_idx, pos
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            return batch.append_column("_key_part", pa.array(k.astype(np.int32), pa.int32()))
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        order = batch.column(order_col).to_numpy(zero_copy_only=False)
+        tie = batch.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        sort_idx, pos = _local_positions(keys, order, tie)
+        keep = sort_idx[pos < n]  # local top-n per key is a superset of the global winners in this batch
+        out = batch.take(pa.array(np.sort(keep)))
+        k = out.column(key_col).to_numpy(zero_copy_only=False)
+        return out.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    def topn(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_key_part"])
+        out_schema = part.schema.append(pa.field(rank_col, pa.int64()))
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        order = part.column(order_col).to_numpy(zero_copy_only=False)
+        tie = part.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        sort_idx, pos = _local_positions(keys, order, tie)
+        keep_mask = pos < n
+        taken = part.take(pa.array(sort_idx[keep_mask]))
+        return taken.append_column(rank_col, pa.array(pos[keep_mask] + 1, pa.int64()))
+
+    return ds.map_batches(prune, batch_format="pyarrow").groupby("_key_part").map_groups(topn, batch_format="pyarrow")

@@ -433,6 +433,39 @@ FROM events
 """
 
 
+def q_orders_topn_per_cust(sf_dir: str):
+    """Per-customer top-3 orders by totalprice (row_number window with a
+    deterministic orderkey tie-break): per-batch local top-N pre-prune,
+    one coarse hash shuffle, segment-vectorized rank inside."""
+    from ..functions.window import top_n_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    top = top_n_per_key(ds, key_col="o_custkey", order_col="o_totalprice", n=3, tiebreak_col="o_orderkey")
+
+    def scale(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "price_c": price_c,
+                "rn": batch.column("rn"),
+            }
+        )
+
+    return top.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_ORDERS_TOPN_PER_CUST = """
+SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -688,10 +721,10 @@ def q_media_features(sf_dir: str):
 
 
 def q_site_items(sf_dir: str):
-    """Concrete per-site extractor configurations (sites/: tochigi,
-    niigata, fukuoka, yamagata, miyagi) run registry-driven over their
-    reference-DOM-shaped fixture pages as a map_batches stage.  Non-SQL
-    (fixture input, not an sf table); goldens in tests/test_sites.py."""
+    """Concrete per-site extractor configurations (the 18 modules in
+    sites/) run registry-driven over their reference-DOM-shaped fixture
+    pages as a map_batches stage.  Non-SQL (fixture input, not an sf
+    table); goldens in tests/test_sites.py."""
     import ray.data as rdata
 
     from ..sites import fixtures, reference_sites_registry
@@ -806,6 +839,7 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
+    "orders_topn_per_cust": q_orders_topn_per_cust,
     "bucket_join": q_bucket_join,
     "asof_join": q_asof_join,
     "distinct_pairs": q_distinct_pairs,
@@ -846,6 +880,7 @@ ORACLES = {
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "orders_topn_per_cust": SQL_ORDERS_TOPN_PER_CUST,
     "bucket_join": SQL_BUCKET_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "distinct_pairs": SQL_DISTINCT_PAIRS,

@@ -15,7 +15,26 @@ registry=...)`` or use ``SITE_SPECS`` directly.
 from __future__ import annotations
 
 from ..registry import ParserRegistry, ParserSpec, builtin_registry
-from . import fukuoka, miyagi, niigata, saitama, tochigi, yamagata
+from . import (
+    aichi,
+    akita,
+    fukuoka,
+    gunma,
+    hokkaido,
+    hyogo,
+    kagawa,
+    kyoto,
+    miyagi,
+    nagasaki,
+    nara,
+    niigata,
+    oita,
+    osaka,
+    saitama,
+    tochigi,
+    tokyo,
+    yamagata,
+)
 
 SITE_SPECS: tuple[ParserSpec, ...] = (
     tochigi.SPEC,
@@ -24,6 +43,18 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     yamagata.SPEC,
     miyagi.SPEC,
     saitama.SPEC,
+    osaka.SPEC,
+    gunma.SPEC,
+    akita.SPEC,
+    nara.SPEC,
+    tokyo.SPEC,
+    nagasaki.SPEC,
+    hokkaido.SPEC,
+    oita.SPEC,
+    kyoto.SPEC,
+    kagawa.SPEC,
+    aichi.SPEC,
+    hyogo.SPEC,
 )
 
 

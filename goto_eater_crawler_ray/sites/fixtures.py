@@ -163,6 +163,344 @@ SAITAMA_PAGE = """
 """
 
 
+OSAKA_PAGE_1 = """
+<html><body>
+<div class="search_result_box"><ul>
+  <li>
+    <p class="name">たこ焼き道頓堀 総本店</p>
+    <ul class="tag_list"><li>ミナミ</li><li>たこ焼き</li><li>粉もん</li></ul>
+    <table>
+      <tr><td>〒542-0071<br>大阪市中央区 道頓堀1-1</td></tr>
+      <tr><td>06-900-1111</td></tr>
+      <tr><td>11:00-22:00</td></tr>
+      <tr><td>水曜</td></tr>
+    </table>
+    <a href="https://goto-eat.weare.osaka-info.jp/shop/1111/"> 詳しく見る </a>
+  </li>
+  <li>
+    <p class="name"></p>
+    <ul class="tag_list"><li>キタ</li><li>中華料理</li></ul>
+    <table>
+      <tr><td>〒530-0001<br>大阪市北区梅田2-2</td></tr>
+      <tr><td>06-900-2222</td></tr>
+    </table>
+  </li>
+</ul></div>
+<div role="navigation"><a rel="next" href="https://goto-eat.weare.osaka-info.jp/gotoeat/page/2/">&gt;</a></div>
+</body></html>
+"""
+
+OSAKA_PAGE_LAST = """
+<html><body>
+<div class="search_result_box"><ul>
+  <li>
+    <p class="name">串かつ 泉州屋</p>
+    <ul class="tag_list"><li>泉州</li><li>串かつ</li></ul>
+    <table>
+      <tr><td>〒598-0007<br>泉佐野市上町3-3</td></tr>
+      <tr><td>072-900-3333</td></tr>
+    </table>
+  </li>
+</ul></div>
+<div role="navigation"></div>
+</body></html>
+"""
+
+GUNMA_PAGE_1 = """
+<html><body><section id="result">
+  <article>
+    <div><span>前橋市</span></div>
+    <div><span class="shopcat">焼きまんじゅう</span><h3>原嶋屋総本家</h3>
+      <p class="shopadr"><span>〒371-0025</span>前橋市紅雲町2-2</p>
+      <p class="shoptel">TEL.027-900-1111</p>
+      <div class="shopinfo"><a href="/shop/1/">詳細</a><a href="http://harashimaya.example">公式</a></div></div>
+  </article>
+  <article>
+    <div><span>高崎市</span></div>
+    <div><h3>登利平 本店</h3>
+      <p class="shopadr"><span>〒370-0827</span>高崎市鞘町3-3</p>
+      <div class="shopinfo"><a href="/shop/2/">詳細</a></div></div>
+  </article>
+</section>
+<div id="search_page_outer"><a class="next page-numbers" href="https://gunma-gotoeat-campaign.com/shop/page/2/?s=&amp;post_type=shop">&gt;</a></div>
+</body></html>
+"""
+
+GUNMA_PAGE_LAST = """
+<html><body><section id="result">
+  <article>
+    <div><span>桐生市</span></div>
+    <div><span class="shopcat">ひもかわ</span><h3>ふる川 暮六つ</h3>
+      <p class="shopadr"><span>〒376-0031</span>桐生市本町4-4</p>
+      <p class="shoptel">TEL.0277-900-3333</p>
+      <div class="shopinfo"><a href="/shop/3/">詳細</a></div></div>
+  </article>
+</section>
+<div id="search_page_outer"></div>
+</body></html>
+"""
+
+# akita list.csv: NO header; 店舗名,市町村,所在地,電話番号,公式ホームページ —
+# furigana comments in names, backfilled-comment addresses, an
+# empty-address row that must drop, and short rows that fillna to ""
+AKITA_CSV = (
+    "きりたんぽ亭<!--きりたんぽてい-->,秋田市,秋田市中通1-1,018-900-1111,http://kiritanpo.example\n"
+    "比内やきとり,大館市,,0186-900-2222,\n"
+    "稲庭うどん乾,湯沢市,<!--湯沢市稲庭町乾1-1-->,0183-900-3333\n"
+)
+
+# nara 利用店舗一覧.xlsx: FAKE-XLSX TSV fake WITH the reference's header
+# row (sheet リスト); a name with an embedded newline marker and blank
+# tel/URL cells that fillna to ""
+NARA_XLSX = (
+    "FAKE-XLSX sheet=リスト\n"
+    "エリア\t店舗名称\tカテゴリー\t住所\t電話番号\tURL\n"
+    "奈良市 \t柿の葉すし本舗\t和食 \t奈良市角振町5-5 \t0742-900-1111\thttp://kakinoha.example\n"
+    "橿原市\t大和鶏白湯めん処\tラーメン\t橿原市内膳町6-6\t\t\n"
+)
+
+TOKYO_INDEX_PAGE = """
+<html><body><section id="c-search__pdf"><ul>
+  <li><a href="https://pr.gnavi.co.jp/promo/gotoeat-tokyo/pdf/shop1.pdf"> 加盟店一覧1 </a></li>
+  <li><a href="https://pr.gnavi.co.jp/promo/gotoeat-tokyo/pdf/shop4.pdf">加盟店一覧4</a></li>
+</ul></section></body></html>
+"""
+
+# fake PDF: form-feed-separated per-page tables exercising every repair
+# branch — normal header page, headerless 7-column page, URL-less page
+# with a header echo row and a blank-name row
+TOKYO_PDF_SHOP1 = (
+    "紙,電子,飲食店名,店舗住所,店舗電話番号,URL,業態\n"
+    "○,○,銀座すし勘,中央区銀座1-1,03-900-1111,http://sushikan.example,寿司\n"
+    "○,,洋食キムラヤ,台東区上野2-2,03-900-2222,,洋食\n"
+    "\f"
+    "○,○,神田やぶそば,千代田区神田3-3,03-900-3333,http://yabu.example,そば\n"
+    ",,,,,,\n"
+    "\f"
+    "飲食店名,店舗住所,店舗電話番号,業態\n"
+    "飲食店名,店舗住所,店舗電話番号,業態\n"
+    "権八西麻布,港区西麻布4-4,03-900-4444,居酒屋\n"
+    "もんじゃ浜膳,,03-900-5555,もんじゃ\n"
+)
+
+
+NAGASAKI_PAGE_1 = """
+<html><body><section id="shop-list">
+  <div class="shop-list-content">
+    <div class="shop-list-content-name"> 卓袱浜勝 </div>
+    <div class="shop-list-content-area">長崎<wbr>市内</div>
+    <div class="shop-list-content-cat">和食・<wbr>卓袱</div>
+    <div class="shop-list-content-add-002"> 長崎市鍛冶屋町1-1 </div>
+    <div class="shop-list-content-tel-002">095-900-1111</div>
+    <div class="shop-list-content-url"><a href="http://hamakatsu.example">WEB</a></div>
+  </div>
+  <div class="shop-list-content">
+    <div class="shop-list-content-name">トルコライス赤迫亭</div>
+    <div class="shop-list-content-area">長崎市内</div>
+    <div class="shop-list-content-cat">洋食</div>
+    <div class="shop-list-content-add-002">長崎市赤迫2-2</div>
+  </div>
+</section>
+<div class="pagination"><a class="next" href="https://www.gotoeat-nagasaki.jp/merchant-list/page/2/">&gt;</a></div>
+</body></html>
+"""
+
+NAGASAKI_PAGE_LAST = """
+<html><body><section id="shop-list">
+  <div class="shop-list-content">
+    <div class="shop-list-content-name">五島うどん庵</div>
+    <div class="shop-list-content-area">五島</div>
+    <div class="shop-list-content-cat">うどん</div>
+    <div class="shop-list-content-add-002">五島市福江町3-3</div>
+    <div class="shop-list-content-tel-002">0959-900-3333</div>
+  </div>
+</section>
+<div class="pagination"></div>
+</body></html>
+"""
+
+HOKKAIDO_TOKEN_PAGE = """
+<html><body><form action="/general/particStores/search" method="post">
+<p class="buttons"><input type="hidden" name="_token" value="tok-hokkaido-123"><input type="submit" value="検索する"></p>
+</form></body></html>
+"""
+
+HOKKAIDO_RESULT_PAGE_1 = """
+<html><body><div id="contents"><div class="results"><ul>
+  <li><div class="left"><h4 class="results-tit"> スープカレー奥芝 </h4><p class="results-txt01"> 札幌市中央区南1条1-1 </p></div>
+      <div class="right"><p class="results-txt02"> スープカレー </p><p class="results-txt03"> 011-900-1111 </p></div></li>
+  <li><div class="left"><h4 class="results-tit">小樽なると屋</h4><p class="results-txt01">小樽市稲穂2-2</p></div>
+      <div class="right"><p class="results-txt02">鶏料理</p></div></li>
+</ul></div></div>
+<ul role="navigation"><li><a rel="next" href="https://gotoeat-hokkaido.jp/general/particStores/search?page=2">次</a></li></ul>
+</body></html>
+"""
+
+HOKKAIDO_RESULT_PAGE_LAST = """
+<html><body><div id="contents"><div class="results"><ul>
+  <li><div class="left"><h4 class="results-tit">函館ラッキー食堂</h4><p class="results-txt01">函館市若松町3-3</p></div>
+      <div class="right"><p class="results-txt02">食堂</p><p class="results-txt03">0138-900-3333</p></div></li>
+</ul></div></div>
+<ul role="navigation"></ul>
+</body></html>
+"""
+
+# the ONE accumulated page the browser scroll loop leaves behind
+OITA_PAGE = """
+<html><body><ul class="shop-list cf">
+  <li class="box-sh cf">
+    <div class="tag cf"><p class="area"><span> 大分市 </span></p><p class="genre"><span>とり天</span><span>定食</span></p></div>
+    <p class="name"> とり天発祥の店 </p>
+    <div class="first"><p class="add"> 大分市中央町1-1 </p><p class="web"><a href=" http://toriten.example "> WEB </a></p></div>
+    <div class="second"><p class="s-call"><span class="shoptel"><a href="tel:0979001111">097-900-1111</a></span></p></div>
+  </li>
+  <li class="box-sh cf">
+    <div class="tag cf"><p class="area"><span>別府市</span></p><p class="genre"><span>地獄蒸し</span></p></div>
+    <p class="name">地獄蒸し工房 鉄輪</p>
+    <div class="first"><p class="add">別府市鉄輪2-2</p></div>
+    <div class="second"><p class="s-call"></p></div>
+  </li>
+</ul></body></html>
+"""
+
+
+KYOTO_LIST_PAGE = """
+<html><body><main id="main">
+  <div class="store-item"><a class="btnDetail" href="/store/101/ "> 詳細 </a></div>
+  <div class="store-item"><a class="btnDetail" href="https://kyoto-gotoeat.com/store/102/">詳細</a></div>
+</main>
+<div role="navigation"><a rel="next" href="https://kyoto-gotoeat.com/page/2/?s=">&gt;</a></div>
+</body></html>
+"""
+
+KYOTO_DETAIL_PAGE = """
+<html><body><main id="main"><div class="store-detail">
+  <div class="name"> 湯豆腐 嵯峨乃 </div>
+  <div class="store-cont">
+    <table>
+      <tr><th>ジャンル</th><td> 和食 </td></tr>
+      <tr><th>エリア</th><td> 右京区 </td></tr>
+      <tr><th>住所</th><td> 京都市右京区嵯峨天龍寺1-1 </td></tr>
+      <tr><th>電話番号</th><td></td></tr>
+      <tr><th>営業時間</th><td>11:00-17:00</td></tr>
+      <tr><th>定休日</th><td></td></tr>
+      <tr><th>U R L</th><td><a href="http://sagano.example">公式</a></td></tr>
+    </table>
+    <iframe src="https://maps.google.co.jp/maps?q=35.0156,135.6739&amp;output=embed"></iframe>
+  </div>
+</div></main></body></html>
+"""
+
+KAGAWA_PAGE_1 = """
+<html><body><div class="container">
+  <div class="store-list cf">
+    <h4>骨付鳥 一鶴</h4>
+    <table>
+      <tr><th><span>エリア</span></th><td> 丸亀市 </td></tr>
+      <tr><th><span>料理ジャンル</span></th><td>鶏料理｜居酒屋</td></tr>
+      <tr><th><span>電話番号</span></th><td>0877-900-1111</td></tr>
+      <tr><th><span>住所</span></th><td>丸亀市浜町1-1</td></tr>
+    </table>
+  </div>
+  <div class="store-list cf">
+    <h4>うどんバカ一代</h4>
+    <table>
+      <tr><th><span>エリア</span></th><td>高松市</td></tr>
+      <tr><th><span>料理ジャンル</span></th><td>うどん</td></tr>
+      <tr><th><span>電話番号</span></th><td>087-900-2222</td></tr>
+      <tr><th><span>住所</span></th><td>高松市多賀町2-2</td></tr>
+    </table>
+  </div>
+</div>
+<div role="navigation"><a rel="next" href="/gtes/store-list?fstr=&amp;mode=only&amp;page=2">&gt;</a></div>
+</body></html>
+"""
+
+KAGAWA_PAGE_LAST = """
+<html><body><div class="container">
+  <div class="store-list cf">
+    <h4>和三盆カフェ豆花</h4>
+    <table>
+      <tr><th><span>エリア</span></th><td>高松市</td></tr>
+      <tr><th><span>料理ジャンル</span></th><td>カフェ</td></tr>
+      <tr><th><span>電話番号</span></th><td>087-900-3333</td></tr>
+      <tr><th><span>住所</span></th><td>高松市花園町3-3</td></tr>
+    </table>
+  </div>
+</div>
+<div role="navigation"></div>
+</body></html>
+"""
+
+
+AICHI_PAGE_1 = """
+<html><body><section class="lcl-sbs__main">
+<ul class="lcl-shop">
+  <li class="lcl-shop__item">
+    <h2 class="lcl-shop__name"> 味噌煮込みの山本屋 </h2>
+    <ul class="lcl-shop-tag"><li class="lcl-shop-tag__item lcl-shop-tag__item--cat">和食</li>
+        <li class="lcl-shop-tag__item lcl-shop-tag__item--area">名古屋市中区</li></ul>
+    <p class="lcl-shop__address">〒 460-0008 名古屋市中区栄1-1</p>
+    <a class="lcl-shop__link lcl-shop__link--tel" href="tel:0529001111">電話</a>
+    <a class="lcl-shop__link lcl-shop__link--web" href="http://yamamotoya.example">WEB</a>
+  </li>
+  <li class="lcl-shop__item">
+    <h2 class="lcl-shop__name">手羽先の風来坊</h2>
+    <ul class="lcl-shop-tag"><li class="lcl-shop-tag__item lcl-shop-tag__item--cat">居酒屋</li></ul>
+    <p class="lcl-shop__address">〒456-0002 名古屋市熱田区金山町2-2</p>
+  </li>
+</ul>
+</section>
+<nav class="pagination"><a class="pagination-btn pagination-btn--next" href="/shop/page/2/">次へ</a></nav>
+</body></html>
+"""
+
+AICHI_PAGE_LAST = """
+<html><body><section class="lcl-sbs__main">
+<ul class="lcl-shop">
+  <li class="lcl-shop__item">
+    <h2 class="lcl-shop__name">ひつまぶし備長</h2>
+    <ul class="lcl-shop-tag"><li class="lcl-shop-tag__item lcl-shop-tag__item--cat">うなぎ</li>
+        <li class="lcl-shop-tag__item lcl-shop-tag__item--area">名古屋市中村区</li></ul>
+    <p class="lcl-shop__address">〒453-0015 名古屋市中村区椿町3-3</p>
+  </li>
+</ul>
+</section>
+<nav class="pagination"></nav>
+</body></html>
+"""
+
+HYOGO_PAGE_1 = """
+<html><body><ul class="search-results-list">
+  <li>
+    <div><p class="search-results-list-name"> 神戸ビーフ吉祥 </p></div>
+    <ul><li><span>住所：</span><span> 〒650-0001 </span><span>神戸市中央区 加納町1-1</span></li>
+        <li><span>TEL：</span><span><a href="tel:0789001111">078-900-1111</a></span></li></ul>
+    <div><p class="search-results-list-btn"><a href=" https://gotoeat-hyogo.com/store/detail/501?page=3 ">詳細</a></p></div>
+  </li>
+  <li>
+    <div><p class="search-results-list-name">明石焼ふなまち</p></div>
+    <ul><li><span>住所：</span><span>〒673-0892</span><span>明石市本町2-2</span></li></ul>
+    <div><p class="search-results-list-btn"><a href="https://gotoeat-hyogo.com/store/detail/502?page=3">詳細</a></p></div>
+  </li>
+</ul>
+<div><p class="search-results-num current">3</p><p class="search-results-num"><a href="https://gotoeat-hyogo.com/search/result?keyword=&amp;page=4">4</a></p></div>
+</body></html>
+"""
+
+HYOGO_PAGE_LAST = """
+<html><body><ul class="search-results-list">
+  <li>
+    <div><p class="search-results-list-name">出石そば城下庵</p></div>
+    <ul><li><span>住所：</span><span>〒668-0214</span><span>豊岡市出石町3-3</span></li></ul>
+    <div><p class="search-results-list-btn"><a href="https://gotoeat-hyogo.com/store/detail/503?page=4">詳細</a></p></div>
+  </li>
+</ul>
+<div><p class="search-results-num">3</p><p class="search-results-num current">4</p></div>
+</body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -183,4 +521,44 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         ],
         "miyagi": [("https://gte-miyagi.jp/gte/available_aobaku.php", MIYAGI_PAGE.encode())],
         "saitama": [("https://saitama-goto-eat.com/store/川越市.html", SAITAMA_PAGE.encode())],
+        "osaka": [
+            ("https://goto-eat.weare.osaka-info.jp/gotoeat/?csp=search_add", OSAKA_PAGE_1.encode()),
+            ("https://goto-eat.weare.osaka-info.jp/gotoeat/page/2/", OSAKA_PAGE_LAST.encode()),
+        ],
+        "gunma": [
+            ("https://gunma-gotoeat-campaign.com/shop/?s=&post_type=shop", GUNMA_PAGE_1.encode()),
+            ("https://gunma-gotoeat-campaign.com/shop/page/2/?s=&post_type=shop", GUNMA_PAGE_LAST.encode()),
+        ],
+        "akita": [("https://gotoeat-akita.com/csv/list.csv", AKITA_CSV.encode())],
+        "nara": [("https://premium-gift.jp/files/140/document/1660/利用店舗一覧.xlsx", NARA_XLSX.encode())],
+        "tokyo": [
+            ("https://r.gnavi.co.jp/plan/campaign/gotoeat-tokyo/", TOKYO_INDEX_PAGE.encode()),
+            ("https://pr.gnavi.co.jp/promo/gotoeat-tokyo/pdf/shop1.pdf", TOKYO_PDF_SHOP1.encode()),
+        ],
+        "nagasaki": [
+            ("https://www.gotoeat-nagasaki.jp/merchant-list/", NAGASAKI_PAGE_1.encode()),
+            ("https://www.gotoeat-nagasaki.jp/merchant-list/page/2/", NAGASAKI_PAGE_LAST.encode()),
+        ],
+        "hokkaido": [
+            ("https://gotoeat-hokkaido.jp/general/particStores", HOKKAIDO_TOKEN_PAGE.encode()),
+            ("https://gotoeat-hokkaido.jp/general/particStores/search", HOKKAIDO_RESULT_PAGE_1.encode()),
+            ("https://gotoeat-hokkaido.jp/general/particStores/search?page=2", HOKKAIDO_RESULT_PAGE_LAST.encode()),
+        ],
+        "oita": [("https://oita-gotoeat.com/shop/", OITA_PAGE.encode())],
+        "kyoto": [
+            ("https://kyoto-gotoeat.com/?s=", KYOTO_LIST_PAGE.encode()),
+            ("https://kyoto-gotoeat.com/store/101/", KYOTO_DETAIL_PAGE.encode()),
+        ],
+        "kagawa": [
+            ("https://www.kagawa-gotoeat.com/gtes/store-list?fstr=&mode=only", KAGAWA_PAGE_1.encode()),
+            ("https://www.kagawa-gotoeat.com/gtes/store-list?fstr=&mode=only&page=2", KAGAWA_PAGE_LAST.encode()),
+        ],
+        "aichi": [
+            ("https://www.gotoeat-aichi-shop.jp/shop/", AICHI_PAGE_1.encode()),
+            ("https://www.gotoeat-aichi-shop.jp/shop/page/2/", AICHI_PAGE_LAST.encode()),
+        ],
+        "hyogo": [
+            ("https://gotoeat-hyogo.com/search/result?keyword=", HYOGO_PAGE_1.encode()),
+            ("https://gotoeat-hyogo.com/search/result?keyword=&page=4", HYOGO_PAGE_LAST.encode()),
+        ],
     }

@@ -28,6 +28,10 @@ def crawl_out(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("crawl"))
     eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
     totals = eng.run()
+    # shutdown immediately: downstream tests read only (out, totals), and
+    # leaked shard actors accumulate CPU reservations in the 4-CPU test
+    # session until a later actor-pool stage deadlocks waiting for slots
+    eng.shutdown()
     return out, totals
 
 
@@ -128,6 +132,7 @@ def test_determinism_second_run(ray_session, crawl_out, tmp_path):
     out2 = str(tmp_path / "crawl2")
     eng = CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4)
     eng.run()
+    eng.shutdown()
     l1 = pads.dataset(os.path.join(out1, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
@@ -138,15 +143,19 @@ def test_resume_after_kill(ray_session, tmp_path):
     Uses chain_mode=False so the crawl spans many waves (chain mode
     collapses the golden corpus to ~1 wave)."""
     full_out = str(tmp_path / "full")
-    CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False).run()
+    eng0 = CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False)
+    eng0.run()
+    eng0.shutdown()
 
     part_out = str(tmp_path / "partial")
     eng = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False, max_waves=2)
     eng.run()  # stops after wave 1 (simulated kill)
     assert eng._latest_checkpoint() == 1
+    eng.shutdown()
     # resume to completion with a FRESH engine object
     eng2 = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False)
     totals2 = eng2.run(resume=True)
+    eng2.shutdown()
 
     l_full = pads.dataset(os.path.join(full_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     l_part = pads.dataset(os.path.join(part_out, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
@@ -162,6 +171,7 @@ def test_distributed_admission_path_identical(ray_session, crawl_out, tmp_path):
     out2 = str(tmp_path / "dist")
     eng = CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4, driver_admit_max_pages=0)
     eng.run()
+    eng.shutdown()
     l1 = pads.dataset(os.path.join(out1, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
@@ -173,7 +183,9 @@ def test_chain_vs_strict_wave_equivalence(ray_session, crawl_out, tmp_path):
     same heap semantics, only the barrier moved."""
     out1, _ = crawl_out  # chain mode (default)
     out2 = str(tmp_path / "strict")
-    CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4, chain_mode=False).run()
+    eng_s = CrawlEngine(ScaleSpec.golden(), out2, n_seen_shards=2, n_sched_shards=2, n_parts=4, chain_mode=False)
+    eng_s.run()
+    eng_s.shutdown()
     l1 = pads.dataset(os.path.join(out1, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     l2 = pads.dataset(os.path.join(out2, "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
     assert len(l1) == len(l2)
@@ -340,7 +352,9 @@ def test_resume_with_checkpoint_interval(ray_session, tmp_path):
     overwrites + no-op re-admissions) — final state equals an uninterrupted
     run."""
     full_out = str(tmp_path / "full")
-    CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False).run()
+    eng0 = CrawlEngine(ScaleSpec.golden(), full_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False)
+    eng0.run()
+    eng0.shutdown()
 
     part_out = str(tmp_path / "partial")
     eng = CrawlEngine(ScaleSpec.golden(), part_out, n_seen_shards=2, n_sched_shards=2, chain_mode=False, checkpoint_interval=3, max_waves=4)

@@ -407,6 +407,29 @@ class TestRollingWindow:
         assert got[20] == 900  # segment reset: window never crosses users
         assert got[31] == 2  # (0.01+0.02)/2*100 = 1.5 -> 2 (half-away), not 1
 
+    def test_top_n_per_key_prune_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import top_n_per_key
+
+        rows = [
+            # key 1: four rows, tie at value 9.0 broken by id asc
+            {"k": 1, "v": 9.0, "id": 104},
+            {"k": 1, "v": 9.0, "id": 101},
+            {"k": 1, "v": 5.0, "id": 102},
+            {"k": 1, "v": 7.0, "id": 103},
+            # key 2: fewer rows than n
+            {"k": 2, "v": 1.0, "id": 200},
+        ]
+        # two single-row-ish blocks so the local prune runs per batch and
+        # the global merge must still find the true top-2
+        ds = rd.from_items(rows).repartition(3)
+        out = top_n_per_key(ds, "k", "v", n=2, tiebreak_col="id", n_key_parts=4).to_pandas()
+        got = {(r.k, r.rn): r.id for r in out.itertuples()}
+        assert got[(1, 1)] == 101 and got[(1, 2)] == 104  # tie -> id asc
+        assert got[(2, 1)] == 200
+        assert len(out) == 3
+
 
 class TestHLL:
     def test_accuracy(self, ray_session):

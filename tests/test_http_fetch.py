@@ -164,6 +164,7 @@ class TestHttpCrawlE2E:
             politeness=politeness,
         )
         totals = eng.run()
+        eng.shutdown()
         assert totals["pages"] == 3
 
         tbl = pads.dataset(str(tmp_path / "out" / "parsed")).to_table()

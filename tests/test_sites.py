@@ -175,6 +175,259 @@ class TestSaitama:
         assert rows[0]["meta"]["area_name"] == "さいたま市西区"
 
 
+class TestOsaka:
+    def test_golden_page1(self):
+        res = _parse("osaka", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("たこ焼き道頓堀 総本店", "ミナミ")
+        assert a["genre_name"] == "たこ焼き|粉もん"  # multi-genre join (osaka.py:70)
+        assert (a["zip_code"], a["address"]) == ("〒542-0071", "大阪市中央区道頓堀1-1")  # \s squeezed
+        assert (a["tel"], a["opening_hours"], a["closing_day"]) == ("06-900-1111", "11:00-22:00", "水曜")
+        assert a["detail_page"] == "https://goto-eat.weare.osaka-info.jp/shop/1111/"
+        # nameless card -> the reference's hard-coded fallback (osaka.py:56-60)
+        assert b["shop_name"] == "珉珉上新庄駅前店"
+        assert (b["area_name"], b["genre_name"]) == ("キタ", "中華料理")
+        assert [l["url"] for l in res.links] == ["https://goto-eat.weare.osaka-info.jp/gotoeat/page/2/"]
+
+    def test_last_page_stops(self):
+        res = _parse("osaka", 1)
+        assert res.links == []
+        assert res.items[0]["area_name"] == "泉州"
+
+    def test_area_list_is_the_reference_table(self):
+        from goto_eater_crawler_ray.sites.osaka import AREA_LIST
+
+        assert len(AREA_LIST) == 10  # osaka.py:25-36
+        assert AREA_LIST[0] == "キタ" and AREA_LIST[-1] == "泉州"
+
+
+class TestGunma:
+    def test_golden_page1(self):
+        res = _parse("gunma", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"], a["genre_name"]) == ("原嶋屋総本家", "前橋市", "焼きまんじゅう")
+        assert a["zip_code"] == "371-0025"  # leading 〒 stripped via [1:] (gunma.py:32)
+        assert a["address"] == "前橋市紅雲町2-2"  # direct text, zip span excluded
+        assert a["tel"] == "027-900-1111"  # "TEL." prefix stripped (gunma.py:36-37)
+        assert a["official_page"] == "http://harashimaya.example"  # shopinfo a[2]
+        # optional genre/tel absent; single shopinfo link -> no official page
+        assert (b["genre_name"], b["tel"], b["official_page"]) == (None, None, None)
+        assert [l["url"] for l in res.links] == ["https://gunma-gotoeat-campaign.com/shop/page/2/?s=&post_type=shop"]
+
+    def test_last_page_stops(self):
+        assert _parse("gunma", 1).links == []
+
+
+class TestAkita:
+    def test_golden(self):
+        res = _parse("akita")
+        assert len(res.items) == 2  # empty-所在地 row dropped (akita.py:39-40)
+        a, b = res.items
+        # furigana comment kept in the name — normalize strips it later,
+        # like the reference's item pipeline (akita.py:34-36)
+        assert a["shop_name"] == "きりたんぽ亭<!--きりたんぽてい-->"
+        assert (a["area_name"], a["address"], a["tel"]) == ("秋田市", "秋田市中通1-1", "018-900-1111")
+        assert a["official_page"] == "http://kiritanpo.example"
+        # address comment markers stripped INLINE (akita.py:42-44); short
+        # row fillna -> no official page; no genre for akita (akita.py:50)
+        assert b["address"] == "湯沢市稲庭町乾1-1"
+        assert (b["official_page"], b["genre_name"]) == (None, None)
+
+    def test_normalize_strips_furigana_comment(self):
+        from goto_eater_crawler_ray.stages.normalize import normalize_text
+
+        assert normalize_text("きりたんぽ亭<!--きりたんぽてい-->") == "きりたんぽ亭"
+
+
+class TestNara:
+    def test_golden(self):
+        res = _parse("nara")
+        a, b = res.items
+        assert (a["area_name"], a["genre_name"], a["address"]) == ("奈良市", "和食", "奈良市角振町5-5")  # stripped
+        assert a["official_page"] == "http://kakinoha.example"
+        assert (b["tel"], b["official_page"]) == (None, None)  # fillna (nara.py:31)
+
+    def test_real_xlsx_body_without_codec_is_explicit(self):
+        import pytest as _pytest
+
+        from goto_eater_crawler_ray.sites.nara import parse
+
+        try:
+            import openpyxl  # noqa: F401
+
+            _pytest.skip("openpyxl installed; real decode path covered elsewhere")
+        except ImportError:
+            pass
+        with _pytest.raises(NotImplementedError):
+            parse("https://premium-gift.jp/x.xlsx", b"PK\x03\x04junk", {}, 0)
+
+
+class TestTokyo:
+    def test_index_fans_out_to_pdfs(self):
+        res = _parse("tokyo", 0)
+        assert res.items == []
+        assert [l["url"] for l in res.links] == [
+            "https://pr.gnavi.co.jp/promo/gotoeat-tokyo/pdf/shop1.pdf",
+            "https://pr.gnavi.co.jp/promo/gotoeat-tokyo/pdf/shop4.pdf",
+        ]
+        assert all(l["callback"] == "file_pdf" for l in res.links)  # per-PDF fan-out (tokyo.py:27-31)
+
+    def test_pdf_repair_branches(self):
+        res = _parse("tokyo", 1)
+        by_name = {i["shop_name"]: i for i in res.items}
+        assert set(by_name) == {"銀座すし勘", "洋食キムラヤ", "神田やぶそば", "権八西麻布"}
+        # normal header page: named-column selection incl 紙/電子 skip
+        assert by_name["銀座すし勘"]["official_page"] == "http://sushikan.example"
+        assert by_name["洋食キムラヤ"]["official_page"] is None
+        # headerless 7-column page -> forced column names (tokyo.py:71-74)
+        assert (by_name["神田やぶそば"]["address"], by_name["神田やぶそば"]["genre_name"]) == ("千代田区神田3-3", "そば")
+        # URL-column-less page -> fill "" (tokyo.py:76-78); header echo +
+        # blank-address rows dropped (tokyo.py:85-90)
+        assert by_name["権八西麻布"]["official_page"] is None
+        assert "もんじゃ浜膳" not in by_name
+
+
+class TestNagasaki:
+    def test_golden_page1(self):
+        res = _parse("nagasaki", 0)
+        a, b = res.items
+        assert a["shop_name"] == "卓袱浜勝"
+        # area/genre join ALL text chunks around inner markup (nagasaki.py:23-27)
+        assert (a["area_name"], a["genre_name"]) == ("長崎市内", "和食・卓袱")
+        assert a["tel"] == "095-900-1111"  # raw, reference doesn't strip
+        assert a["official_page"] == "http://hamakatsu.example"
+        assert (b["tel"], b["official_page"]) == (None, None)
+        assert [l["url"] for l in res.links] == ["https://www.gotoeat-nagasaki.jp/merchant-list/page/2/"]
+
+    def test_last_page_stops(self):
+        assert _parse("nagasaki", 1).links == []
+
+
+class TestHokkaido:
+    def test_token_page_fans_out_posts(self):
+        res = _parse("hokkaido", 0)
+        assert res.items == []
+        assert len(res.links) == 4  # one POST per area (hokkaido.py:126)
+        assert [l["form"]["store_area"] for l in res.links] == ["道央", "道北", "道南", "道東"]
+        assert all(l["method"] == "POST" and l["callback"] == "search" for l in res.links)
+        assert all(l["form"]["_token"] == "tok-hokkaido-123" for l in res.links)  # CSRF token carried
+        assert res.links[0]["meta"] == {"area_name": "道央"}
+
+    def test_result_page_carries_area_and_paginates(self):
+        from goto_eater_crawler_ray.sites.hokkaido import parse_search
+
+        url, body = fixtures.pages()["hokkaido"][1]
+        res = parse_search(url, body, {"area_name": "道央"}, 1)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("スープカレー奥芝", "道央")
+        assert (a["address"], a["genre_name"], a["tel"]) == ("札幌市中央区南1条1-1", "スープカレー", "011-900-1111")
+        assert b["tel"] is None  # optional (hokkaido.py:118-119)
+        # GET pagination keeps the area meta (hokkaido.py:84-106)
+        assert res.links[0]["method"] == "GET"
+        assert res.links[0]["meta"] == {"area_name": "道央"}
+
+    def test_last_page_stops(self):
+        from goto_eater_crawler_ray.sites.hokkaido import parse_search
+
+        url, body = fixtures.pages()["hokkaido"][2]
+        assert parse_search(url, body, {"area_name": "道南"}, 2).links == []
+
+
+class TestOita:
+    def test_golden_accumulated_page(self):
+        res = _parse("oita")
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("とり天発祥の店", "大分市")
+        assert a["genre_name"] == "とり天|定食"  # multi-genre join (oita.py:60-61)
+        assert a["tel"] == "097-900-1111"
+        assert a["official_page"] == "http://toriten.example"  # stripped (oita.py:68-69)
+        assert (b["tel"], b["official_page"]) == (None, None)
+        assert res.links == []  # scroll accumulation happens in the fetch stage
+
+    def test_seed_requests_browser_fetch(self):
+        from goto_eater_crawler_ray.sites.oita import seeds
+
+        assert seeds()[0]["meta"] == {"browser": True}
+
+
+class TestKyoto:
+    def test_list_fans_out_details(self):
+        res = _parse("kyoto", 0)
+        assert res.items == []
+        # first href urljoin'd against the page URL + stripped (kyoto.py:27)
+        assert [l["url"] for l in res.links[:2]] == [
+            "https://kyoto-gotoeat.com/store/101/",
+            "https://kyoto-gotoeat.com/store/102/",
+        ]
+        assert all(l["callback"] == "detail" for l in res.links[:2])
+        assert res.links[2]["url"] == "https://kyoto-gotoeat.com/page/2/?s="
+        assert res.links[2]["callback"] == "parse"
+
+    def test_detail_label_table(self):
+        res = _parse("kyoto", 1)  # content-routed through parse()
+        (a,) = res.items
+        assert a["shop_name"] == "湯豆腐 嵯峨乃"
+        assert (a["genre_name"], a["area_name"], a["address"]) == ("和食", "右京区", "京都市右京区嵯峨天龍寺1-1")
+        assert a["tel"] is None  # empty td, never stripped-to-something (kyoto.py:68-73)
+        assert a["opening_hours"] == "11:00-17:00"
+        assert a["official_page"] == "http://sagano.example"  # "U R L" spaced label
+        assert (a["provided_lat"], a["provided_lng"]) == ("35.0156", "135.6739")  # iframe q= (kyoto.py:85-89)
+
+
+class TestKagawa:
+    def test_golden_page1(self):
+        res = _parse("kagawa", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("骨付鳥 一鶴", "丸亀市")
+        assert a["genre_name"] == "鶏料理|居酒屋"  # full-width ｜ -> | (kagawa.py:27-31)
+        assert (a["tel"], a["address"]) == ("0877-900-1111", "丸亀市浜町1-1")
+        assert b["genre_name"] == "うどん"
+        # urljoin'd next (kagawa.py:55)
+        assert [l["url"] for l in res.links] == [
+            "https://www.kagawa-gotoeat.com/gtes/store-list?fstr=&mode=only&page=2"
+        ]
+
+    def test_last_page_stops(self):
+        assert _parse("kagawa", 1).links == []
+
+
+class TestAichi:
+    def test_golden_page1(self):
+        res = _parse("aichi", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["genre_name"], a["area_name"]) == ("味噌煮込みの山本屋", "和食", "名古屋市中区")
+        # 〒 with optional whitespace before the zip (aichi.py:34)
+        assert (a["zip_code"], a["address"]) == ("460-0008", "名古屋市中区栄1-1")
+        assert a["tel"] == "tel:0529001111"  # the HREF, verbatim (aichi.py:37)
+        assert a["official_page"] == "http://yamamotoya.example"
+        assert (b["area_name"], b["tel"], b["official_page"]) == (None, None, None)
+        # urljoin'd next (aichi.py:49)
+        assert [l["url"] for l in res.links] == ["https://www.gotoeat-aichi-shop.jp/shop/page/2/"]
+
+    def test_last_page_stops(self):
+        assert _parse("aichi", 1).links == []
+
+
+class TestHyogo:
+    def test_golden_page1(self):
+        res = _parse("hyogo", 0)
+        a, b = res.items
+        assert a["shop_name"] == "神戸ビーフ吉祥"
+        assert a["zip_code"] == "650-0001"  # stripped + 〒 removed (hyogo.py:28)
+        assert a["address"] == "神戸市中央区加納町1-1"  # all whitespace squeezed (hyogo.py:27)
+        assert a["tel"] == "078-900-1111"
+        assert a["genre_name"] is None  # structurally unavailable (hyogo.py:32-36)
+        # ?page=xx echo stripped from the detail URL (hyogo.py:38-41)
+        assert a["detail_page"] == "https://gotoeat-hyogo.com/store/detail/501"
+        assert b["tel"] is None
+        # pagination: sibling AFTER current (hyogo.py:46-48)
+        assert [l["url"] for l in res.links] == ["https://gotoeat-hyogo.com/search/result?keyword=&page=4"]
+
+    def test_last_page_stops(self):
+        # current is the LAST page number -> no next sibling -> stop
+        assert _parse("hyogo", 1).links == []
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -191,7 +444,7 @@ class TestRegistryIntegration:
             for url, body in fixtures.pages()[spec.name]:
                 res = spec.callbacks["parse"](url, body, {}, 0)
                 for kind, text, ref in res.spans:
-                    assert kind in ("text", "link")
+                    assert kind in ("text", "link", "pdf")
                     assert isinstance(text, str) and isinstance(ref, str)
 
 
@@ -201,6 +454,14 @@ class TestSiteItemsQuery:
         from goto_eater_crawler_ray.pipelines.queries import q_site_items
 
         out = q_site_items("unused").to_pandas()
-        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3  # all fixture items
-        assert set(out["prefecture"]) == {"tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama"}
+        # tochigi 2+1, niigata 2+1, fukuoka 3, yamagata 2+1, miyagi 4,
+        # saitama 3, osaka 2+1, gunma 2+1, akita 2, nara 2, tokyo 0+4,
+        # nagasaki 2+1, hokkaido 0+2+1, oita 2, kyoto 0+1, kagawa 2+1,
+        # aichi 2+1, hyogo 2+1
+        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3
+        assert set(out["prefecture"]) == {
+            "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
+            "osaka", "gunma", "akita", "nara", "tokyo", "nagasaki", "hokkaido",
+            "oita", "kyoto", "kagawa", "aichi", "hyogo",
+        }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
