@@ -466,6 +466,32 @@ FROM (
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """p50/p90/p99 of event value via the mergeable fixed-bin histogram
+    sketch — the oracle runs the SAME sketch in SQL, so the compare is an
+    exact hash match of the distributed implementation (accuracy vs
+    np.percentile is pytest-asserted separately)."""
+    from ..functions.quantiles import histogram_quantiles
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    return histogram_quantiles(ds, "value", pcts=[50, 90, 99], n_bins=1024)
+
+
+SQL_VALUE_QUANTILES = """
+WITH stats AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+hist AS (
+  SELECT LEAST(CAST(floor((e.value - s.lo) / ((s.hi - s.lo) / 1024.0)) AS BIGINT), 1023) AS bin,
+         count(*) AS c
+  FROM events e, stats s GROUP BY 1),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       (SELECT min(bin) FROM cum, stats s WHERE cum >= (p.pct * s.n + 99) // 100) AS bin,
+       (SELECT CAST(round(lo * 100) AS BIGINT) FROM stats) AS lo_c,
+       (SELECT CAST(round(hi * 100) AS BIGINT) FROM stats) AS hi_c
+FROM (VALUES (50), (90), (99)) AS p(pct)
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -840,6 +866,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
     "orders_topn_per_cust": q_orders_topn_per_cust,
+    "value_quantiles": q_value_quantiles,
     "bucket_join": q_bucket_join,
     "asof_join": q_asof_join,
     "distinct_pairs": q_distinct_pairs,
@@ -881,6 +908,7 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "orders_topn_per_cust": SQL_ORDERS_TOPN_PER_CUST,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     "bucket_join": SQL_BUCKET_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "distinct_pairs": SQL_DISTINCT_PAIRS,

@@ -431,6 +431,36 @@ class TestRollingWindow:
         assert len(out) == 3
 
 
+class TestHistogramQuantiles:
+    def test_accuracy_vs_numpy(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.quantiles import bin_to_value, histogram_quantiles
+
+        rng = np.random.default_rng(7)
+        vals = rng.lognormal(mean=2.0, sigma=0.7, size=20_000)
+        ds = rd.from_items([{"value": float(v)} for v in vals]).repartition(8)
+        out = histogram_quantiles(ds, "value", pcts=[50, 90, 99], n_bins=1024)
+        lo, hi = vals.min(), vals.max()
+        width = (hi - lo) / 1024
+        for row in out.itertuples():
+            est = bin_to_value(row.bin, lo, hi, 1024)
+            true = np.percentile(vals, row.pct)
+            assert abs(est - true) <= width, (row.pct, est, true)
+        assert out["lo_c"].iloc[0] == round(lo * 100)
+
+    def test_constant_column(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.quantiles import histogram_quantiles
+
+        ds = rd.from_items([{"value": 5.0}] * 100)
+        out = histogram_quantiles(ds, "value", pcts=[50, 99])
+        # zero-width range: everything lands in bin 0
+        assert (out["bin"] == 0).all()
+        assert (out["lo_c"] == 500).all() and (out["hi_c"] == 500).all()
+
+
 class TestHLL:
     def test_accuracy(self, ray_session):
         import ray.data as rd
