@@ -24,6 +24,7 @@ from . import (
     hyogo,
     kagawa,
     kyoto,
+    liny,
     miyagi,
     nagasaki,
     nara,
@@ -55,6 +56,9 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     kagawa.SPEC,
     aichi.SPEC,
     hyogo.SPEC,
+    liny.CHIBA_SPEC,
+    liny.KANAGAWA_SPEC,
+    liny.SHIGA_SPEC,
 )
 
 

@@ -501,6 +501,30 @@ HYOGO_PAGE_LAST = """
 """
 
 
+# one liny mesh-cell API response (chiba): data[] records with the
+# reference's fields; empty tel/url, free-form eigyo_jikan, provided latlng
+CHIBA_JSON = {
+    "data": [
+        {
+            "name": "房総海鮮まるとみ",
+            "address": "千葉市中央区富士見1-1",
+            "tel": "043-900-1111",
+            "url": "http://marutomi.example",
+            "eigyo_jikan": "11:00〜21:00 (水曜定休)",
+            "latlng": {"lat": 35.545, "lng": 140.115},
+        },
+        {
+            "name": "勝浦タンタン軒",
+            "address": "勝浦市墨名2-2",
+            "tel": "",
+            "url": "",
+            "eigyo_jikan": "",
+            "latlng": {"lat": None, "lng": None},
+        },
+    ]
+}
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -560,5 +584,11 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         "hyogo": [
             ("https://gotoeat-hyogo.com/search/result?keyword=", HYOGO_PAGE_1.encode()),
             ("https://gotoeat-hyogo.com/search/result?keyword=&page=4", HYOGO_PAGE_LAST.encode()),
+        ],
+        "chiba": [
+            (
+                "https://gotoeat-chiba.liny.jp/map/api/data.json?x1=35.5416666666667&x2=35.55&y1=140.1125&y2=140.125",
+                json.dumps(CHIBA_JSON).encode(),
+            )
         ],
     }

@@ -428,6 +428,38 @@ class TestHyogo:
         assert _parse("hyogo", 1).links == []
 
 
+class TestLiny:
+    def test_mesh_seeds_from_geojson(self):
+        from goto_eater_crawler_ray.sites.liny import CHIBA_SPEC
+
+        rows = CHIBA_SPEC.seeds()
+        assert len(rows) == 2  # one URL per mesh cell (abstract_liny.py:39-47)
+        # the reference's own self-test bbox (abstract_liny.py:69-87)
+        assert rows[0]["url"] == (
+            "https://gotoeat-chiba.liny.jp/map/api/data.json"
+            "?x1=35.5416666666667&x2=35.55&y1=140.1125&y2=140.125"
+        )
+        assert CHIBA_SPEC.is_mega_host  # all cells on one host -> salted partitions
+
+    def test_json_api_parse(self):
+        from goto_eater_crawler_ray.sites import liny
+
+        url, body = fixtures.pages()["chiba"][0]
+        res = liny.parse(url, body, {}, 0)
+        a, b = res.items
+        assert (a["shop_name"], a["address"]) == ("房総海鮮まるとみ", "千葉市中央区富士見1-1")
+        assert a["opening_hours"] == "11:00〜21:00 (水曜定休)"  # hours+closing mixed
+        assert (a["provided_lat"], a["provided_lng"]) == ("35.545", "140.115")  # site latlng verbatim
+        assert (b["tel"], b["official_page"], b["provided_lat"]) == (None, None, None)
+
+    def test_three_configs(self):
+        from goto_eater_crawler_ray.sites.liny import KANAGAWA_SPEC, SHIGA_SPEC
+
+        assert KANAGAWA_SPEC.crawl_delay_s == 1.5 and SHIGA_SPEC.crawl_delay_s == 1.5
+        assert KANAGAWA_SPEC.seeds()[0]["url"].startswith("https://gotoeat-kanagawa.liny.jp/")
+        assert SHIGA_SPEC.seeds()[0]["url"].startswith("https://gotoeat-shiga.liny.jp/")
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -441,7 +473,7 @@ class TestRegistryIntegration:
         # every site emits (kind, text, media_ref) spans for the documents
         # table (BASELINE.json input_hint)
         for spec in SITE_SPECS:
-            for url, body in fixtures.pages()[spec.name]:
+            for url, body in fixtures.pages().get(spec.name, []):
                 res = spec.callbacks["parse"](url, body, {}, 0)
                 for kind, text, ref in res.spans:
                     assert kind in ("text", "link", "pdf")
@@ -457,11 +489,11 @@ class TestSiteItemsQuery:
         # tochigi 2+1, niigata 2+1, fukuoka 3, yamagata 2+1, miyagi 4,
         # saitama 3, osaka 2+1, gunma 2+1, akita 2, nara 2, tokyo 0+4,
         # nagasaki 2+1, hokkaido 0+2+1, oita 2, kyoto 0+1, kagawa 2+1,
-        # aichi 2+1, hyogo 2+1
-        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3
+        # aichi 2+1, hyogo 2+1, chiba (liny) 2
+        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
             "osaka", "gunma", "akita", "nara", "tokyo", "nagasaki", "hokkaido",
-            "oita", "kyoto", "kagawa", "aichi", "hyogo",
+            "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
