@@ -18,13 +18,17 @@ from ..registry import ParserRegistry, ParserSpec, builtin_registry
 from . import (
     aichi,
     akita,
+    aomori,
+    fukui,
     fukuoka,
     gunma,
     hokkaido,
     hyogo,
     kagawa,
+    kochi,
     kyoto,
     liny,
+    shimane,
     miyagi,
     nagasaki,
     nara,
@@ -34,6 +38,8 @@ from . import (
     saitama,
     tochigi,
     tokyo,
+    tottori,
+    toyama,
     yamagata,
 )
 
@@ -59,6 +65,12 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     liny.CHIBA_SPEC,
     liny.KANAGAWA_SPEC,
     liny.SHIGA_SPEC,
+    kochi.SPEC,
+    shimane.SPEC,
+    toyama.SPEC,
+    tottori.SPEC,
+    aomori.SPEC,
+    fukui.SPEC,
 )
 
 

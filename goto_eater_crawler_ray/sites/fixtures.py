@@ -525,6 +525,169 @@ CHIBA_JSON = {
 }
 
 
+# kochi: bare positional JSON array — 1=area 3=genre 5=name 7=addr 8=tel;
+# includes the one angle-bracket shop name
+KOCHI_JSON = [
+    ["39201", "高知市", "1", "居酒屋", "x", "藁焼き龍馬亭", "わらやきりょうまてい", "高知市帯屋町1-1", "088-900-1111"],
+    ["39201", "高知市", "5", "定食", "x", "<きてみいや>", "きてみいや", "高知市はりまや町2-2", "088-900-2222"],
+    ["39388", "四万十市", "2", "カフェ", "x", "川のほとり珈琲", "かわのほとりこーひー", "四万十市中村3-3", ""],
+]
+
+SHIMANE_LIST_PAGE = """
+<html><body><div id="main"><div class="com-location"><ul>
+  <li><a href="/inshokuten/detail/801?page=2">出雲亭</a></li>
+  <li><a href="https://www.gotoeat-shimane.jp/inshokuten/detail/802?page=2">松江庵</a></li>
+</ul></div></div>
+<nav class="pagination"><span class="next"><a rel="next" href="/inshokuten/page/3">&gt;</a></span></nav>
+</body></html>
+"""
+
+SHIMANE_DETAIL_PAGE = """
+<html><body>
+<div class="com-location loc"><p class="area a1"><span> 出雲 </span></p></div>
+<h1 class="title"> 出雲そば処 献上亭 </h1>
+<div class="info line addr"><p> 出雲市大社町杵築東1-1 </p></div>
+<div class="info line tel"><p> 0853-900-1111 </p></div>
+<div class="info line url"><p>http://kenjotei.example</p></div>
+<div class="info holidays"><p>水曜</p></div>
+<div class="info select genre"><p><span>そば
+ 和食</span></p></div>
+</body></html>
+"""
+
+TOYAMA_PAGE_1 = """
+<html><body><ul class="list">
+  <li class="item">
+    <div class="item_header"> 寿司 </div>
+    <div class="item_body"><div class="item_body_name"> 氷見きときと寿し </div>
+      <div class="item_body_table">
+        <div class="place"><div class="lef">住所</div><div class="rig"> 氷見市伊勢大町1-1 </div></div>
+        <div class="phone"><div class="lef">電話</div><div class="rig">0766-900-1111</div></div>
+        <div class="work"><div class="lef">営業</div><div class="rig">10:00-21:00</div></div>
+        <div class="off_day"><div class="lef">定休</div><div class="rig">火曜</div></div>
+      </div></div>
+  </li>
+  <li class="item">
+    <div class="item_header">ます寿し</div>
+    <div class="item_body"><div class="item_body_name">源 本店</div>
+      <div class="item_body_table">
+        <div class="place"><div class="lef">住所</div><div class="rig">富山市南央町2-2</div></div>
+      </div></div>
+  </li>
+</ul>
+<ul class="pagination_list"><li class="next_post_link"><a rel="prev" href="/shop/page/1">&lt;</a></li></ul>
+</body></html>
+"""
+
+TOYAMA_PAGE_LAST = """
+<html><body><ul class="list">
+  <li class="item">
+    <div class="item_header">ブラックラーメン</div>
+    <div class="item_body"><div class="item_body_name">大喜 西町本店</div>
+      <div class="item_body_table">
+        <div class="place"><div class="lef">住所</div><div class="rig">富山市太田口通り3-3</div></div>
+      </div></div>
+  </li>
+</ul>
+<ul class="pagination_list"></ul>
+</body></html>
+"""
+
+TOTTORI_PAGE_1 = """
+<html><body><div class="row">
+  <div class="store-list_v2 col-12">
+    <div><p><span class="icon-area"> 鳥取市 </span></p><h2 class="mr-3 mb-1"> すなば珈琲 本店 </h2></div>
+    <div><p>鳥取市末広温泉町1-1</p>
+      <div class="d-flex"><a class="tel-link btn" href="tel:0857900111">電話</a>
+        <a target="_blank" href="http://sunaba.example">HP</a></div></div>
+    <p class="mb-0"><span class="icon-genre g1">カフェ</span><span class="icon-genre g2">喫茶</span></p>
+  </div>
+  <div class="store-list_v2 col-12">
+    <div><p><span class="icon-area">米子市</span></p><h2 class="mr-3">かに吉</h2></div>
+    <div><p>米子市角盤町2-2</p><div class="d-flex"></div></div>
+    <p class="mb-0"><span class="icon-genre g3">海鮮</span></p>
+  </div>
+</div>
+<nav role="navigation"><div class="nav-links"><a class="next page-numbers" href="https://tottori-gotoeat.jp/store_list/page/2/">&gt;</a></div></nav>
+</body></html>
+"""
+
+TOTTORI_PAGE_LAST = """
+<html><body><div class="row">
+  <div class="store-list_v2 col-12">
+    <div><p><span class="icon-area">倉吉市</span></p><h2 class="mr-3">打吹だんご茶屋</h2></div>
+    <div><p>倉吉市魚町3-3</p><div class="d-flex"></div></div>
+    <p class="mb-0"><span class="icon-genre g4">甘味</span></p>
+  </div>
+</div>
+<nav role="navigation"><div class="nav-links"></div></nav>
+</body></html>
+"""
+
+
+AOMORI_PAGE_1 = """
+<html><body><div class="l-store-card">
+  <div class="store-card__item">
+    <h3 class="store-card__title">大間の<br>まぐろ食堂</h3>
+    <p class="store-card__tag">海鮮</p>
+    <table><tbody>
+      <tr><th>住所：</th><td>〒039-4601 下北郡大間町大間1-1</td></tr>
+      <tr><th>電話番号：</th><td>0175-900-1111</td></tr>
+      <tr><th>URL：</th><td><a href="http://oma-maguro.example">公式</a></td></tr>
+    </tbody></table>
+    <a class="store-card__button" href="https://premium-gift.jp/aomori/use_store/detail?id=901">詳細</a>
+  </div>
+  <div class="store-card__item">
+    <h3 class="store-card__title">味噌カレー牛乳ラーメン札幌館</h3>
+    <p class="store-card__tag">ラーメン</p>
+    <table><tbody>
+      <tr><th>住所：</th><td>〒030-0801 青森市新町2-2</td></tr>
+      <tr><th>電話番号：</th><td>-</td></tr>
+    </tbody></table>
+  </div>
+</div>
+<nav class="pagenation"><a href="javascript:on_events('page',2);">次へ</a></nav>
+</body></html>
+"""
+
+AOMORI_PAGE_LAST = """
+<html><body><div class="l-store-card">
+  <div class="store-card__item">
+    <h3 class="store-card__title">嶽きみ天ぷら茶屋</h3>
+    <p class="store-card__tag">天ぷら</p>
+    <table><tbody>
+      <tr><th>住所：</th><td>〒036-1505 弘前市百沢東岩木山3-3</td></tr>
+      <tr><th>電話番号：</th><td>0172-900-3333</td></tr>
+    </tbody></table>
+  </div>
+</div>
+<nav class="pagenation"></nav>
+</body></html>
+"""
+
+FUKUI_SEARCH_PAGE = """
+<html><body><div class="result"><ul>
+  <li><a href="/shop/?id=180001 ">ヨーロッパ軒</a></li>
+  <li><a href="https://gotoeat-fukui.com/shop/?id=180097">グルメ民宿 はまもと</a></li>
+</ul></div></body></html>
+"""
+
+FUKUI_DETAIL_PAGE = """
+<html><body><div id="contents">
+  <h3> ヨーロッパ軒 総本店 </h3>
+  <div class="icon"><span class="area"> 福井市 </span></div>
+  <dl>
+    <dt>ジャンル</dt><dd>洋食、カツ丼</dd>
+    <dt>電　　話</dt><dd><a href="tel:0776900111"> 0776-900-1111 </a></dd>
+    <dt>住　　所</dt><dd>福井市順化1-1 <a class="gmap" href="https://maps.google.com/?q=36.0652,136.2189 ">地図</a></dd>
+    <dt>営業時間</dt><dd>11:00-20:00</dd>
+    <dt>定 休 日</dt><dd>火曜</dd>
+    <dt>HP・SNS</dt><dd>http://yo-roppaken.example</dd>
+  </dl>
+</div></body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -590,5 +753,26 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
                 "https://gotoeat-chiba.liny.jp/map/api/data.json?x1=35.5416666666667&x2=35.55&y1=140.1125&y2=140.125",
                 json.dumps(CHIBA_JSON).encode(),
             )
+        ],
+        "kochi": [("https://www.gotoeat-kochi.com/js/shop_list.php", json.dumps(KOCHI_JSON).encode())],
+        "shimane": [
+            ("https://www.gotoeat-shimane.jp/inshokuten/", SHIMANE_LIST_PAGE.encode()),
+            ("https://www.gotoeat-shimane.jp/inshokuten/detail/801?page=2", SHIMANE_DETAIL_PAGE.encode()),
+        ],
+        "toyama": [
+            ("https://www.toyamagotoeat.jp/shop/", TOYAMA_PAGE_1.encode()),
+            ("https://www.toyamagotoeat.jp/shop/page/2?area=all&type=&search=", TOYAMA_PAGE_LAST.encode()),
+        ],
+        "tottori": [
+            ("https://tottori-gotoeat.jp/store_list/", TOTTORI_PAGE_1.encode()),
+            ("https://tottori-gotoeat.jp/store_list/page/2/", TOTTORI_PAGE_LAST.encode()),
+        ],
+        "aomori": [
+            ("https://premium-gift.jp/aomori/use_store", AOMORI_PAGE_1.encode()),
+            ("https://premium-gift.jp/aomori/use_store?events=page&id=2&store=&addr=&industry=", AOMORI_PAGE_LAST.encode()),
+        ],
+        "fukui": [
+            ("https://gotoeat-fukui.com/shop/search.php", FUKUI_SEARCH_PAGE.encode()),
+            ("https://gotoeat-fukui.com/shop/?id=180001", FUKUI_DETAIL_PAGE.encode()),
         ],
     }

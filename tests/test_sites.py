@@ -460,6 +460,127 @@ class TestLiny:
         assert SHIGA_SPEC.seeds()[0]["url"].startswith("https://gotoeat-shiga.liny.jp/")
 
 
+class TestKochi:
+    def test_positional_json_and_bracket_name(self):
+        res = _parse("kochi")
+        a, b, c = res.items
+        assert (a["area_name"], a["genre_name"], a["shop_name"]) == ("高知市", "居酒屋", "藁焼き龍馬亭")
+        assert (a["address"], a["tel"]) == ("高知市帯屋町1-1", "088-900-1111")
+        # the one legitimate angle-bracket name, protected from the HTML
+        # strip exactly like the reference (kochi.py:41-46)
+        assert b["shop_name"] == "　きてみいや"
+        assert c["tel"] is None
+
+
+class TestShimane:
+    def test_list_fans_out_details(self):
+        res = _parse("shimane", 0)
+        assert res.items == []
+        assert [l["url"] for l in res.links[:2]] == [
+            "https://www.gotoeat-shimane.jp/inshokuten/detail/801?page=2",
+            "https://www.gotoeat-shimane.jp/inshokuten/detail/802?page=2",
+        ]
+        assert all(l["callback"] == "detail" for l in res.links[:2])
+        assert res.links[2]["url"] == "https://www.gotoeat-shimane.jp/inshokuten/page/3"
+
+    def test_detail_quirks(self):
+        res = _parse("shimane", 1)  # content-routed through parse()
+        (a,) = res.items
+        assert a["shop_name"] == "出雲そば処 献上亭"
+        assert a["area_name"] == "出雲"
+        # ?page=2 echo stripped (shimane.py:43-47)
+        assert a["detail_page"] == "https://www.gotoeat-shimane.jp/inshokuten/detail/801"
+        assert a["official_page"] == "http://kenjotei.example"  # TEXT not href
+        assert a["genre_name"] == "そば和食"  # ALL whitespace squeezed (shimane.py:60-61)
+        assert a["tel"] == "0853-900-1111"
+
+
+class TestToyama:
+    def test_synthesized_next_url(self):
+        res = _parse("toyama", 0)
+        a, b = res.items
+        assert (a["genre_name"], a["shop_name"]) == ("寿司", "氷見きときと寿し")
+        assert a["address"] == "氷見市伊勢大町1-1"  # only address stripped
+        assert (a["tel"], a["opening_hours"], a["closing_day"]) == ("0766-900-1111", "10:00-21:00", "火曜")
+        assert (b["tel"], b["opening_hours"]) == (None, None)
+        # URL synthesized from the page counter, not scraped (toyama.py:41-51)
+        assert [l["url"] for l in res.links] == [
+            "https://www.toyamagotoeat.jp/shop/page/2?area=all&type=&search="
+        ]
+
+    def test_counter_derives_from_url_and_stops(self):
+        res = _parse("toyama", 1)  # /shop/page/2... with NO probe link
+        assert res.links == []
+        from goto_eater_crawler_ray.sites import fixtures as fx
+        from goto_eater_crawler_ray.sites.toyama import parse
+
+        # same body WITH a probe, fetched at page 2 -> synthesizes page 3
+        url = "https://www.toyamagotoeat.jp/shop/page/2?area=all&type=&search="
+        res2 = parse(url, fx.TOYAMA_PAGE_1.encode(), {}, 1)
+        assert res2.links[0]["url"].endswith("/shop/page/3?area=all&type=&search=")
+
+
+class TestTottori:
+    def test_golden_page1(self):
+        res = _parse("tottori", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("すなば珈琲 本店", "鳥取市")
+        assert a["genre_name"] == "カフェ|喫茶"  # icon-genre join (tottori.py:34-35)
+        assert a["tel"] == "0857900111"  # tel: scheme stripped (tottori.py:28-29)
+        assert a["official_page"] == "http://sunaba.example"  # target=_blank link
+        assert (b["tel"], b["official_page"]) == (None, None)
+        assert [l["url"] for l in res.links] == ["https://tottori-gotoeat.jp/store_list/page/2/"]
+
+    def test_last_page_stops(self):
+        assert _parse("tottori", 1).links == []
+
+
+class TestAomori:
+    def test_golden_page1(self):
+        res = _parse("aomori", 0)
+        a, b = res.items
+        assert a["shop_name"] == "大間の まぐろ食堂"  # " ".join of title chunks (aomori.py:23)
+        assert (a["genre_name"], a["zip_code"], a["address"]) == ("海鮮", "039-4601", "下北郡大間町大間1-1")
+        assert a["official_page"] == "http://oma-maguro.example"
+        assert a["detail_page"] == "https://premium-gift.jp/aomori/use_store/detail?id=901"
+        assert b["tel"] is None  # "-" means none (aomori.py:40)
+        # javascript pager arg -> synthesized URL (aomori.py:55-59)
+        assert [l["url"] for l in res.links] == [
+            "https://premium-gift.jp/aomori/use_store?events=page&id=2&store=&addr=&industry="
+        ]
+
+    def test_last_page_stops(self):
+        assert _parse("aomori", 1).links == []
+
+
+class TestFukui:
+    def test_post_seed_and_search_fanout(self):
+        from goto_eater_crawler_ray.sites.fukui import seeds
+
+        (seed,) = seeds()
+        assert seed["method"] == "POST"
+        assert seed["form"] == {"Keyword": "", "Action": "text_search"}  # fukui.py:25-27
+
+        res = _parse("fukui", 0)
+        assert res.items == []
+        assert [l["url"] for l in res.links] == [
+            "https://gotoeat-fukui.com/shop/?id=180001",
+            "https://gotoeat-fukui.com/shop/?id=180097",
+        ]
+        assert all(l["callback"] == "detail" for l in res.links)  # no pagination (fukui.py:31)
+
+    def test_detail_quirks(self):
+        res = _parse("fukui", 1)  # content-routed through parse()
+        (a,) = res.items
+        assert (a["shop_name"], a["area_name"]) == ("ヨーロッパ軒 総本店", "福井市")
+        assert a["genre_name"] == "洋食|カツ丼"  # 、 -> | (fukui.py:56)
+        assert a["tel"] == "0776-900-1111"
+        assert a["address"] == "福井市順化1-1"
+        assert (a["provided_lat"], a["provided_lng"]) == ("36.0652", "136.2189")  # a.gmap q= (fukui.py:66-71)
+        assert a["official_page"] == "http://yo-roppaken.example"  # dd TEXT
+        assert a["detail_page"] == "https://gotoeat-fukui.com/shop/?id=180001"
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -489,11 +610,17 @@ class TestSiteItemsQuery:
         # tochigi 2+1, niigata 2+1, fukuoka 3, yamagata 2+1, miyagi 4,
         # saitama 3, osaka 2+1, gunma 2+1, akita 2, nara 2, tokyo 0+4,
         # nagasaki 2+1, hokkaido 0+2+1, oita 2, kyoto 0+1, kagawa 2+1,
-        # aichi 2+1, hyogo 2+1, chiba (liny) 2
-        assert len(out) == 2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
+        # aichi 2+1, hyogo 2+1, chiba (liny) 2, kochi 3, shimane 0+1,
+        # toyama 2+1, tottori 2+1
+        # ... aomori 2+1, fukui 0+1
+        assert len(out) == (
+            2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
+            + 3 + 1 + 3 + 3 + 3 + 1
+        )
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
             "osaka", "gunma", "akita", "nara", "tokyo", "nagasaki", "hokkaido",
-            "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba",
+            "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba", "kochi",
+            "shimane", "toyama", "tottori", "aomori", "fukui",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
