@@ -19,9 +19,13 @@ from . import (
     aichi,
     akita,
     aomori,
+    ehime,
     fukui,
     fukuoka,
+    fukushima,
+    gifu,
     gunma,
+    hiroshima,
     hokkaido,
     hyogo,
     kagawa,
@@ -71,6 +75,10 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     tottori.SPEC,
     aomori.SPEC,
     fukui.SPEC,
+    ehime.SPEC,
+    fukushima.SPEC,
+    gifu.SPEC,
+    hiroshima.SPEC,
 )
 
 

@@ -688,6 +688,122 @@ FUKUI_DETAIL_PAGE = """
 """
 
 
+EHIME_PAGE_1 = """
+<html><body><div id="sortable"><ul class="shop_list">
+  <li><div><dl><dt> 鯛めし丸水 </dt>
+      <dd><ul><li><span>住所</span><span> 松山市大街道1-1 </span></li>
+          <li><span><a class="tel_link" href="tel:0899001111">089-900-1111</a></span></li></ul></dd></dl>
+      <p><span>郷土料理</span></p></div>
+      <p class="btn_link"><a href=" https://www.goto-eat-ehime.com/shop/1001/ ">詳細</a></p></li>
+  <li><div><dl><dt>八幡浜ちゃんぽん亭</dt>
+      <dd><ul><li><span>住所</span><span>八幡浜市北浜2-2</span></li></ul></dd></dl>
+      <p><span>ちゃんぽん</span></p></div>
+      <p class="btn_link"><a href="https://www.goto-eat-ehime.com/shop/1002/">詳細</a></p></li>
+</ul></div>
+<div role="navigation"><a rel="next" href="https://www.goto-eat-ehime.com/shop_list/page/2/">&gt;</a></div>
+</body></html>
+"""
+
+EHIME_PAGE_LAST = """
+<html><body><div id="sortable"><ul class="shop_list">
+  <li><div><dl><dt>道後ビール館</dt>
+      <dd><ul><li><span>住所</span><span>松山市道後湯之町3-3</span></li></ul></dd></dl>
+      <p><span>ビアホール</span></p></div>
+      <p class="btn_link"><a href="https://www.goto-eat-ehime.com/shop/1003/">詳細</a></p></li>
+</ul></div>
+<div role="navigation"></div>
+</body></html>
+"""
+
+FUKUSHIMA_PAGE_1 = """
+<html><body><div class="block_search-result"><ul class="list_search-result">
+  <li><a href="#modal1"><h3 class="result-name"><span> 円盤餃子のふくしま亭 </span></h3>
+      <p class="result-address"><span> 福島市栄町1-1 </span></p>
+      <p class="result-cat"><span> 餃子 </span></p></a>
+    <div class="mfp-hide"><ul class="list_store-info">
+      <li><span>電話</span><span>024-900-1111</span></li>
+      <li><span>営業時間</span><span>17:00-23:00</span></li>
+      <li><span>定休日</span><span>月曜</span></li>
+      <li><span>URL</span><span><a href="http://enban-gyoza.example">公式</a></span></li>
+      <li class="map-box"><iframe src="https://maps.google.com/maps?q=37.7608,140.4733&amp;output=embed"></iframe></li>
+    </ul></div></li>
+  <li><a href="#modal2"><h3 class="result-name"><span>喜多方ラーメン坂内</span></h3>
+      <p class="result-address"><span>喜多方市細田2-2</span></p>
+      <p class="result-cat"><span>ラーメン</span></p></a>
+    <div class="mfp-hide"><ul class="list_store-info">
+      <li><span>電話</span><span>0241-900-2222</span></li>
+    </ul></div></li>
+</ul></div>
+<div role="navigation"><a rel="next" href="https://gotoeat-fukushima.jp/shop/page/2/?s=">NEXT</a></div>
+</body></html>
+"""
+
+FUKUSHIMA_PAGE_LAST = """
+<html><body><div class="block_search-result"><ul class="list_search-result">
+  <li><a href="#modal3"><h3 class="result-name"><span>薄皮饅頭茶屋柏屋</span></h3>
+      <p class="result-address"><span>郡山市中町3-3</span></p>
+      <p class="result-cat"><span>甘味</span></p></a>
+    <div class="mfp-hide"><ul class="list_store-info"></ul></div></li>
+</ul></div>
+<div role="navigation"></div>
+</body></html>
+"""
+
+GIFU_LIST_PAGE = """
+<html><body>
+<table id="smp-table-26960">
+  <tr class="smp-row-head"><th>No</th><th>エリア</th><th>店舗</th></tr>
+  <tr class="smp-row-data"><td class="smp-cell-col-1">1</td><td class="smp-cell-col-2">岐阜</td>
+      <td class="smp-cell-col-3"><a target="_self" href="/area/card/26960/abc1/M">飛騨牛まる明</a></td></tr>
+  <tr class="smp-row-data"><td class="smp-cell-col-1">2</td><td class="smp-cell-col-2">高山</td>
+      <td class="smp-cell-col-3"><a target="_self" href="/area/card/26960/abc2/M">高山ラーメン鍛治橋</a></td></tr>
+</table>
+<table class="smp-pager"><tr><td class="smp-page smp-current-page">1</td>
+    <td class="smp-page"><a href="/area/table/26960/ADtah6/M?page=2">2</a></td></tr></table>
+</body></html>
+"""
+
+GIFU_DETAIL_PAGE = """
+<html><body><table class="smp-card-list">
+  <tr><th>店舗名</th><td>飛騨牛まる明</td></tr>
+  <tr><th>業態</th><td> 焼肉 </td></tr>
+  <tr><th>WEB URL</th><td><a href="http://maruaki.example">HP</a></td></tr>
+  <tr><th>店舗エリア</th><td> 飛騨 </td></tr>
+  <tr><th>住所情報</th><td>506-0011<br>高山市本町4-4 飛騨牛まる明<br>ビル1F</td></tr>
+  <tr><th>電話番号</th><td> 0577-900-1111 </td></tr>
+</table></body></html>
+"""
+
+HIROSHIMA_PAGE_1 = """
+<html><body><div class="result">
+  <div class="result__row">
+    <ul class="result__cate"><li> お好み焼 </li></ul>
+    <div class="result__data"><h3><a href="http://okonomi-mura.example">お好み村 八昌</a></h3>
+      <p class="result__address"> 広島市中区新天地1-1 </p></div>
+  </div>
+  <div class="result__row">
+    <ul class="result__cate"><li>汁なし担担麺</li></ul>
+    <div class="result__data"><h3>きさく 本店</h3>
+      <p class="result__address">広島市中区舟入川口町2-2</p></div>
+  </div>
+</div>
+<div role="navigation"><a rel="next" href="https://gotoeat.hiroshima.jp/page/2/?s">&raquo;</a></div>
+</body></html>
+"""
+
+HIROSHIMA_PAGE_LAST = """
+<html><body><div class="result">
+  <div class="result__row">
+    <ul class="result__cate"><li>牡蠣</li></ul>
+    <div class="result__data"><h3>かき船かなわ</h3>
+      <p class="result__address">広島市中区大手町3-3</p></div>
+  </div>
+</div>
+<div role="navigation"></div>
+</body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -774,5 +890,21 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         "fukui": [
             ("https://gotoeat-fukui.com/shop/search.php", FUKUI_SEARCH_PAGE.encode()),
             ("https://gotoeat-fukui.com/shop/?id=180001", FUKUI_DETAIL_PAGE.encode()),
+        ],
+        "ehime": [
+            ("https://www.goto-eat-ehime.com/shop_list/", EHIME_PAGE_1.encode()),
+            ("https://www.goto-eat-ehime.com/shop_list/page/2/", EHIME_PAGE_LAST.encode()),
+        ],
+        "fukushima": [
+            ("https://gotoeat-fukushima.jp/shop/?s=", FUKUSHIMA_PAGE_1.encode()),
+            ("https://gotoeat-fukushima.jp/shop/page/2/?s=", FUKUSHIMA_PAGE_LAST.encode()),
+        ],
+        "gifu": [
+            ("https://area34.smp.ne.jp/area/table/26960/ADtah6/M?detect=x&S=y&_limit_26960=100", GIFU_LIST_PAGE.encode()),
+            ("https://area34.smp.ne.jp/area/card/26960/abc1/M", GIFU_DETAIL_PAGE.encode()),
+        ],
+        "hiroshima": [
+            ("https://gotoeat.hiroshima.jp/?s", HIROSHIMA_PAGE_1.encode()),
+            ("https://gotoeat.hiroshima.jp/page/2/?s", HIROSHIMA_PAGE_LAST.encode()),
         ],
     }

@@ -581,6 +581,79 @@ class TestFukui:
         assert a["detail_page"] == "https://gotoeat-fukui.com/shop/?id=180001"
 
 
+class TestEhime:
+    def test_golden_page1(self):
+        res = _parse("ehime", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["genre_name"], a["address"]) == ("鯛めし丸水", "郷土料理", "松山市大街道1-1")
+        assert a["tel"] == "089-900-1111"  # a.tel_link text (ehime.py:28)
+        assert a["detail_page"] == "https://www.goto-eat-ehime.com/shop/1001/"  # stripped
+        assert (b["tel"], b["area_name"]) == (None, None)  # area is search-only (ehime.py:31-32)
+        assert [l["url"] for l in res.links] == ["https://www.goto-eat-ehime.com/shop_list/page/2/"]
+
+    def test_last_page_stops(self):
+        assert _parse("ehime", 1).links == []
+
+
+class TestFukushima:
+    def test_inline_modal_detail(self):
+        res = _parse("fukushima", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["address"], a["genre_name"]) == ("円盤餃子のふくしま亭", "福島市栄町1-1", "餃子")
+        # all detail fields from the hidden modal, no extra request
+        assert (a["tel"], a["opening_hours"], a["closing_day"]) == ("024-900-1111", "17:00-23:00", "月曜")
+        assert a["official_page"] == "http://enban-gyoza.example"
+        assert (a["provided_lat"], a["provided_lng"]) == ("37.7608", "140.4733")  # iframe q=
+        assert (b["opening_hours"], b["provided_lat"]) == (None, None)
+        assert [l["url"] for l in res.links] == ["https://gotoeat-fukushima.jp/shop/page/2/?s="]
+
+    def test_last_page_stops(self):
+        assert _parse("fukushima", 1).links == []
+
+
+class TestGifu:
+    def test_list_fans_out_and_pages(self):
+        res = _parse("gifu", 0)
+        assert res.items == []
+        assert [l["url"] for l in res.links[:2]] == [
+            "https://area34.smp.ne.jp/area/card/26960/abc1/M",
+            "https://area34.smp.ne.jp/area/card/26960/abc2/M",
+        ]
+        assert all(l["callback"] == "detail" for l in res.links[:2])
+        # sibling AFTER td.smp-current-page (gifu.py:40-42)
+        assert res.links[2]["url"] == "https://area34.smp.ne.jp/area/table/26960/ADtah6/M?page=2"
+
+    def test_detail_card_table(self):
+        res = _parse("gifu", 1)  # content-routed through parse()
+        (a,) = res.items
+        assert (a["shop_name"], a["genre_name"], a["area_name"]) == ("飛騨牛まる明", "焼肉", "飛騨")
+        assert a["official_page"] == "http://maruaki.example"
+        assert a["zip_code"] == "506-0011"
+        # embedded shop name stripped from the address (gifu.py:69)
+        assert a["address"] == "高山市本町4-4  ビル1F"
+        assert a["tel"] == "0577-900-1111"
+
+    def test_platform_courtesy_delay(self):
+        from goto_eater_crawler_ray.sites.gifu import SPEC
+
+        assert SPEC.crawl_delay_s == 1.7  # shared SaaS host (gifu.py:23-29)
+
+
+class TestHiroshima:
+    def test_linked_and_plain_names(self):
+        res = _parse("hiroshima", 0)
+        a, b = res.items
+        # linked name -> text from the a + official page (hiroshima.py:24-29)
+        assert (a["shop_name"], a["official_page"]) == ("お好み村 八昌", "http://okonomi-mura.example")
+        assert (a["genre_name"], a["address"]) == ("お好み焼", "広島市中区新天地1-1")
+        # plain name -> h3's own text, no official page
+        assert (b["shop_name"], b["official_page"]) == ("きさく 本店", None)
+        assert [l["url"] for l in res.links] == ["https://gotoeat.hiroshima.jp/page/2/?s"]
+
+    def test_last_page_stops(self):
+        assert _parse("hiroshima", 1).links == []
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -612,15 +685,17 @@ class TestSiteItemsQuery:
         # nagasaki 2+1, hokkaido 0+2+1, oita 2, kyoto 0+1, kagawa 2+1,
         # aichi 2+1, hyogo 2+1, chiba (liny) 2, kochi 3, shimane 0+1,
         # toyama 2+1, tottori 2+1
-        # ... aomori 2+1, fukui 0+1
+        # ... aomori 2+1, fukui 0+1, ehime 2+1, fukushima 2+1, gifu 0+1,
+        # hiroshima 2+1
         assert len(out) == (
             2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
-            + 3 + 1 + 3 + 3 + 3 + 1
+            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3
         )
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
             "osaka", "gunma", "akita", "nara", "tokyo", "nagasaki", "hokkaido",
             "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba", "kochi",
-            "shimane", "toyama", "tottori", "aomori", "fukui",
+            "shimane", "toyama", "tottori", "aomori", "fukui", "ehime",
+            "fukushima", "gifu", "hiroshima",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
