@@ -28,7 +28,11 @@ from . import (
     hiroshima,
     hokkaido,
     hyogo,
+    ibaraki,
+    ishikawa,
+    iwate,
     kagawa,
+    kagoshima,
     kochi,
     kyoto,
     liny,
@@ -79,6 +83,10 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     fukushima.SPEC,
     gifu.SPEC,
     hiroshima.SPEC,
+    ibaraki.SPEC,
+    ishikawa.SPEC,
+    iwate.SPEC,
+    kagoshima.SPEC,
 )
 
 

@@ -804,6 +804,100 @@ HIROSHIMA_PAGE_LAST = """
 """
 
 
+IBARAKI_LIST_PAGE = """
+<html><body>
+<table id="smp-table-27130">
+  <tr class="smp-row-head"><th>ジャンル</th><th>店舗</th><th>TEL</th><th>市</th><th>住所</th></tr>
+  <tr class="smp-row-data"><td> そば </td><td><a href="/area/card/27130/x1/M"> 蕎麦処 常陸庵 </a></td>
+      <td>029-900-1111</td><td>水戸市</td><td>南町1-1</td></tr>
+  <tr class="smp-row-data"><td>海鮮</td><td><a href="/area/card/27130/x2/M">那珂湊おさかな食堂</a></td>
+      <td></td><td>ひたちなか市</td><td>湊本町2-2</td></tr>
+</table>
+<table class="smp-pager"><tr><td class="smp-page smp-current-page">1</td>
+    <td class="smp-page"><a href="/area/table/27130/3jFZ4A/M?_page_27130=2">2</a></td></tr></table>
+</body></html>
+"""
+
+IBARAKI_PAGE_LAST = """
+<html><body>
+<table id="smp-table-27130">
+  <tr class="smp-row-data"><td>レストラン</td><td><a href="/area/card/27130/x3/M">偕楽園茶寮</a></td>
+      <td>029-900-3333</td><td>水戸市</td><td>常磐町3-3</td></tr>
+</table>
+<table class="smp-pager"><tr><td class="smp-page">1</td><td class="smp-page smp-current-page">2</td></tr></table>
+</body></html>
+"""
+
+ISHIKAWA_PAGE_1 = """
+<html><body><div class="baseW"><ul class="member_list">
+  <li class="member_item">
+    <div class="tag_list"><div class="tag_list_item type"> 寿司 </div><div class="tag_list_item city"> 金沢市 </div></div>
+    <h4 class="name"> 近江町市場寿し </h4>
+    <div class="address"><div class="post">〒920-0907</div><div class="content"><p>金沢市青草町
+   88番地</p></div></div>
+    <div class="tel">TEL.076-900-1111</div>
+  </li>
+  <li class="member_item">
+    <div class="tag_list"><div class="tag_list_item type">カフェ</div><div class="tag_list_item city">輪島市</div></div>
+    <h4 class="name">朝市カフェ輪島</h4>
+    <div class="address"><div class="post">〒928-0001</div><div class="content"><p>輪島市河井町2-2</p></div></div>
+  </li>
+</ul></div>
+<div class="page_nation"><a class="next page-numbers" href="/page/2/?cities=&amp;type=&amp;s=&amp;post_type=member_store">&gt;</a></div>
+</body></html>
+"""
+
+ISHIKAWA_PAGE_LAST = """
+<html><body><div class="baseW"><ul class="member_list">
+  <li class="member_item">
+    <div class="tag_list"><div class="tag_list_item type">おでん</div><div class="tag_list_item city">金沢市</div></div>
+    <h4 class="name">金沢おでん赤玉</h4>
+    <div class="address"><div class="post">〒920-0981</div><div class="content"><p>金沢市片町3-3</p></div></div>
+    <div class="tel">TEL.076-900-3333</div>
+  </li>
+</ul></div>
+<div class="page_nation"></div>
+</body></html>
+"""
+
+IWATE_RESULT_PAGE = """
+<html><body><section id="search_result">
+  <div class="stores_box">
+    <h2 class="stores_box_name"> わんこそば東家 </h2>
+    <p class="stores_box_cities"> 盛岡市 </p>
+    <p class="stores_box_add"> 盛岡市中ノ橋通1-1 </p>
+    <p class="stores_box_tel">電話でのご予約は 019-900-1111 まで</p>
+    <p class="stores_box_genre"> そば </p>
+  </div>
+  <div class="stores_box">
+    <h2 class="stores_box_name">じゃじゃ麺小吃店</h2>
+    <p class="stores_box_cities">盛岡市</p>
+    <p class="stores_box_add">盛岡市内丸2-2</p>
+    <p class="stores_box_tel">予約不可</p>
+    <p class="stores_box_genre">イカの唐揚げ</p>
+  </div>
+</section></body></html>
+"""
+
+KAGOSHIMA_INDEX_PAGE = """
+<html><body><div id="second_page">
+  <p><a href="http://www.kagoshima-cci.or.jp/area/zeniki.html">鹿児島市全域</a></p>
+  <p><a href="http://www.kagoshima-cci.or.jp/area/tenmonkan.html">天文館地区</a></p>
+  <p><a href="http://www.kagoshima-cci.or.jp/area/sonota.html">〇その他地域</a></p>
+  <p><a href="http://www.kagoshima-cci.or.jp/ticket.html">◇食事券購入情報はこちら</a></p>
+  <p>リンクなし段落</p>
+</div></body></html>
+"""
+
+KAGOSHIMA_AREA_PAGE = """
+<html><body><table>
+  <tr><td>1</td><td><span>検索</span></td><td>黒豚料理あぢもり</td><td>千日町1-1</td></tr>
+  <tr><td>ヘッダ</td><td>区分</td><td>店舗名</td><td>住所</td></tr>
+  <tr><td>2</td><td><span>検索</span></td><td>鶏飯ひさ倉分店</td><td>金生町2-2</td></tr>
+</table></body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -906,5 +1000,18 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         "hiroshima": [
             ("https://gotoeat.hiroshima.jp/?s", HIROSHIMA_PAGE_1.encode()),
             ("https://gotoeat.hiroshima.jp/page/2/?s", HIROSHIMA_PAGE_LAST.encode()),
+        ],
+        "ibaraki": [
+            ("https://area34.smp.ne.jp/area/table/27130/3jFZ4A/M?_page_27130=1", IBARAKI_LIST_PAGE.encode()),
+            ("https://area34.smp.ne.jp/area/table/27130/3jFZ4A/M?_page_27130=2", IBARAKI_PAGE_LAST.encode()),
+        ],
+        "ishikawa": [
+            ("https://ishikawa-gotoeat-cpn.com/?cities=&type=&s=&post_type=member_store", ISHIKAWA_PAGE_1.encode()),
+            ("https://ishikawa-gotoeat-cpn.com/page/2/?cities=&type=&s=&post_type=member_store", ISHIKAWA_PAGE_LAST.encode()),
+        ],
+        "iwate": [("https://www.iwate-gotoeat.jp/stores/#search_result", IWATE_RESULT_PAGE.encode())],
+        "kagoshima": [
+            ("http://www.kagoshima-cci.or.jp/?p=20375", KAGOSHIMA_INDEX_PAGE.encode()),
+            ("http://www.kagoshima-cci.or.jp/area/zeniki.html", KAGOSHIMA_AREA_PAGE.encode()),
         ],
     }

@@ -654,6 +654,83 @@ class TestHiroshima:
         assert _parse("hiroshima", 1).links == []
 
 
+class TestIbaraki:
+    def test_positional_columns_and_pager(self):
+        res = _parse("ibaraki", 0)
+        a, b = res.items
+        assert (a["genre_name"], a["shop_name"]) == ("そば", "蕎麦処 常陸庵")
+        assert a["detail_page"] == "https://area34.smp.ne.jp/area/card/27130/x1/M"
+        assert a["address"] == "水戸市 南町1-1"  # td4 + " " + td5 (ibaraki.py:42-44)
+        assert b["tel"] is None
+        assert [l["url"] for l in res.links] == [
+            "https://area34.smp.ne.jp/area/table/27130/3jFZ4A/M?_page_27130=2"
+        ]
+
+    def test_last_page_stops(self):
+        assert _parse("ibaraki", 1).links == []
+
+
+class TestIshikawa:
+    def test_golden_page1(self):
+        res = _parse("ishikawa", 0)
+        a, b = res.items
+        assert (a["genre_name"], a["area_name"], a["shop_name"]) == ("寿司", "金沢市", "近江町市場寿し")
+        assert a["zip_code"] == "920-0907"  # 〒 stripped
+        assert a["address"] == "金沢市青草町 88番地"  # normalize-space (ishikawa.py:32)
+        assert a["tel"] == "076-900-1111"  # TEL. stripped
+        assert b["tel"] is None
+        assert res.links[0]["url"].startswith("https://ishikawa-gotoeat-cpn.com/page/2/")
+
+    def test_last_page_stops(self):
+        assert _parse("ishikawa", 1).links == []
+
+
+class TestIwate:
+    def test_area_post_fanout(self):
+        from goto_eater_crawler_ray.sites.iwate import AREA_LIST, seeds
+
+        assert len(AREA_LIST) == 33  # iwate.py:19-54
+        rows = seeds()
+        assert len(rows) == 33
+        assert all(r["method"] == "POST" for r in rows)
+        assert rows[0]["form"] == {"k": "", "area": "盛岡市"}
+
+    def test_tel_regex_extraction(self):
+        res = _parse("iwate")
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("わんこそば東家", "盛岡市")
+        assert a["tel"] == "019-900-1111"  # extracted from free text (iwate.py:74-76)
+        assert b["tel"] is None  # no number in the line
+        assert b["genre_name"] == "イカの唐揚げ"  # free-form genre survives
+
+
+class TestKagoshima:
+    def test_index_whitelist(self):
+        res = _parse("kagoshima", 0)
+        assert res.items == []
+        # only the two whitelisted areas; districts + ticket link skipped
+        assert [l["url"] for l in res.links] == [
+            "http://www.kagoshima-cci.or.jp/area/zeniki.html",
+            "http://www.kagoshima-cci.or.jp/area/sonota.html",
+        ]
+        assert res.links[0]["meta"] == {"area_name": "鹿児島市全域"}
+
+    def test_area_rows_and_city_prefix(self):
+        from goto_eater_crawler_ray.sites import fixtures as fx
+        from goto_eater_crawler_ray.sites.kagoshima import parse_from_area_html
+
+        url = "http://www.kagoshima-cci.or.jp/area/zeniki.html"
+        res = parse_from_area_html(url, fx.KAGOSHIMA_AREA_PAGE.encode(), {"area_name": "鹿児島市全域"}, 1)
+        a, b = res.items
+        # 検索-marked rows only; header row skipped (kagoshima.py:68)
+        assert a["shop_name"] == "黒豚料理あぢもり"
+        assert a["address"] == "鹿児島市千日町1-1"  # city prefix re-attached (kagoshima.py:72-73)
+        assert b["address"] == "鹿児島市金生町2-2"
+        # other areas keep the address as-is
+        res2 = parse_from_area_html(url, fx.KAGOSHIMA_AREA_PAGE.encode(), {"area_name": "〇その他地域"}, 1)
+        assert res2.items[0]["address"] == "千日町1-1"
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -686,16 +763,17 @@ class TestSiteItemsQuery:
         # aichi 2+1, hyogo 2+1, chiba (liny) 2, kochi 3, shimane 0+1,
         # toyama 2+1, tottori 2+1
         # ... aomori 2+1, fukui 0+1, ehime 2+1, fukushima 2+1, gifu 0+1,
-        # hiroshima 2+1
+        # hiroshima 2+1, ibaraki 2+1, ishikawa 2+1, iwate 2, kagoshima 0+2
         assert len(out) == (
             2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
-            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3
+            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3 + 3 + 3 + 2 + 2
         )
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
             "osaka", "gunma", "akita", "nara", "tokyo", "nagasaki", "hokkaido",
             "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba", "kochi",
             "shimane", "toyama", "tottori", "aomori", "fukui", "ehime",
-            "fukushima", "gifu", "hiroshima",
+            "fukushima", "gifu", "hiroshima", "ibaraki", "ishikawa", "iwate",
+            "kagoshima",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
