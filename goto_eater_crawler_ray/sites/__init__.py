@@ -34,8 +34,12 @@ from . import (
     kagawa,
     kagoshima,
     kochi,
+    kumamoto,
     kyoto,
     liny,
+    mie,
+    miyazaki,
+    nagano,
     shimane,
     miyagi,
     nagasaki,
@@ -87,6 +91,10 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     ishikawa.SPEC,
     iwate.SPEC,
     kagoshima.SPEC,
+    kumamoto.SPEC,
+    mie.SPEC,
+    miyazaki.SPEC,
+    nagano.SPEC,
 )
 
 

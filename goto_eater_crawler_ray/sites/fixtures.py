@@ -898,6 +898,145 @@ KAGOSHIMA_AREA_PAGE = """
 """
 
 
+KUMAMOTO_PAGE_1 = """
+<html><body><section id="sale-page"><div class="sec-body__inner">
+  <article>
+    <h3> 馬刺しの菅乃屋 </h3>
+    <p class="cat"><a class="tag">熊本市</a></p>
+    <p>〒860-0808 熊本市中央区手取本町1-1</p>
+    <p>096-900-1111</p>
+    <p><a href="http://suganoya.example">公式</a></p>
+  </article>
+  <article>
+    <h3>太平燕の紅蘭亭</h3>
+    <p class="cat"><a class="tag">熊本市</a></p>
+    <p>〒860-0803 熊本市中央区新市街2-2</p>
+    <p>096-900-2222</p>
+    <p></p>
+  </article>
+</div></section>
+<div class="pagination"><a class="next page-numbers" href="https://gotoeat-kumamoto.jp/shop/page/2">&gt;</a></div>
+</body></html>
+"""
+
+KUMAMOTO_PAGE_LAST = """
+<html><body><section id="sale-page"><div class="sec-body__inner">
+  <article>
+    <h3>いきなり団子本舗</h3>
+    <p class="cat"><a class="tag">阿蘇市</a></p>
+    <p>〒869-2225 阿蘇市黒川3-3</p>
+  </article>
+</div></section>
+<div class="pagination"></div>
+</body></html>
+"""
+
+MIE_LIST_PAGE = """
+<html><body>
+<table id="smp-table-26722">
+  <tr class="smp-row-data"><td class="smp-cell-col-1">1</td><td class="smp-cell-col-2">伊勢</td>
+      <td class="smp-cell-col-3"><a target="_self" href="/area/card/26722/m1/M">伊勢うどん奥野家</a></td></tr>
+</table>
+<table class="smp-pager"><tr><td class="smp-page smp-current-page">1</td>
+    <td class="smp-page"><a href="/area/table/26722/AikX5e/M?page=2">2</a></td></tr></table>
+</body></html>
+"""
+
+# the platform's broken markup, verbatim shape: the 電話番号 row has NO tr
+MIE_DETAIL_PAGE = """
+<html><body><table class="smp-card-list">
+  <tr><th>店舗名</th><td>伊勢うどん奥野家</td></tr>
+  <tr><th>住所情報</th><td>516-0025<br>伊勢市宇治今在家町4-4</td></tr>
+  <th>電話番号</th><td> 0596-900-1111 </td>
+  <tr><th>店舗エリア</th><td> 伊勢志摩 </td></tr>
+  <tr><th>業態</th><td> うどん </td></tr>
+  <tr><th>WEB URL</th><td><a href="http://okunoya.example">HP</a></td></tr>
+</table></body></html>
+"""
+
+MIE_DETAIL_NAGOYA_PAGE = """
+<html><body><table class="smp-card-list">
+  <tr><th>店舗名</th><td>名古屋まぐろ亭</td></tr>
+  <tr><th>住所情報</th><td>460-0008<br>愛知県名古屋市中区栄5-5</td></tr>
+  <th>電話番号</th><td>052-900-5555</td>
+</table></body></html>
+"""
+
+MIYAZAKI_PAGE_1 = """
+<html><body><div class="l-store-card">
+  <div class="store-card__item">
+    <h3 class="store-card__title">地鶏炭火焼ぐんけい／居酒屋</h3>
+    <table><tbody>
+      <tr><th>住所：</th><td>〒880-0001 宮崎市橘通西1-1</td></tr>
+      <tr><th>電話番号：</th><td>0985-900-1111</td></tr>
+      <tr><th>URL：</th><td><a href="http://gunkei.example">公式</a></td></tr>
+    </tbody></table>
+    <a class="store-card__button" href="https://premium-gift.jp/gotoeatmiyazaki/use_store/detail?id=501">詳細</a>
+  </div>
+  <div class="store-card__item">
+    <h3 class="store-card__title">チキン南蛮おぐら</h3>
+    <table><tbody>
+      <tr><th>住所：</th><td>〒880-0805 宮崎市橘通東2-2</td></tr>
+      <tr><th>電話番号：</th><td>-</td></tr>
+    </tbody></table>
+    <a class="store-card__button" href="https://premium-gift.jp/gotoeatmiyazaki/use_store/detail?id=502">詳細</a>
+  </div>
+</div>
+<nav class="pagenation"><a href="javascript:on_events('page',2);">次へ</a></nav>
+</body></html>
+"""
+
+MIYAZAKI_PAGE_LAST = """
+<html><body><div class="l-store-card">
+  <div class="store-card__item">
+    <h3 class="store-card__title">日向灘海鮮丸</h3>
+    <table><tbody>
+      <tr><th>住所：</th><td>〒883-0046 日向市中町3-3</td></tr>
+      <tr><th>電話番号：</th><td>0982-900-3333</td></tr>
+    </tbody></table>
+  </div>
+</div>
+<nav class="pagenation"></nav>
+</body></html>
+"""
+
+NAGANO_PAGE_1 = """
+<html><body><div class="shop_block">
+  <div class="shop">
+    <p class="shop_title"> 信州そば処みよ田 </p>
+    <p class="shop_type"><span class="shop_shozaichi">松本市</span><span class="shopgenre"> そば </span></p>
+    <p class="shop_address">〒390-0815</p>
+    <p class="shop_address">住所：松本市深志1-1</p>
+    <p class="shop_tel"><span>0263-900-1111</span><a href="http://miyota.example">HP</a></p>
+  </div>
+  <div class="shop"><p class="shop_title"></p></div>
+  <div class="shop">
+    <p class="shop_title">野沢菜茶屋やまへい</p>
+    <p class="shop_type"><span class="shop_shozaichi">小諸市</span><span class="shopgenre">郷土料理</span></p>
+    <p class="shop_address">〒384-0025</p>
+    <p class="shop_address">住所：小諸市相生町2-2</p>
+    <p class="shop_tel"><span>0267-900-2222</span></p>
+  </div>
+</div>
+<div class="pager"><a href="/riyou.php?p=2#search-result">&gt;&gt;</a></div>
+</body></html>
+"""
+
+NAGANO_PAGE_LAST = """
+<html><body><div class="shop_block">
+  <div class="shop">
+    <p class="shop_title">りんご園カフェふじ</p>
+    <p class="shop_type"><span class="shop_shozaichi">飯田市</span><span class="shopgenre">カフェ</span></p>
+    <p class="shop_address">〒395-0044</p>
+    <p class="shop_address">住所：飯田市本町3-3</p>
+    <p class="shop_tel"><span>0265-900-3333</span></p>
+  </div>
+</div>
+<div class="pager"></div>
+</body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -1013,5 +1152,21 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         "kagoshima": [
             ("http://www.kagoshima-cci.or.jp/?p=20375", KAGOSHIMA_INDEX_PAGE.encode()),
             ("http://www.kagoshima-cci.or.jp/area/zeniki.html", KAGOSHIMA_AREA_PAGE.encode()),
+        ],
+        "kumamoto": [
+            ("https://gotoeat-kumamoto.jp/shop", KUMAMOTO_PAGE_1.encode()),
+            ("https://gotoeat-kumamoto.jp/shop/page/2", KUMAMOTO_PAGE_LAST.encode()),
+        ],
+        "mie": [
+            ("https://area34.smp.ne.jp/area/table/26722/AikX5e/M?x=1", MIE_LIST_PAGE.encode()),
+            ("https://area34.smp.ne.jp/area/card/26722/m1/M", MIE_DETAIL_PAGE.encode()),
+        ],
+        "miyazaki": [
+            ("https://premium-gift.jp/gotoeatmiyazaki/use_store", MIYAZAKI_PAGE_1.encode()),
+            ("https://premium-gift.jp/gotoeatmiyazaki/use_store?events=page&id=2&store=&addr=&industry=", MIYAZAKI_PAGE_LAST.encode()),
+        ],
+        "nagano": [
+            ("https://shinshu-premium.jp/riyou.php", NAGANO_PAGE_1.encode()),
+            ("https://shinshu-premium.jp/riyou.php?p=2#search-result", NAGANO_PAGE_LAST.encode()),
         ],
     }

@@ -731,6 +731,85 @@ class TestKagoshima:
         assert res2.items[0]["address"] == "千日町1-1"
 
 
+class TestKumamoto:
+    def test_golden_page1(self):
+        res = _parse("kumamoto", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("馬刺しの菅乃屋", "熊本市")
+        assert (a["zip_code"], a["address"]) == ("860-0808", "熊本市中央区手取本町1-1")
+        assert a["official_page"] == "http://suganoya.example"  # p[3]/a (kumamoto.py:31)
+        assert (a["genre_name"], b["official_page"]) == (None, None)  # no genre dimension
+        assert [l["url"] for l in res.links] == ["https://gotoeat-kumamoto.jp/shop/page/2"]
+
+    def test_last_page_stops(self):
+        assert _parse("kumamoto", 1).links == []
+
+
+class TestMie:
+    def test_list_and_pager(self):
+        res = _parse("mie", 0)
+        assert res.items == []
+        assert res.links[0]["url"] == "https://area34.smp.ne.jp/area/card/26722/m1/M"
+        assert res.links[1]["url"] == "https://area34.smp.ne.jp/area/table/26722/AikX5e/M?page=2"
+
+    def test_detail_with_broken_tel_row(self):
+        res = _parse("mie", 1)  # content-routed
+        (a,) = res.items
+        assert a["shop_name"] == "伊勢うどん奥野家"
+        assert (a["zip_code"], a["address"]) == ("516-0025", "伊勢市宇治今在家町4-4")
+        # the platform's tr-less 電話番号 row still resolves (mie.py:70-71)
+        assert a["tel"] == "0596-900-1111"
+        assert (a["area_name"], a["genre_name"]) == ("伊勢志摩", "うどん")
+        assert a["official_page"] == "http://okunoya.example"
+
+    def test_nagoya_leak_filtered(self):
+        from goto_eater_crawler_ray.sites import fixtures as fx
+        from goto_eater_crawler_ray.sites.mie import detail
+
+        res = detail("https://area34.smp.ne.jp/area/card/26722/m9/M", fx.MIE_DETAIL_NAGOYA_PAGE.encode(), {}, 1)
+        assert res.items == []  # 愛知県 rows dropped (mie.py:66-68)
+
+
+class TestMiyazaki:
+    def test_genre_in_name_split(self):
+        res = _parse("miyazaki", 0)
+        a, b = res.items
+        # "/"-separated title splits into name + genre (miyazaki.py:24-28)
+        assert (a["shop_name"], a["genre_name"]) == ("地鶏炭火焼ぐんけい", "居酒屋")
+        assert (a["zip_code"], a["address"]) == ("880-0001", "宮崎市橘通西1-1")
+        assert a["official_page"] == "http://gunkei.example"
+        # plain title -> whole text, no genre; "-" tel -> none
+        assert (b["shop_name"], b["genre_name"], b["tel"]) == ("チキン南蛮おぐら", None, None)
+        assert [l["url"] for l in res.links] == [
+            "https://premium-gift.jp/gotoeatmiyazaki/use_store?events=page&id=2&store=&addr=&industry="
+        ]
+
+    def test_last_page_stops(self):
+        assert _parse("miyazaki", 1).links == []
+
+
+class TestNagano:
+    def test_golden_page1(self):
+        res = _parse("nagano", 0)
+        assert len(res.items) == 2  # nameless grid-padding block skipped
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"], a["genre_name"]) == ("信州そば処みよ田", "松本市", "そば")
+        assert a["address"] == "松本市深志1-1"  # SECOND p.shop_address, 住所： stripped
+        assert (a["tel"], a["official_page"]) == ("0263-900-1111", "http://miyota.example")
+        assert b["official_page"] is None
+        # URL synthesized from the page counter (nagano.py:39-47)
+        assert [l["url"] for l in res.links] == ["https://shinshu-premium.jp/riyou.php?p=2#search-result"]
+
+    def test_counter_and_stop(self):
+        res = _parse("nagano", 1)
+        assert res.links == []
+        from goto_eater_crawler_ray.sites import fixtures as fx
+        from goto_eater_crawler_ray.sites.nagano import parse
+
+        res2 = parse("https://shinshu-premium.jp/riyou.php?p=2#search-result", fx.NAGANO_PAGE_1.encode(), {}, 1)
+        assert res2.links[0]["url"] == "https://shinshu-premium.jp/riyou.php?p=3#search-result"
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -763,10 +842,11 @@ class TestSiteItemsQuery:
         # aichi 2+1, hyogo 2+1, chiba (liny) 2, kochi 3, shimane 0+1,
         # toyama 2+1, tottori 2+1
         # ... aomori 2+1, fukui 0+1, ehime 2+1, fukushima 2+1, gifu 0+1,
-        # hiroshima 2+1, ibaraki 2+1, ishikawa 2+1, iwate 2, kagoshima 0+2
+        # hiroshima 2+1, ibaraki 2+1, ishikawa 2+1, iwate 2, kagoshima 0+2,
+        # kumamoto 2+1, mie 0+1, miyazaki 2+1, nagano 2+1
         assert len(out) == (
             2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
-            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3 + 3 + 3 + 2 + 2
+            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3 + 3 + 3 + 2 + 2 + 3 + 1 + 3 + 3
         )
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
@@ -774,6 +854,6 @@ class TestSiteItemsQuery:
             "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba", "kochi",
             "shimane", "toyama", "tottori", "aomori", "fukui", "ehime",
             "fukushima", "gifu", "hiroshima", "ibaraki", "ishikawa", "iwate",
-            "kagoshima",
+            "kagoshima", "kumamoto", "mie", "miyazaki", "nagano",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
