@@ -40,6 +40,9 @@ from . import (
     mie,
     miyazaki,
     nagano,
+    okayama,
+    okinawa,
+    saga,
     shimane,
     miyagi,
     nagasaki,
@@ -49,6 +52,7 @@ from . import (
     osaka,
     saitama,
     tochigi,
+    tokushima,
     tokyo,
     tottori,
     toyama,
@@ -95,6 +99,10 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     mie.SPEC,
     miyazaki.SPEC,
     nagano.SPEC,
+    okayama.SPEC,
+    okinawa.SPEC,
+    saga.SPEC,
+    tokushima.SPEC,
 )
 
 

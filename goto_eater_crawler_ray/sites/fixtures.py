@@ -1037,6 +1037,143 @@ NAGANO_PAGE_LAST = """
 """
 
 
+OKAYAMA_PAGE_1 = """
+<html><body><div id="shop"><div class="container">
+  <div class="box">
+    <p> 千屋牛焼肉けんちゃん </p>
+    <dl><dt>エリア</dt><dd> 新見市 </dd>
+        <dt>業種</dt><dd> 焼肉 </dd>
+        <dt>電話番号</dt><dd><a class="tellink" href="tel:0867900111">0867-900-1111</a></dd>
+        <dt>住所</dt><dd> 新見市高尾1-1 </dd>
+        <dt>URL</dt><dd><a href="http://kenchan.example">HP</a></dd></dl>
+  </div>
+  <div class="box">
+    <p>デミカツ丼の味司野村</p>
+    <dl><dt>エリア</dt><dd>岡山市北区</dd>
+        <dt>業種</dt><dd>丼</dd>
+        <dt>住所</dt><dd>岡山市北区平和町2-2</dd></dl>
+  </div>
+</div></div>
+<div id="pager"><ul><li><a href="index.cgi?c=list&amp;pic=2">&gt;&gt;</a></li></ul></div>
+</body></html>
+"""
+
+OKAYAMA_PAGE_LAST = """
+<html><body><div id="shop"><div class="container">
+  <div class="box">
+    <p>倉敷珈琲館</p>
+    <dl><dt>エリア</dt><dd>倉敷市</dd>
+        <dt>業種</dt><dd>カフェ</dd>
+        <dt>住所</dt><dd>倉敷市本町3-3</dd></dl>
+  </div>
+</div></div>
+<div id="pager"><ul></ul></div>
+</body></html>
+"""
+
+OKINAWA_PAGE_1 = """
+<html><body><div class="search_result">
+  <article>
+    <p class="category"><a class="areas">那覇市</a><a class="industry">沖縄料理</a></p>
+    <h4 class="title"> 首里そば本家 </h4>
+    <p class="address"> 那覇市首里赤田町1-1 </p>
+    <div class="column"><p class="tel"><a href="tel:0989001111">TEL:098-900-1111</a></p>
+      <p class="url"><a rel="noopener" href="http://shurisoba.example">HP</a></p></div>
+  </article>
+  <article>
+    <p class="category"><a class="areas">石垣市</a><a class="industry">海鮮</a></p>
+    <h4 class="title">石垣島まぐろ屋</h4>
+    <p class="address">石垣市美崎町2-2</p>
+    <div class="column"><p class="tel"></p><p class="url"></p></div>
+  </article>
+</div>
+<nav role="navigation"><ul><li><span aria-current="page">1</span></li>
+<li><a href="https://gotoeat.okinawa.jp/restaurant/page/2/">2</a></li></ul></nav>
+</body></html>
+"""
+
+OKINAWA_PAGE_LAST = """
+<html><body><div class="search_result">
+  <article>
+    <p class="category"><a class="areas">宮古島市</a><a class="industry">カフェ</a></p>
+    <h4 class="title">砂山ビーチカフェ</h4>
+    <p class="address">宮古島市平良荷川取3-3</p>
+    <div class="column"><p class="tel"></p><p class="url"></p></div>
+  </article>
+</div>
+<nav role="navigation"><ul><li><a href="https://gotoeat.okinawa.jp/restaurant/page/1/">1</a></li>
+<li><span aria-current="page">2</span></li></ul></nav>
+</body></html>
+"""
+
+SAGA_PAGE_1 = """
+<html><body><main id="primary"><div class="shop_info">
+  <div class="shop_detail">
+    <div class="ttl">呼子いか本家</div>
+    <div class="genre"> 海鮮 </div>
+    <dl><dt>住所</dt><dd>唐津市呼子町<br>呼子1-1</dd></dl>
+    <dl><dt>TEL</dt><dd>0955-900-1111</dd></dl>
+    <dl><dt>営業時間</dt><dd>11:00-20:00</dd></dl>
+    <dl><dt>定休日</dt><dd>水曜</dd></dl>
+    <dl><dt>URL</dt><dd><a rel="noopener noreferrer" href="http://ikahonke.example">HP</a></dd></dl>
+  </div>
+  <div class="shop_detail">
+    <div class="ttl">シシリアンライス喫茶こち</div>
+    <div class="genre">喫茶</div>
+    <dl><dt>住所</dt><dd>佐賀市駅前中央2-2</dd></dl>
+    <dl><dt>TEL</dt><dd></dd></dl>
+  </div>
+</div></main>
+<div class="pagination"><ul><li class="next"><a href="/consumer/shop.php?name=&amp;page=2#search_result">NEXT</a></li></ul></div>
+</body></html>
+"""
+
+SAGA_PAGE_LAST = """
+<html><body><main id="primary"><div class="shop_info">
+  <div class="shop_detail">
+    <div class="ttl">嬉野温泉湯どうふ亭</div>
+    <div class="genre">郷土料理</div>
+    <dl><dt>住所</dt><dd>嬉野市嬉野町3-3</dd></dl>
+  </div>
+</div></main>
+<div class="pagination"><ul></ul></div>
+</body></html>
+"""
+
+TOKUSHIMA_PAGE_1 = """
+<html><body><main id="main">
+  <article>
+    <header><h2> 阿波尾鶏一徹 </h2>ジャンル：焼鳥, 和食</header>
+    <div class="entry-content">
+      <dl><dt>所在地</dt><dd> 徳島市紺屋町1-1 </dd>
+          <dt>定休日</dt><dd>月曜</dd>
+          <dt>営業時間</dt><dd>17:00-23:00</dd>
+          <dt>電話番号</dt><dd>088-900-1111</dd></dl>
+    </div>
+  </article>
+  <article>
+    <header><h2>鳴門鯛めし処うづ乃</h2>ジャンル：その他</header>
+    <div class="entry-content">
+      <dl><dt>所在地</dt><dd>鳴門市撫養町2-2</dd></dl>
+    </div>
+  </article>
+</main>
+<nav role="navigation"><div class="nav-links"><a class="next page-numbers" href="https://gotoeat.tokushima.jp/page/2/?s=">&gt;</a></div></nav>
+</body></html>
+"""
+
+TOKUSHIMA_PAGE_LAST = """
+<html><body><main id="main">
+  <article>
+    <header><h2>半田そうめん茶屋</h2>ジャンル：麺類</header>
+    <div class="entry-content"><dl><dt>所在地</dt><dd>つるぎ町半田3-3</dd></dl></div>
+  </article>
+</main>
+<nav role="navigation"><div class="nav-links"></div></nav>
+</body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -1168,5 +1305,21 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         "nagano": [
             ("https://shinshu-premium.jp/riyou.php", NAGANO_PAGE_1.encode()),
             ("https://shinshu-premium.jp/riyou.php?p=2#search-result", NAGANO_PAGE_LAST.encode()),
+        ],
+        "okayama": [
+            ("https://gotoeat-okayama.com/shop/index.cgi", OKAYAMA_PAGE_1.encode()),
+            ("https://gotoeat-okayama.com/shop/index.cgi?c=list&pic=2", OKAYAMA_PAGE_LAST.encode()),
+        ],
+        "okinawa": [
+            ("https://gotoeat.okinawa.jp/restaurant/", OKINAWA_PAGE_1.encode()),
+            ("https://gotoeat.okinawa.jp/restaurant/page/2/", OKINAWA_PAGE_LAST.encode()),
+        ],
+        "saga": [
+            ("https://www.sagaoishi-to.com/consumer/shop.php?name=#search_result", SAGA_PAGE_1.encode()),
+            ("https://www.sagaoishi-to.com/consumer/shop.php?name=&page=2#search_result", SAGA_PAGE_LAST.encode()),
+        ],
+        "tokushima": [
+            ("https://gotoeat.tokushima.jp/?s=", TOKUSHIMA_PAGE_1.encode()),
+            ("https://gotoeat.tokushima.jp/page/2/?s=", TOKUSHIMA_PAGE_LAST.encode()),
         ],
     }

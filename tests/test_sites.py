@@ -810,6 +810,74 @@ class TestNagano:
         assert res2.links[0]["url"] == "https://shinshu-premium.jp/riyou.php?p=3#search-result"
 
 
+class TestOkayama:
+    def test_post_seed_and_golden(self):
+        from goto_eater_crawler_ray.sites.okayama import seeds
+
+        (seed,) = seeds()
+        assert seed["method"] == "POST"
+        assert seed["form"] == {"c": "list", "keyword": "", "AREA": "", "BUSINESS": ""}
+
+        res = _parse("okayama", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"], a["genre_name"]) == ("千屋牛焼肉けんちゃん", "新見市", "焼肉")
+        assert a["tel"] == "0867-900-1111"  # a.tellink text
+        assert a["official_page"] == "http://kenchan.example"
+        assert (b["tel"], b["official_page"]) == (None, None)
+        # ">>" pager urljoin'd against the POST URL (okayama.py:47-52)
+        assert [l["url"] for l in res.links] == ["https://gotoeat-okayama.com/shop/index.cgi?c=list&pic=2"]
+
+    def test_last_page_stops(self):
+        assert _parse("okayama", 1).links == []
+
+
+class TestOkinawa:
+    def test_golden_page1(self):
+        res = _parse("okinawa", 0)
+        a, b = res.items
+        assert (a["area_name"], a["genre_name"], a["shop_name"]) == ("那覇市", "沖縄料理", "首里そば本家")
+        assert a["tel"] == "098-900-1111"  # TEL: stripped (okinawa.py:26-27)
+        assert a["official_page"] == "http://shurisoba.example"
+        assert (b["tel"], b["official_page"]) == (None, None)
+        # li after the aria-current page (okinawa.py:35-37)
+        assert [l["url"] for l in res.links] == ["https://gotoeat.okinawa.jp/restaurant/page/2/"]
+
+    def test_last_page_stops(self):
+        assert _parse("okinawa", 1).links == []
+
+
+class TestSaga:
+    def test_positional_dls(self):
+        res = _parse("saga", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["genre_name"]) == ("呼子いか本家", "海鮮")
+        assert a["address"] == "唐津市呼子町呼子1-1"  # dd chunks joined (saga.py:24)
+        assert (a["tel"], a["opening_hours"], a["closing_day"]) == ("0955-900-1111", "11:00-20:00", "水曜")
+        assert a["official_page"] == "http://ikahonke.example"  # dl[5] a[rel*=noopener]
+        assert (b["tel"], b["area_name"]) == (None, None)  # area is search-only
+        assert [l["url"] for l in res.links] == [
+            "https://www.sagaoishi-to.com/consumer/shop.php?name=&page=2#search_result"
+        ]
+
+    def test_last_page_stops(self):
+        assert _parse("saga", 1).links == []
+
+
+class TestTokushima:
+    def test_header_genre_split(self):
+        res = _parse("tokushima", 0)
+        a, b = res.items
+        assert a["shop_name"] == "阿波尾鶏一徹"
+        assert a["genre_name"] == "焼鳥|和食"  # header text comma split (tokushima.py:24-28)
+        assert a["address"] == "徳島市紺屋町1-1"
+        assert (a["closing_day"], a["opening_hours"], a["tel"]) == ("月曜", "17:00-23:00", "088-900-1111")
+        assert (b["genre_name"], b["tel"]) == ("その他", None)
+        assert [l["url"] for l in res.links] == ["https://gotoeat.tokushima.jp/page/2/?s="]
+
+    def test_last_page_stops(self):
+        assert _parse("tokushima", 1).links == []
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -843,10 +911,11 @@ class TestSiteItemsQuery:
         # toyama 2+1, tottori 2+1
         # ... aomori 2+1, fukui 0+1, ehime 2+1, fukushima 2+1, gifu 0+1,
         # hiroshima 2+1, ibaraki 2+1, ishikawa 2+1, iwate 2, kagoshima 0+2,
-        # kumamoto 2+1, mie 0+1, miyazaki 2+1, nagano 2+1
+        # kumamoto 2+1, mie 0+1, miyazaki 2+1, nagano 2+1, okayama 2+1,
+        # okinawa 2+1, saga 2+1, tokushima 2+1
         assert len(out) == (
             2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
-            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3 + 3 + 3 + 2 + 2 + 3 + 1 + 3 + 3
+            + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3 + 3 + 3 + 2 + 2 + 3 + 1 + 3 + 3 + 3 + 3 + 3 + 3
         )
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
@@ -854,6 +923,7 @@ class TestSiteItemsQuery:
             "oita", "kyoto", "kagawa", "aichi", "hyogo", "chiba", "kochi",
             "shimane", "toyama", "tottori", "aomori", "fukui", "ehime",
             "fukushima", "gifu", "hiroshima", "ibaraki", "ishikawa", "iwate",
-            "kagoshima", "kumamoto", "mie", "miyazaki", "nagano",
+            "kagoshima", "kumamoto", "mie", "miyazaki", "nagano", "okayama",
+            "okinawa", "saga", "tokushima",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
