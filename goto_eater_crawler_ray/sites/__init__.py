@@ -44,6 +44,8 @@ from . import (
     okinawa,
     saga,
     shimane,
+    shizuoka,
+    shizuoka_blue,
     miyagi,
     nagasaki,
     nara,
@@ -54,9 +56,13 @@ from . import (
     tochigi,
     tokushima,
     tokyo,
+    tokyo_gnavi,
     tottori,
     toyama,
+    wakayama,
     yamagata,
+    yamaguchi,
+    yamanashi,
 )
 
 SITE_SPECS: tuple[ParserSpec, ...] = (
@@ -103,6 +109,12 @@ SITE_SPECS: tuple[ParserSpec, ...] = (
     okinawa.SPEC,
     saga.SPEC,
     tokushima.SPEC,
+    shizuoka.SPEC,
+    shizuoka_blue.SPEC,
+    wakayama.SPEC,
+    yamanashi.SPEC,
+    yamaguchi.SPEC,
+    tokyo_gnavi.SPEC,
 )
 
 

@@ -1174,6 +1174,199 @@ TOKUSHIMA_PAGE_LAST = """
 """
 
 
+SHIZUOKA_PAGE_1 = """
+<html><body><div class="areaBox">
+  <div class="areaBox__item">
+    <div class="content__ttl"><h5 class="title"> さわやかハンバーグ </h5><div class="hashTag"><p>ハンバーグ</p></div></div>
+    <div class="infoArea__item"><div class="detail"><p>〒422-8006静岡市駿河区曲金1-1</p></div></div>
+    <div class="infoArea__item"><div class="detail"><p>054-900-1111</p></div></div>
+    <div class="infoArea__item"><div class="detail"><p>http://sawayaka.example</p></div></div>
+    <a class="content link" href="/index/118009601.html">詳細</a>
+  </div>
+  <div class="areaBox__item">
+    <div class="content__ttl"><h5 class="title">うなぎ大井川</h5><div class="hashTag"><p>うなぎ</p></div></div>
+    <div class="infoArea__item"><div class="detail"><p>〒426-0061 藤枝市田沼2-2</p></div></div>
+    <div class="infoArea__item"><div class="detail"><p></p></div></div>
+  </div>
+</div>
+<div class="areaCont"><div class="btnArea pagination"><a class="btn pgt next" href="javascript:jumppage(2);">次の一覧</a></div></div>
+</body></html>
+"""
+
+SHIZUOKA_PAGE_LAST = """
+<html><body><div class="areaBox">
+  <div class="areaBox__item">
+    <div class="content__ttl"><h5 class="title">おでん横丁青葉</h5><div class="hashTag"><p>おでん</p></div></div>
+    <div class="infoArea__item"><div class="detail"><p>〒420-0034 静岡市葵区常磐町3-3</p></div></div>
+  </div>
+</div>
+<div class="areaCont"><div class="btnArea pagination"></div></div>
+</body></html>
+"""
+
+SHIZUOKA_BLUE_PAGE_1 = """
+<html><body><ul id="shop_list">
+  <li class="shop_box">
+    <h2 class="shop_name"> 浜松餃子むつぎく </h2>
+    <span class="shop_area">【西部】</span>
+    <span class="shop_genre">餃子</span><span class="shop_genre">中華</span>
+    <dl class="accordion">
+      <dd><table>
+        <tr><th>住所</th><td><span class="shop_zip">〒430-0926</span>浜松市中区砂山町 <br> 1-1</td></tr>
+        <tr><th>電話番号</th><td>053-900-1111</td></tr>
+        <tr><th>営業時間</th><td>11:30-21:00</td></tr>
+        <tr><th>定休日</th><td>月曜</td></tr>
+      </table></dd>
+      <dd><a class="btn_link btn__shop_link" href="http://mutsugiku.example">公式サイト</a></dd>
+    </dl>
+  </li>
+  <li class="shop_box">
+    <h2 class="shop_name">静岡おまち横丁</h2>
+    <span class="shop_area">【中部】</span>
+    <span class="shop_genre">居酒屋</span>
+    <dl class="accordion"><dd><table>
+      <tr><th>住所</th><td><span class="shop_zip">〒420-0852</span>静岡市葵区紺屋町2-2</td></tr>
+    </table></dd></dl>
+  </li>
+</ul>
+<div role="navigation"><a rel="next" href="https://gotoeat-shizuoka.com/shop/page/2/">&gt;</a></div>
+</body></html>
+"""
+
+SHIZUOKA_BLUE_PAGE_LAST = """
+<html><body><ul id="shop_list">
+  <li class="shop_box">
+    <h2 class="shop_name">富士宮やきそば庵</h2>
+    <span class="shop_area">【東部】</span>
+    <span class="shop_genre">やきそば</span>
+    <dl class="accordion"><dd><table>
+      <tr><th>住所</th><td><span class="shop_zip">〒418-0067</span>富士宮市宮町3-3</td></tr>
+    </table></dd></dl>
+  </li>
+</ul>
+<div role="navigation"></div>
+</body></html>
+"""
+
+WAKAYAMA_PAGE_1 = """
+<html><body><ul class="result_list">
+  <li>
+    <div><h3 class="shop_name"> 和歌山ラーメン井出商店 </h3>
+      <ul class="shop_tag flex"><li class="shop_cat">ラーメン</li><li class="shop_area">和歌山市</li></ul></div>
+    <div><p class="shop_address">〒640-8331 和歌山市田中町1-1</p>
+      <div class="shop_info flex"><p class="shop_tel">073-900-1111</p>
+        <p class="shop_web"><a href="http://ide-shoten.example">WEB</a></p></div></div>
+  </li>
+  <li>
+    <div><h3 class="shop_name">めはり寿司二代目</h3>
+      <ul class="shop_tag flex"><li class="shop_cat">郷土料理</li><li class="shop_area">新宮市</li></ul></div>
+    <div><p class="shop_address">〒647-0011 新宮市下本町2-2</p>
+      <div class="shop_info flex"><p class="shop_tel"></p><p class="shop_web"></p></div></div>
+  </li>
+</ul>
+<ul class="pager"><li><span><button class="active">1</button></span></li>
+<li><form action="/search/?page=2" method="post"></form></li></ul>
+</body></html>
+"""
+
+WAKAYAMA_PAGE_LAST = """
+<html><body><ul class="result_list">
+  <li>
+    <div><h3 class="shop_name">クエ鍋本家九絵亭</h3>
+      <ul class="shop_tag flex"><li class="shop_cat">鍋</li><li class="shop_area">白浜町</li></ul></div>
+    <div><p class="shop_address">〒649-2211 白浜町3-3</p>
+      <div class="shop_info flex"><p class="shop_tel"></p></div></div>
+  </li>
+</ul>
+<ul class="pager"><li><span><button class="active">2</button></span></li></ul>
+</body></html>
+"""
+
+YAMANASHI_PAGE = """
+<html><body><div id="shopList">
+  <section class="shopInfoSection">
+    <h1> 甲府市 </h1>
+    <div class="secInnr"><table class="shopTable">
+      <tr><th>店名</th><th>住所</th><th>電話</th></tr>
+      <tr><td>ほうとう小作 <span class="genre"><a>郷土料理</a></span></td><td> 甲府市丸の内1-1 </td><td> 055-900-1111 </td></tr>
+      <tr><td>鳥もつ煮奥藤 <span class="genre"><a>和食</a></span></td><td>甲府市国母2-2</td><td>055-900-2222</td></tr>
+    </table></div>
+  </section>
+  <section class="shopInfoSection">
+    <h1>富士吉田市</h1>
+    <div class="secInnr"><table class="shopTable">
+      <tr><th>店名</th><th>住所</th><th>電話</th></tr>
+      <tr><td>吉田のうどん麺許皆伝 <span class="genre"><a>うどん</a></span></td><td>富士吉田市下吉田3-3</td><td></td></tr>
+    </table></div>
+  </section>
+</div></body></html>
+"""
+
+YAMAGUCHI_PAGE_1 = """
+<html><body><ul id="shop-list">
+  <li>
+    <div class="left"><h3><a href="/use/shop1/"> 瓦そば本店たかせ </a></h3>
+      <p class="type"><a>●そば</a><a>●郷土料理</a></p></div>
+    <div class="left break">
+      <p><strong>［住所］</strong>下関市豊浦町川棚1-1</p>
+      <p><strong>［営業時間］</strong>11:00-20:00</p>
+      <p><strong>［定休日］</strong>木曜</p>
+      <p><strong>［TEL］</strong>083-900-1111</p>
+    </div>
+    <div class="rink"><a href="http://takase.example">公式HP</a><a href="http://sns.example/takase">Instagram</a></div>
+  </li>
+  <li>
+    <div class="left"><h3><a href="/use/shop2/">ふぐ処旬楽</a></h3>
+      <p class="type"><a>●ふぐ</a></p></div>
+    <div class="left break">
+      <p><strong>［住所］</strong>下関市唐戸町2-2</p>
+    </div>
+    <div class="rink"></div>
+  </li>
+</ul>
+<div role="navigation"><a rel="next" href="https://gotoeat-yamaguchi.com/use/page/2/?post_type=post&amp;s=&amp;cat_area%5B%5D=08-shop-area">&gt;</a></div>
+</body></html>
+"""
+
+YAMAGUCHI_PAGE_LAST = """
+<html><body><ul id="shop-list">
+  <li>
+    <div class="left"><h3><a href="/use/shop3/">岩国寿司三原家</a></h3>
+      <p class="type"><a>●寿司</a></p></div>
+    <div class="left break"><p><strong>［住所］</strong>岩国市岩国3-3</p></div>
+    <div class="rink"></div>
+  </li>
+</ul>
+<div role="navigation"></div>
+</body></html>
+"""
+
+TOKYO_GNAVI_LIST_PAGE = """
+<html><body>
+<div class="result-cassette__wrapper result-cassette__wrapper--normal"><ul class="result-cassette__list">
+  <li><div class="result-cassette__box"><a class="result-cassette__box-title js-measure" href="https://r.gnavi.co.jp/g0001/">江戸前寿司つきじ宮川</a></div></li>
+  <li><div class="result-cassette__box"><a class="result-cassette__box-title js-measure" href="https://r.gnavi.co.jp/g0002/">神田藪蕎麦別館</a></div></li>
+</ul></div>
+<nav><ul><li class="pagination__arrow-item"><a class="pagination__arrow-item-inner pagination__arrow-item-inner-next" href="https://r.gnavi.co.jp/area/tokyo/kods17214/rs/?gtet_all=1&amp;p=2">&gt;</a></li></ul></nav>
+</body></html>
+"""
+
+TOKYO_GNAVI_DETAIL_PAGE = """
+<html><body>
+<header role="banner"><dl><dd id="header-meta-gen-desc"><ol><li><a> 寿司 </a></li><li><a> 海鮮 </a></li></ol></dd></dl></header>
+<ol id="gn_info-breadcrumbs-inner"><li><a>グルメ</a></li><li><a>東京</a></li><li><a>銀座・有楽町・築地</a></li></ol>
+<div id="info-table"><table><tbody>
+  <tr><th>店名</th><td><p id="info-name"> 江戸前寿司つきじ宮川 </p></td></tr>
+  <tr><th>電話番号・FAX</th><td><ul><li><span class="number">03-900-1111</span></li></ul></td></tr>
+  <tr><th>お店のホームページ</th><td><ul><li><a class="url go-off" data-o='{"a": "miyagawa.example/sushi", "b": "https"}'>HP</a></li></ul></td></tr>
+  <tr><th>住所</th><td><p class="adr slink">〒104-0045<span class="region">東京都中央区築地1-1</span></p></td></tr>
+  <tr><th>営業時間</th><td><div>11:00-22:00</div></td></tr>
+  <tr><th>定休日</th><td><ul><li>月曜</li><li>第3火曜</li></ul></td></tr>
+</tbody></table></div>
+</body></html>
+"""
+
+
 def pages() -> dict[str, list[tuple[str, bytes]]]:
     """site name -> [(url, body bytes), ...] in crawl order."""
     import json
@@ -1321,5 +1514,26 @@ def pages() -> dict[str, list[tuple[str, bytes]]]:
         "tokushima": [
             ("https://gotoeat.tokushima.jp/?s=", TOKUSHIMA_PAGE_1.encode()),
             ("https://gotoeat.tokushima.jp/page/2/?s=", TOKUSHIMA_PAGE_LAST.encode()),
+        ],
+        "shizuoka": [
+            ("https://gotoeat.s-reserve.com/", SHIZUOKA_PAGE_1.encode()),
+            ("https://gotoeat.s-reserve.com/index.html?freeword=&area=&genre=&pgn=2#shopsearch", SHIZUOKA_PAGE_LAST.encode()),
+        ],
+        "shizuoka_blue": [
+            ("https://gotoeat-shizuoka.com/shop/", SHIZUOKA_BLUE_PAGE_1.encode()),
+            ("https://gotoeat-shizuoka.com/shop/page/2/", SHIZUOKA_BLUE_PAGE_LAST.encode()),
+        ],
+        "wakayama": [
+            ("https://gotoeat-wakayama.com/search/", WAKAYAMA_PAGE_1.encode()),
+            ("https://gotoeat-wakayama.com/search/?page=2", WAKAYAMA_PAGE_LAST.encode()),
+        ],
+        "yamanashi": [("https://www.gotoeat-yamanashi.jp/archives/merchant", YAMANASHI_PAGE.encode())],
+        "yamaguchi": [
+            ("https://gotoeat-yamaguchi.com/use/?post_type=post&s=&cat_area%5B%5D=08-shop-area", YAMAGUCHI_PAGE_1.encode()),
+            ("https://gotoeat-yamaguchi.com/use/page/2/?post_type=post&s=&cat_area%5B%5D=08-shop-area", YAMAGUCHI_PAGE_LAST.encode()),
+        ],
+        "tokyo_gnavi": [
+            ("https://r.gnavi.co.jp/area/tokyo/kods17214/rs/?gtet_all=1&resp=1", TOKYO_GNAVI_LIST_PAGE.encode()),
+            ("https://r.gnavi.co.jp/g0001/", TOKYO_GNAVI_DETAIL_PAGE.encode()),
         ],
     }

@@ -878,6 +878,128 @@ class TestTokushima:
         assert _parse("tokushima", 1).links == []
 
 
+class TestShizuoka:
+    def test_js_jumppage_synthesis(self):
+        res = _parse("shizuoka", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["genre_name"]) == ("さわやかハンバーグ", "ハンバーグ")
+        # no-space zip tolerated (shizuoka.py:30-35)
+        assert (a["zip_code"], a["address"]) == ("422-8006", "静岡市駿河区曲金1-1")
+        assert (a["tel"], a["official_page"]) == ("054-900-1111", "http://sawayaka.example")
+        assert a["detail_page"] == "https://gotoeat.s-reserve.com/index/118009601.html"
+        assert (b["zip_code"], b["address"]) == ("426-0061", " 藤枝市田沼2-2")  # spaced variant
+        # javascript:jumppage(2) -> synthesized URL (shizuoka.py:56-60)
+        assert [l["url"] for l in res.links] == [
+            "https://gotoeat.s-reserve.com/index.html?freeword=&area=&genre=&pgn=2#shopsearch"
+        ]
+
+    def test_last_page_stops(self):
+        assert _parse("shizuoka", 1).links == []
+
+
+class TestShizuokaBlue:
+    def test_accordion_cards(self):
+        res = _parse("shizuoka_blue", 0)
+        a, b = res.items
+        assert a["shop_name"] == "浜松餃子むつぎく"
+        assert a["area_name"] == "西部"  # 【】 stripped (shizuoka_blue.py:28-29)
+        assert a["genre_name"] == "餃子|中華"
+        assert a["zip_code"] == "430-0926"
+        assert a["address"] == "浜松市中区砂山町1-1"  # chunks stripped + joined
+        assert (a["tel"], a["opening_hours"], a["closing_day"]) == ("053-900-1111", "11:30-21:00", "月曜")
+        assert a["official_page"] == "http://mutsugiku.example"
+        assert (b["tel"], b["official_page"]) == (None, None)
+        assert [l["url"] for l in res.links] == ["https://gotoeat-shizuoka.com/shop/page/2/"]
+
+    def test_last_page_stops(self):
+        assert _parse("shizuoka_blue", 1).links == []
+
+
+class TestWakayama:
+    def test_form_action_pagination(self):
+        res = _parse("wakayama", 0)
+        a, b = res.items
+        assert (a["shop_name"], a["genre_name"], a["area_name"]) == ("和歌山ラーメン井出商店", "ラーメン", "和歌山市")
+        assert (a["zip_code"], a["address"]) == ("640-8331", "和歌山市田中町1-1")
+        assert (a["tel"], a["official_page"]) == ("073-900-1111", "http://ide-shoten.example")
+        assert (b["tel"], b["official_page"]) == (None, None)
+        # form @action of the li after the active page button (wakayama.py:45-47)
+        assert [l["url"] for l in res.links] == ["https://gotoeat-wakayama.com/search/?page=2"]
+
+    def test_last_page_stops(self):
+        assert _parse("wakayama", 1).links == []
+
+
+class TestYamanashi:
+    def test_single_page_sections(self):
+        res = _parse("yamanashi")
+        assert len(res.items) == 3  # header rows skipped per section
+        a, b, c = res.items
+        assert (a["area_name"], a["shop_name"], a["genre_name"]) == ("甲府市", "ほうとう小作", "郷土料理")
+        assert (a["address"], a["tel"]) == ("甲府市丸の内1-1", "055-900-1111")
+        assert b["shop_name"] == "鳥もつ煮奥藤"
+        # second section's area carried onto its rows
+        assert (c["area_name"], c["tel"]) == ("富士吉田市", None)
+        assert res.links == []  # no pagination (yamanashi.py:14-15)
+
+
+class TestYamaguchi:
+    def test_area_seeds_and_strong_labels(self):
+        from goto_eater_crawler_ray.sites.yamaguchi import AREA_LIST, seeds
+
+        assert len(AREA_LIST) == 8  # yamaguchi.py:17-26
+        rows = seeds()
+        assert rows[0]["url"].endswith("cat_area%5B%5D=01-shop-area")
+        assert rows[0]["meta"] == {"area_name": "岩国エリア"}
+
+        url, body = fixtures.pages()["yamaguchi"][0]
+        from goto_eater_crawler_ray.sites.yamaguchi import parse
+
+        res = parse(url, body, {"area_name": "下関エリア"}, 0)
+        a, b = res.items
+        assert (a["shop_name"], a["area_name"]) == ("瓦そば本店たかせ", "下関エリア")
+        assert a["genre_name"] == "そば|郷土料理"  # ● stripped (yamaguchi.py:41-42)
+        assert (a["address"], a["opening_hours"], a["closing_day"]) == ("下関市豊浦町川棚1-1", "11:00-20:00", "木曜")
+        assert a["tel"] == "083-900-1111"
+        assert a["official_page"] == "http://takase.example"  # first rink only
+        assert b["official_page"] is None
+        # pagination keeps the area meta (yamaguchi.py:71)
+        assert res.links[0]["meta"] == {"area_name": "下関エリア"}
+
+    def test_last_page_stops(self):
+        assert _parse("yamaguchi", 1).links == []
+
+
+class TestTokyoGnavi:
+    def test_list_fans_out(self):
+        res = _parse("tokyo_gnavi", 0)
+        assert res.items == []
+        assert [l["url"] for l in res.links[:2]] == [
+            "https://r.gnavi.co.jp/g0001/",
+            "https://r.gnavi.co.jp/g0002/",
+        ]
+        assert all(l["callback"] == "detail" for l in res.links[:2])
+        assert res.links[2]["url"].endswith("&p=2")
+
+    def test_detail_data_o_and_breadcrumb(self):
+        res = _parse("tokyo_gnavi", 1)  # content-routed
+        (a,) = res.items
+        assert a["shop_name"] == "江戸前寿司つきじ宮川"
+        assert a["area_name"] == "銀座・有楽町・築地"  # breadcrumb after 東京
+        assert a["tel"] == "03-900-1111"
+        # data-o JSON {"a": host, "b": scheme} -> b://a (tokyo_gnavi.py:105-111)
+        assert a["official_page"] == "https://miyagawa.example/sushi"
+        assert (a["zip_code"], a["address"]) == ("104-0045", "東京都中央区築地1-1")
+        assert a["opening_hours"] == "11:00-22:00"
+        assert a["closing_day"] == "月曜\n第3火曜"  # newline-joined
+        assert a["genre_name"] == "寿司|海鮮"
+
+    def test_commercial_courtesy_delay(self):
+        from goto_eater_crawler_ray.sites.tokyo_gnavi import SPEC
+
+        assert SPEC.crawl_delay_s == 1.0  # tokyo_gnavi.py:21-28
+
+
 class TestRegistryIntegration:
     def test_registry_builds_and_dispatches(self):
         reg = reference_sites_registry()
@@ -912,10 +1034,13 @@ class TestSiteItemsQuery:
         # ... aomori 2+1, fukui 0+1, ehime 2+1, fukushima 2+1, gifu 0+1,
         # hiroshima 2+1, ibaraki 2+1, ishikawa 2+1, iwate 2, kagoshima 0+2,
         # kumamoto 2+1, mie 0+1, miyazaki 2+1, nagano 2+1, okayama 2+1,
-        # okinawa 2+1, saga 2+1, tokushima 2+1
+        # okinawa 2+1, saga 2+1, tokushima 2+1, shizuoka 2+1,
+        # shizuoka_blue 2+1, wakayama 2+1, yamanashi 3, yamaguchi 2+1,
+        # tokyo_gnavi 0+1
         assert len(out) == (
             2 + 1 + 2 + 1 + 3 + 2 + 1 + 4 + 3 + 2 + 1 + 2 + 1 + 2 + 2 + 4 + 3 + 3 + 2 + 1 + 3 + 3 + 3 + 2
             + 3 + 1 + 3 + 3 + 3 + 1 + 3 + 3 + 1 + 3 + 3 + 3 + 2 + 2 + 3 + 1 + 3 + 3 + 3 + 3 + 3 + 3
+            + 3 + 3 + 3 + 3 + 3 + 1
         )
         assert set(out["prefecture"]) == {
             "tochigi", "niigata", "fukuoka", "yamagata", "miyagi", "saitama",
@@ -924,6 +1049,7 @@ class TestSiteItemsQuery:
             "shimane", "toyama", "tottori", "aomori", "fukui", "ehime",
             "fukushima", "gifu", "hiroshima", "ibaraki", "ishikawa", "iwate",
             "kagoshima", "kumamoto", "mie", "miyazaki", "nagano", "okayama",
-            "okinawa", "saga", "tokushima",
+            "okinawa", "saga", "tokushima", "shizuoka", "shizuoka_blue",
+            "wakayama", "yamanashi", "yamaguchi", "tokyo_gnavi",
         }
         assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
