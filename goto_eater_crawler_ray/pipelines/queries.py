@@ -691,6 +691,47 @@ WHERE a.vec_id < 300 AND b.vec_id < 300
 """
 
 
+def q_embedding_dup_groups(sf_dir: str):
+    """Embedding near-dup GROUPS, fully oracle-checked: exact bounded
+    cosine pairs (the same pair set as ``cosine_dups``) resolved to
+    connected components by the DISTRIBUTED label-propagation path —
+    verified value-for-value against a DuckDB recursive-CTE transitive
+    closure.  This pins the distributed CC implementation to an
+    independent exact algorithm, not just planted-case pytests."""
+    from ..functions.dedup import connected_components_distributed
+    from ..functions.similarity import cosine_near_dup_pairs
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pairs = cosine_near_dup_pairs(emb, threshold=0.3, id_limit=300)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch.column("vec_a"), "doc_b": batch.column("vec_b")})
+
+    groups = connected_components_distributed(pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch.column("doc_id"), "group_id": batch.column("group_id")})
+
+    return groups.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_DUP_GROUPS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 300 AND b.vec_id < 300
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+),
+edges AS (SELECT va AS n, vb AS p FROM pairs UNION SELECT vb, va FROM pairs),
+reach(n, r) AS (
+  SELECT n, p FROM edges
+  UNION
+  SELECT e.n, r.r FROM edges e JOIN reach r ON r.n = e.p
+)
+SELECT n AS vec_id, CAST(LEAST(n, MIN(r)) AS BIGINT) AS group_id FROM reach GROUP BY n
+"""
+
+
 def q_lsh_ann(sf_dir: str):
     """Sign-LSH bucketed ANN (approximate; recall vs brute force in tests)."""
     from ..functions.similarity import lsh_ann_topk
@@ -884,6 +925,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "ann_topk": q_ann_topk,
     "cosine_dups": q_cosine_dups,
+    "embedding_dup_groups": q_embedding_dup_groups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "media_metadata": q_media_metadata,
@@ -920,6 +962,7 @@ ORACLES = {
     "char_jaccard": SQL_CHAR_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
     "cosine_dups": SQL_COSINE_DUPS,
+    "embedding_dup_groups": SQL_EMBEDDING_DUP_GROUPS,
     "media_metadata": SQL_MEDIA_METADATA,
     # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
