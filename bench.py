@@ -150,6 +150,7 @@ def main() -> None:
         "minhash_pairs",
         "ann_topk",
         "orders_topn_per_cust",
+        "value_quantiles",
         "doc_spans",
     ]
     qtimes = {}

