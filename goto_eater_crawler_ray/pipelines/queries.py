@@ -558,7 +558,10 @@ def q_dedup_filter(sf_dir: str):
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     keep = exact_dedup(docs.select_columns(["doc_id", "text"])).select_columns(["keep_id"])
-    joined = docs.join(keep, join_type="inner", num_partitions=16, on=("doc_id",), right_on=("keep_id",))
+    # shuffle partitions sized to the corpus (parquet row count is
+    # metadata-cheap): ~100k rows/partition, like the CC auto-sizing
+    n_parts = max(2, min(256, docs.count() // 100_000 + 1))
+    joined = docs.join(keep, join_type="inner", num_partitions=n_parts, on=("doc_id",), right_on=("keep_id",))
     return joined.select_columns(["doc_id", "text", "lang"])
 
 
