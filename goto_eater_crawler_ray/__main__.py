@@ -1,6 +1,7 @@
 """CLI entrypoints — the `ray job submit` surface (BASELINE.json north_rule).
 
     python -m goto_eater_crawler_ray crawl  --out DIR [--scale golden|e2e|bench] [--resume]
+    python -m goto_eater_crawler_ray crawl  --out DIR --sites tochigi,miyagi   (or --sites default)
     python -m goto_eater_crawler_ray export --items DIR --out DIR [--format csv|parquet]
     python -m goto_eater_crawler_ray query  NAME [--sf-dir DIR]
 
@@ -31,6 +32,8 @@ def _ensure_ray():
 
 def cmd_crawl(args) -> int:
     _ensure_ray()
+    if args.sites is not None:
+        return _run_site_crawlers(args)
     from .pipelines.crawl import CrawlEngine
     from .sources.pagestore import ScaleSpec
 
@@ -46,6 +49,42 @@ def cmd_crawl(args) -> int:
     totals = eng.run(resume=args.resume)
     totals["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(totals))
+    return 0
+
+
+def _run_site_crawlers(args) -> int:
+    """Reference ``main.py`` CLI parity (main.py:25-74): ``--sites a,b``
+    runs exactly those crawlers; ``--sites default`` runs every registered
+    crawler minus the reference's default-exclusion table
+    (sites.DEFAULT_IGNORES — tokyo_gnavi/tokushima/kochi + campaign-end
+    retirements).  Output mirrors the reference run shape: one
+    ``csvs/{name}.csv`` per site in the reference's fixed 12-column order,
+    csvsort-sorted, old file replaced (main.py:96-103 unlink-then-write).
+    Sites run over their reference-DOM fixture pages (no live network in
+    this environment); the real-network path is the engine's
+    ``fetch_kind='http'`` seam."""
+    import os
+
+    from .pipelines.export import CSV_COLUMN_ORDER
+    from .pipelines.queries import site_items_dataset
+    from .sites import select_sites
+
+    names = select_sites(None if args.sites == "default" else args.sites)
+    csv_dir = os.path.join(args.out, "csvs")
+    os.makedirs(csv_dir, exist_ok=True)
+    # fixture-scale data (a few rows per site) -> driver-side per-site write
+    # is fine here; the at-scale export path is pipelines.export.export_sorted
+    df = site_items_dataset(names).to_pandas()
+    written = {}
+    for name in names:
+        body = df[df["prefecture"] == name]
+        body = body.sort_values(["shop_name", "address", "genre_name"])[CSV_COLUMN_ORDER]
+        path = os.path.join(csv_dir, f"{name}.csv")
+        if os.path.exists(path):  # overwrite, never append (main.py:96-103)
+            os.unlink(path)
+        body.to_csv(path, index=False)
+        written[name] = len(body)
+    print(json.dumps({"sites": written, "csv_dir": csv_dir}))
     return 0
 
 
@@ -87,6 +126,12 @@ def main(argv=None) -> int:
     c.add_argument("--seen-shards", type=int, default=4)
     c.add_argument("--sched-shards", type=int, default=2)
     c.add_argument("--checkpoint-interval", type=int, default=1)
+    c.add_argument(
+        "--sites",
+        default=None,
+        help="comma list of concrete site crawlers to run (reference main.py --target), "
+        "or 'default' for all minus the reference's exclusion table",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     e = sub.add_parser("export", help="sorted per-prefecture export")
@@ -101,10 +146,11 @@ def main(argv=None) -> int:
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
-    rc = args.fn(args)
     import ray
 
-    if ray.is_initialized():
+    owned = not ray.is_initialized()  # only shut down a session WE started
+    rc = args.fn(args)
+    if owned and ray.is_initialized():
         ray.shutdown()
     return rc
 

@@ -149,6 +149,9 @@ def explode_bands(n_bands: int, rows_per_band: int, n_bucket_parts: int = 256):
     (no per-row Python): a hash collision only creates a spurious
     candidate pair, which bucket-local verification then filters."""
 
+    if n_bucket_parts & (n_bucket_parts - 1):
+        raise ValueError(f"n_bucket_parts must be a power of two (bitmask partition), got {n_bucket_parts}")
+
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         base = batch.select(["doc_id", "minhash"])
@@ -270,7 +273,7 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Max
 
     rows_per_band = n_perm // n_bands
-    sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=4)
+    sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=(1, 4))
     bands = sigs.map_batches(explode_bands(n_bands, rows_per_band), batch_format="pyarrow")
     cand = bands.groupby("bucket_part").map_groups(bucket_verified_pairs(threshold), batch_format="pyarrow")
     # cross-band dedup: est_jaccard is identical wherever the pair was
@@ -341,7 +344,7 @@ def simhash_dup_groups(docs_ds):
     """Exact-simhash collision groups (hamming-0 near-dups): groupby simhash."""
     from ray.data.aggregate import Count, Min
 
-    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=4)
+    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
     grouped = sh.groupby("simhash").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_docs"))
     return grouped.filter(lambda r: r["n_docs"] > 1)
 
@@ -352,14 +355,24 @@ _SIMHASH_PAIR_SCHEMA = pa.schema(
 
 
 def simhash_near_pairs(docs_ds, max_hamming: int = 3, n_pieces: int = 4, hot_bucket_cap: int = 2000):
-    """Hamming-radius SimHash near-dup pairs via pigeonhole banding
-    (Manku-Jain-Sarma, WWW'07 shape): split the 64-bit simhash into
-    ``n_pieces`` equal pieces — two hashes within hamming distance
-    ``max_hamming`` < n_pieces must agree EXACTLY on at least one piece —
-    so bucket by (piece_id, piece_value), verify true hamming distance
-    bucket-locally (one XOR+popcount numpy pass), and dedup pairs with a
-    single groupby aggregate.  Same scale shape as minhash_lsh_pairs:
-    nothing corpus-sized leaves the buckets."""
+    """SimHash near-dup pairs: text -> 64-bit SimHash (actor pool), then
+    :func:`hamming_near_pairs` pigeonhole banding."""
+    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return hamming_near_pairs(sh, max_hamming=max_hamming, n_pieces=n_pieces, hot_bucket_cap=hot_bucket_cap)
+
+
+def hamming_near_pairs(sh_ds, max_hamming: int = 3, n_pieces: int = 4, hot_bucket_cap: int = 2000):
+    """Hamming-radius near-dup pairs over a (doc_id, simhash uint64)
+    dataset via pigeonhole banding (Manku-Jain-Sarma, WWW'07 shape):
+    split the 64-bit hash into ``n_pieces`` equal pieces — two hashes
+    within hamming distance ``max_hamming`` < n_pieces must agree EXACTLY
+    on at least one piece — so bucket by (piece_id, piece_value), verify
+    true hamming distance bucket-locally (one XOR+popcount numpy pass),
+    and dedup pairs with a single groupby aggregate.  Same scale shape as
+    minhash_lsh_pairs: nothing corpus-sized leaves the buckets.  Exact for
+    the radius (recall 1.0) — which is what lets a DuckDB
+    ``bit_count(xor(a,b))`` self-join oracle-pin this machinery
+    (queries.fingerprint_hamming_pairs)."""
     from ray.data.aggregate import Min
 
     if max_hamming >= n_pieces:
@@ -432,8 +445,7 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3, n_pieces: int = 4, hot_buc
             }
         )
 
-    sh = docs_ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=4)
-    pieces = sh.map_batches(explode_pieces, batch_format="pyarrow")
+    pieces = sh_ds.map_batches(explode_pieces, batch_format="pyarrow")
     cand = pieces.groupby("bucket_part").map_groups(bucket_pairs, batch_format="pyarrow")
     # hamming identical wherever found -> Min == the value; one shuffle
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -36,11 +36,23 @@ def binary_metadata_batch(batch: pa.Table, col: str = "media_bytes") -> pa.Table
     )
 
 
+# image container magic bytes (public file-format specs) — the same
+# per-row sniff the xlsx 'PK' / pdf '%PDF-' codec seams use
+_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM", b"RIFF")
+
+
+def _looks_like_image(b: bytes) -> bool:
+    return any(b.startswith(m) for m in _IMAGE_MAGICS)
+
+
 class DecodeImage:
-    """binary -> (width, height, mode) — codec SEAM: auto-upgrades to a
-    real Pillow decode when ``import PIL`` succeeds (once per actor, in
-    __init__); otherwise ``strict=True`` raises (honest production
-    behavior) and ``strict=False`` runs the deterministic fake."""
+    """binary -> (width, height, mode) — codec SEAM: rows whose bytes carry
+    a real image magic (PNG/JPEG/GIF/BMP/WebP) decode through Pillow when
+    ``import PIL`` succeeds (loaded once per actor, in __init__).  Rows
+    WITHOUT an image magic never reach the codec — they route to the
+    deterministic fake (or raise under ``strict=True``), so a corpus of
+    non-image binary payloads doesn't crash on UnidentifiedImageError just
+    because Pillow happens to be installed."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -51,38 +63,33 @@ class DecodeImage:
         except ImportError:
             self._pil = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        data = batch.column("media_bytes").to_pylist()
-        if self._pil is not None:
+    def _decode_one(self, b: bytes) -> tuple[int, int, str]:
+        if self._pil is not None and _looks_like_image(b):
             import io
 
-            w, h, mode = [], [], []
-            for b in data:
-                with self._pil.open(io.BytesIO(b)) as im:
-                    w.append(im.width)
-                    h.append(im.height)
-                    mode.append(im.mode)
-            return pa.table(
-                {
-                    "doc_id": batch.column("doc_id"),
-                    "width": pa.array(w, pa.int32()),
-                    "height": pa.array(h, pa.int32()),
-                    "mode": pa.array(mode, pa.string()),
-                }
-            )
+            with self._pil.open(io.BytesIO(b)) as im:
+                return im.width, im.height, im.mode
         if self.strict:
-            raise NotImplementedError("image decode requires Pillow (not installed in this container)")
-        w, h = [], []
-        for b in data:
-            d = hashlib.md5(b).digest()
-            w.append(64 + d[0])  # deterministic fake dims
-            h.append(64 + d[1])
+            raise NotImplementedError(
+                "image decode requires Pillow and image-magic bytes "
+                "(non-image payload or codec not installed in this container)"
+            )
+        d = hashlib.md5(b).digest()
+        return 64 + d[0], 64 + d[1], "RGB"  # deterministic fake dims
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w, h, mode = [], [], []
+        for b in batch.column("media_bytes").to_pylist():
+            wi, hi, mo = self._decode_one(b)
+            w.append(wi)
+            h.append(hi)
+            mode.append(mo)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "width": pa.array(w, pa.int32()),
                 "height": pa.array(h, pa.int32()),
-                "mode": pa.array(["RGB"] * len(data), pa.string()),
+                "mode": pa.array(mode, pa.string()),
             }
         )
 

@@ -58,9 +58,19 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5, round_dp: int = 4
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(ids):
             mask = c_ids != qid
-            out_q.append(np.full(mask.sum(), qid))
-            out_n.append(c_ids[mask])
-            out_s.append(sims[mask, j])
+            n_ids, s = c_ids[mask], sims[mask, j]
+            # local top-k pre-prune BEFORE the groupby shuffle (same trick
+            # as window.top_n_per_key): the global top-k under the
+            # (score desc, neighbor_id asc) total order is contained in the
+            # union of per-batch top-ks under the same order, so the
+            # exchange carries O(blocks*k*queries) rows instead of
+            # O(corpus*queries)
+            if len(s) > k:
+                top = np.lexsort((n_ids, -s))[:k]
+                n_ids, s = n_ids[top], s[top]
+            out_q.append(np.full(len(n_ids), qid))
+            out_n.append(n_ids)
+            out_s.append(s)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),
@@ -111,7 +121,7 @@ def lsh_ann_topk(emb_ds, query_ids: list[int], dim: int, k: int = 5, n_planes: i
     """Approximate top-k: sign-LSH buckets -> per-bucket exact rerank.
     Queries whose bucket lacks k neighbors return fewer rows (documented
     approximation; recall measured against brute force in tests)."""
-    bucketed = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes}, batch_format="pyarrow", concurrency=4)
+    bucketed = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes}, batch_format="pyarrow", concurrency=(1, 4))
     qset = set(query_ids)
 
     _empty_ann = pd.DataFrame(
@@ -271,7 +281,7 @@ def lsh_cosine_pairs(
         MultiTableSignLSH,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "n_tables": n_tables},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
     def per_bucket_part(part_tbl: pa.Table) -> pa.Table:

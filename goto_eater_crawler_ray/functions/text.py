@@ -215,13 +215,75 @@ class HLL:
         return obj
 
 
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+_HLL_SEED = np.uint64(0x9E3779B97F4A7C15)
+_HLL_MULT = np.uint64(0x100000001B3)  # FNV-1a 64 prime
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Vigna 2015, public domain): full-avalanche
+    64-bit mix — uniform leading-zero statistics for the HLL estimator."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= _SPLITMIX_C1
+        h ^= h >> np.uint64(27)
+        h *= _SPLITMIX_C2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _string_hashes(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit string hash: gather the UTF-8 bytes into a padded
+    (n, words) uint64 matrix with ONE fancy-index, then a word-wise
+    polynomial mix + splitmix64 finalizer — the same vectorized-mix shape
+    as dedup.explode_bands; O(maxlen/8) numpy passes, no per-row Python.
+    Length is folded into the seed so zero-padding can't collide with
+    literal trailing NULs; nulls hash as empty strings."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    off = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+    lens = np.diff(off)
+    h = _mix64(lens.astype(np.uint64) ^ _HLL_SEED)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return h
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    width = ((maxlen + 7) // 8) * 8
+    pos = np.arange(width)
+    idx = np.minimum(off[:-1, None] + pos[None, :], len(data) - 1)
+    bytes_m = np.where(pos[None, :] < lens[:, None], data[idx], 0).astype(np.uint8)
+    words = np.ascontiguousarray(bytes_m).reshape(n, width).view(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width // 8):
+            h = h * _HLL_MULT + words[:, j]
+    return _mix64(h)
+
+
 def _hll_hashes(vals) -> np.ndarray:
-    """Uniform 64-bit hashes (blake2b; crc32 pairs are too correlated for
-    leading-zero statistics and bias the estimator)."""
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big") for v in vals],
-        dtype=np.uint64,
-    )
+    """Uniform 64-bit hashes, fully vectorized.
+
+    Integer arrays (numpy, Arrow, or plain iterables of ints) go through
+    the splitmix64 finalizer in one numpy pass; strings through the
+    padded-word polynomial hash.  Anything else falls back to hashing
+    ``str(v)``.  (crc32 pairs are too correlated for leading-zero
+    statistics and bias the estimator; both mixes here are
+    full-avalanche.)"""
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if not isinstance(vals, pa.Array):
+        a = np.asarray(vals)
+        if np.issubdtype(a.dtype, np.integer):
+            with np.errstate(over="ignore"):
+                return _mix64(a.astype(np.int64, copy=False).astype(np.uint64) ^ _HLL_SEED)
+        vals = pa.array([str(v) for v in vals], pa.string())
+    if pa.types.is_integer(vals.type):
+        v = pc.cast(vals.fill_null(0), pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return _mix64(v ^ _HLL_SEED)
+    return _string_hashes(pc.cast(vals, pa.string()))
 
 
 def approx_distinct(ds, column: str, p: int = 12) -> float:
@@ -230,7 +292,7 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
 
     def partial(t: pa.Table) -> pa.Table:
         h = HLL(p)
-        h.add_hashes(_hll_hashes(t.column(column).to_pylist()))
+        h.add_hashes(_hll_hashes(t.column(column)))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     sketches = ds.map_batches(partial, batch_format="pyarrow").take_all()

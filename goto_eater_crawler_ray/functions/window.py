@@ -59,12 +59,15 @@ def rolling_mean_per_key(
         start_of = np.maximum.accumulate(np.where(seg_start, idx, 0))
         pos = idx - start_of
         win = np.minimum(pos + 1, window)
-        # frame sum in ascending order (shifted adds) to mirror the frame
-        # scan a window function does — keeps float rounding bit-compatible
-        s = vals.copy()
-        shifted = vals
-        for d in range(1, window):
-            shifted = np.concatenate(([0.0] * 1, shifted[:-1]))
+        # frame sum accumulated OLDEST-ELEMENT-FIRST: for row i with frame
+        # length L the adds happen in order v[i-L+1], ..., v[i] — the same
+        # order a SQL engine's frame scan uses, so float rounding is
+        # bit-compatible with the DuckDB oracle by construction (a row with
+        # pos < d skips the d-shifted add, so its first add is its own
+        # oldest frame element)
+        s = np.zeros(n, dtype=np.float64)
+        for d in range(window - 1, -1, -1):
+            shifted = np.concatenate((np.zeros(min(d, n)), vals[: n - d])) if d else vals
             s = np.where(pos >= d, s + shifted, s)
         mean = s / win
         # DuckDB round() is half-AWAY-from-zero; np.round is half-to-even —

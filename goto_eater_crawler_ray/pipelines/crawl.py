@@ -800,6 +800,7 @@ class CrawlEngine:
         self.http_opts = dict(http_opts or {})
         self._seeds_override = seeds
         self._politeness_override = politeness
+        self._live_robots: dict[str, str] | None = None  # http-kind per-host robots cache
         pol = self._politeness_rows()
         self.mega_hosts = frozenset(r["host"] for r in pol if r.get("is_mega_host"))
         # allowed_domains scope (reference: every spider declares one):
@@ -812,11 +813,51 @@ class CrawlEngine:
     def _politeness_rows(self) -> list[dict]:
         return self._politeness_override if self._politeness_override is not None else self.store.politeness_rows()
 
+    def _with_live_robots(self, rows: list[dict]) -> list[dict]:
+        """Real-network parity with the reference's ROBOTSTXT_OBEY=True
+        (settings.py:21, protego per host): when ``fetch_kind == 'http'``,
+        GET {scheme}://{host}/robots.txt ONCE per configured host at
+        politeness-configure time and use the LIVE text for robots gating;
+        the static ``robots_txt`` override is only the fallback when the
+        live fetch fails.  Fetched once per engine (cached) — resume and
+        later waves reuse the same rules, like Scrapy's per-host
+        robots cache."""
+        if self._live_robots is None:
+            import requests
+
+            from ..stages.fetch import DEFAULT_USER_AGENT
+
+            seed_rows = self._seeds_override if self._seeds_override is not None else self.store.seeds()
+            scheme_of = {}
+            for s in seed_rows:
+                u = urlsplit(s["url"])
+                scheme_of.setdefault(u.netloc, u.scheme)
+            cache: dict[str, str] = {}
+            for host in sorted({r["host"] for r in rows}):
+                scheme = scheme_of.get(host, "https")
+                try:
+                    resp = requests.get(
+                        f"{scheme}://{host}/robots.txt",
+                        timeout=self.http_opts.get("timeout_s", 10.0),
+                        headers={"User-Agent": self.http_opts.get("user_agent", DEFAULT_USER_AGENT)},
+                    )
+                    if resp.status_code == 200:
+                        cache[host] = resp.text
+                except requests.RequestException:
+                    pass  # unreachable robots -> static fallback below
+            self._live_robots = cache
+        return [
+            {**r, "robots_txt": self._live_robots[r["host"]]} if r["host"] in self._live_robots else r
+            for r in rows
+        ]
+
     # --- state management ------------------------------------------------
     def _init_state(self, seen_blobs=None, sched_blobs=None):
         import ray
 
         pol_rows = self._politeness_rows()
+        if self.fetch_kind == "http":  # live per-host robots (ROBOTSTXT_OBEY)
+            pol_rows = self._with_live_robots(pol_rows)
         RemoteSeen = ray.remote(num_cpus=0.05)(SeenShard)
         RemoteSched = ray.remote(num_cpus=0.05)(PolitenessScheduler)
         self.seen_shards = [RemoteSeen.remote(self.seen_capacity) for _ in range(self.n_seen_shards)]

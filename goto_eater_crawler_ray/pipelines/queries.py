@@ -157,15 +157,16 @@ def q_region_customer_counts(sf_dir: str):
 
     nation = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
     region = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
-    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey").set_index("n_nationkey")["r_name"].to_dict()
-    ref = ray.put(n2r)
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey").set_index("n_nationkey")["r_name"]
+    # broadcast the dim as a key/value Arrow array pair: the lookup is then
+    # one pc.index_in + pc.take per batch, no per-row Python
+    ref = ray.put((pa.array(n2r.index.to_numpy(), pa.int64()), pa.array(n2r.to_numpy(), pa.string())))
 
     def tag(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        r_names = [m[k] for k in t.column("c_nationkey").to_pylist()]
-        out = pa.table({"r_name": pa.array(r_names, pa.string())})
-        df = out.to_pandas().groupby("r_name", as_index=False).size().rename(columns={"size": "n_customers"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        keys, vals = ray.get(ref)
+        idx = pc.index_in(t.column("c_nationkey").combine_chunks(), value_set=keys)
+        vc = pc.value_counts(pc.take(vals, idx))  # partial agg inside the batch
+        return pa.table({"r_name": vc.field("values"), "n_customers": pc.cast(vc.field("counts"), pa.int64())})
 
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey"])
     return cust.map_batches(tag, batch_format="pyarrow").groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
@@ -609,10 +610,53 @@ def q_simhash_near_pairs(sf_dir: str):
     return simhash_near_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), max_hamming=3)
 
 
+def q_fingerprint_hamming_pairs(sf_dir: str):
+    """Hamming<=20 pairs over 64-bit md5 fingerprints, run through the SAME
+    pigeonhole-banding machinery as simhash_near_pairs
+    (dedup.hamming_near_pairs) — and ORACLE-PINNED: DuckDB computes the
+    identical fingerprint (``md5_number_upper`` == first 8 md5 bytes,
+    little-endian) and the identical radius with a quadratic
+    ``bit_count(xor(a,b))`` self-join.  Banding is exact for the radius
+    (recall 1.0), so the hash compare proves the distributed
+    explode->bucket->verify->dedup path end-to-end, the same trick
+    embedding_dup_groups uses for connected components.
+
+    radius 20 needs n_pieces=32 (pigeonhole: max_hamming < n_pieces); the
+    wide radius exists to give random 64-bit fingerprints a non-empty
+    answer at test scale — production simhash radii (<=3) use the same
+    code with 4 pieces."""
+    import hashlib
+
+    from ..functions.dedup import hamming_near_pairs
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp64(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little") for s in t.column("text").to_pylist()],
+            dtype=np.uint64,
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(h, pa.uint64())})
+
+    pairs = hamming_near_pairs(ds.map_batches(fp64, batch_format="pyarrow"), max_hamming=20, n_pieces=32)
+    return pairs.map_batches(
+        lambda t: t.set_column(t.column_names.index("hamming"), "hamming", pc.cast(t.column("hamming"), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FINGERPRINT_HAMMING_PAIRS = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(md5_number_upper(a.text), md5_number_upper(b.text))) AS BIGINT) AS hamming
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(md5_number_upper(a.text), md5_number_upper(b.text))) <= 20
+"""
+
+
 def q_langid(sf_dir: str):
     from ..functions.text import LangId
 
-    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=4)
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
 
@@ -781,27 +825,28 @@ def q_media_decode(sf_dir: str):
     """STUB image decode over binary column (actor pool, small batches)."""
     from ..functions.multimodal import DecodeImage
 
-    return _docs_as_media(sf_dir).map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=4)
+    return _docs_as_media(sf_dir).map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
 
 
 def q_media_features(sf_dir: str):
     from ..functions.multimodal import ExtractFeatures
 
-    return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=4)
+    return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
 
 
-def q_site_items(sf_dir: str):
-    """Concrete per-site extractor configurations (the 18 modules in
-    sites/) run registry-driven over their reference-DOM-shaped fixture
-    pages as a map_batches stage.  Non-SQL (fixture input, not an sf
-    table); goldens in tests/test_sites.py."""
+def site_items_dataset(site_names: list[str] | None = None):
+    """Registry-driven parse of the concrete site specs' fixture pages ->
+    flat items dataset (prefecture, source_url, 12 item cols).  ``site_names``
+    filters which crawlers run (CLI ``--sites`` surface); None = all."""
     import ray.data as rdata
 
     from ..sites import fixtures, reference_sites_registry
 
+    wanted = None if site_names is None else set(site_names)
     rows = [
         {"prefecture": site, "url": url, "body": body}
         for site, pages in sorted(fixtures.pages().items())
+        if wanted is None or site in wanted
         for url, body in pages
     ]
     reg = reference_sites_registry()
@@ -822,6 +867,14 @@ def q_site_items(sf_dir: str):
         return pa.Table.from_pylist(items, schema=pa.schema(fields))
 
     return rdata.from_items(rows).map_batches(run_parse, batch_format="pyarrow", batch_size=16)
+
+
+def q_site_items(sf_dir: str):
+    """Concrete per-site extractor configurations (all 49 modules in
+    sites/) run registry-driven over their reference-DOM-shaped fixture
+    pages as a map_batches stage.  Non-SQL (fixture input, not an sf
+    table); goldens in tests/test_sites.py."""
+    return site_items_dataset()
 
 
 # ---------------------------------------------------------------------------
@@ -869,26 +922,58 @@ def q_crawl_documents(sf_dir: str):
 
 def q_doc_spans(sf_dir: str):
     """documents -> interleaved span documents (input_hint shape): text
-    split into sentence-ish text spans with word-count media refs every
-    5th span. Non-SQL (nested list<struct> output)."""
+    split into 10-word text spans with media refs every 5th span.
+    Non-SQL (nested list<struct> output).
+
+    Fully vectorized (the crawl path's flat-accumulator pattern,
+    crawl.py span emitter): one Arrow whitespace split, numpy offset
+    arithmetic, and exactly one ``ListArray.from_arrays`` per batch — no
+    per-row Python.  Semantics identical to ``" ".join(text.split()[i:i+10])``
+    chunking: span k of a doc is words [10k, 10k+10) joined by single
+    spaces, kind="image" + a media ref on every 5th span."""
     from ..schemas import SPAN_STRUCT
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        doc_ids, spans_col = [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            words = text.split()
-            spans = []
-            for off, i in enumerate(range(0, len(words), 10)):
-                chunk = " ".join(words[i : i + 10])
-                if off % 5 == 4:
-                    spans.append({"kind": "image", "text": chunk, "media_ref": f"media://{doc_id}/{off}", "offset": off})
-                else:
-                    spans.append({"kind": "text", "text": chunk, "media_ref": "", "offset": off})
-            doc_ids.append(str(doc_id))
-            spans_col.append(spans)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT))})
+        n_docs = t.num_rows
+        doc_id_str = pc.cast(t.column("doc_id"), pa.string()).combine_chunks()
+        if n_docs == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()), "spans": pa.array([], pa.list_(SPAN_STRUCT))})
+        # words per doc — Arrow's split keeps empty tokens at boundaries
+        # (Python str.split drops them), so trim then drop zero-length words
+        # with a cumsum offset rebuild (reduceat is unsafe on empty docs)
+        wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        flat = wl.flatten()
+        off = wl.offsets.to_numpy().astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        csum = np.concatenate(([0], np.cumsum(keep)))
+        word_off = csum[off]  # per-doc offsets into the kept-words array
+        flat_kept = flat.filter(pa.array(keep))
+        n_words = np.diff(word_off)
+        # span layout: ceil(n_words/10) spans per doc, contiguous in the
+        # kept-words array -> span boundaries ARE a valid offsets vector
+        n_spans = (n_words + 9) // 10
+        doc_off = np.concatenate(([0], np.cumsum(n_spans)))
+        total = int(doc_off[-1])
+        doc_idx = np.repeat(np.arange(n_docs), n_spans)
+        span_ord = np.arange(total) - np.repeat(doc_off[:-1], n_spans)
+        starts = word_off[doc_idx] + span_ord * 10
+        span_word_off = np.append(starts, word_off[-1])
+        span_words = pa.ListArray.from_arrays(pa.array(span_word_off, pa.int32()), flat_kept)
+        span_text = pc.binary_join(span_words, " ")
+        is_image = span_ord % 5 == 4
+        kind = pc.if_else(pa.array(is_image), "image", "text")
+        ref_all = pc.binary_join_element_wise(
+            "media://", pc.take(doc_id_str, pa.array(doc_idx)), "/", pc.cast(pa.array(span_ord), pa.string()), ""
+        )
+        media_ref = pc.if_else(pa.array(is_image), ref_all, "")
+        struct = pa.StructArray.from_arrays(
+            [kind, span_text, media_ref, pa.array(span_ord, pa.int32())],
+            fields=list(SPAN_STRUCT),
+        )
+        spans = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()), struct)
+        return pa.table({"doc_id": doc_id_str, "spans": spans})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -922,6 +1007,7 @@ QUERIES = {
     "char_jaccard": q_char_jaccard,
     "minhash_pairs": q_minhash_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "fingerprint_hamming_pairs": q_fingerprint_hamming_pairs,
     "simhash_groups": q_simhash_groups,
     "langid": q_langid,
     "dedup_groups": q_dedup_groups,
@@ -963,6 +1049,7 @@ ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "dedup_filter": SQL_DEDUP_FILTER,
     "char_jaccard": SQL_CHAR_JACCARD,
+    "fingerprint_hamming_pairs": SQL_FINGERPRINT_HAMMING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "cosine_dups": SQL_COSINE_DUPS,
     "embedding_dup_groups": SQL_EMBEDDING_DUP_GROUPS,

@@ -123,3 +123,68 @@ def reference_sites_registry() -> ParserRegistry:
     for spec in SITE_SPECS:
         reg.register(spec)
     return reg
+
+
+# Reference main.py:29-72 VERBATIM default-exclusion table: `python main.py`
+# with no target runs every spider NOT in this list.  The principled
+# exclusions are tokyo_gnavi (commercial host, courtesy — main.py:30),
+# tokushima (no-reproduction notice — main.py:31) and kochi (robots.txt
+# Disallow — main.py:32); the rest are campaign-end retirements the
+# reference accumulated over time (each dated in main.py).
+DEFAULT_IGNORES: tuple[str, ...] = (
+    "tokyo_gnavi",
+    "tokushima",
+    "kochi",
+    "yamanashi",
+    "kagoshima",
+    "fukushima",
+    "miyazaki",
+    "tottori",
+    "aomori",
+    "wakayama",
+    "niigata",
+    "yamaguchi",
+    "mie",
+    "toyama",
+    "ehime",
+    "akita",
+    "yamagata",
+    "gunma",
+    "shizuoka",
+    "shizuoka_blue",
+    "iwate",
+    "ibaraki",
+    "shiga",
+    "fukui",
+    "okayama",
+    "saga",
+    "saitama",
+    "nara",
+    "shimane",
+    "miyagi",
+    "kumamoto",
+    "gifu",
+    "hyogo",
+    "aichi",
+    "fukuoka",
+    "tochigi",
+    "kyoto",
+    "ishikawa",
+    "chiba",
+    "kanagawa",
+)
+
+
+def select_sites(target: str | None = None) -> list[str]:
+    """Reference main.py:25-74 target semantics: an explicit comma list
+    wins verbatim (and may include default-ignored sites — the reference
+    lets ``--target tokushima`` run it); no target -> every registered
+    crawler minus :data:`DEFAULT_IGNORES`."""
+    names = [s.name for s in SITE_SPECS]
+    if target:
+        chosen = [t.strip() for t in target.split(",") if t.strip()]
+        unknown = sorted(set(chosen) - set(names))
+        if unknown:
+            raise KeyError(f"unknown site(s) {unknown}; known: {sorted(names)}")
+        return chosen
+    return [n for n in names if n not in DEFAULT_IGNORES]

@@ -95,11 +95,15 @@ def parse(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
         url_span = sel_one(dds[3], "span.url") if len(dds) > 3 else None
         item["official_page"] = (url_span.text().strip() or None) if url_span else None
 
-        # html ⋈ js: name equal + address substring, unique match only
+        # html ⋈ js: name equal + address substring.  Reference BEHAVIOR
+        # (miyagi.py:113-119): `if match:` copies match[0] for ANY non-empty
+        # match — its `elif 1 < len(match)` branch is dead code — so >1
+        # matches take the FIRST marker, not null.  Parity is to the
+        # behavior, not the logged intent.
         clean_name = normalize_text(item["shop_name"]) or ""
         clean_addr = normalize_text(item["address"]) or ""
         match = [mk for mk in markers if clean_name == mk["shop_name"] and clean_addr and clean_addr in mk["address"]]
-        if len(match) == 1:  # 0 or >1 -> leave null (miyagi.py:113-119)
+        if match:  # 0 -> leave null; >=1 -> first marker wins
             item["provided_lat"] = f"{match[0]['lat']}"
             item["provided_lng"] = f"{match[0]['lng']}"
 

@@ -127,9 +127,14 @@ class HttpFetcher:
         the engine's chain-following fetch does by construction;
       * UA header on every request (settings.py:17-20 shape);
       * terminal failures are status rows (status 503 and empty body for
-        exhausted retries / network errors), never exceptions.
+        exhausted retries / network errors), never exceptions;
+      * per-cookiejar session isolation: ``meta={"cookiejar": key}``
+        routes the request through a dedicated ``requests.Session`` —
+        the reference crawls one host's areas through INDEPENDENT jars
+        (yamaguchi.py:29 ``meta={"cookiejar": area}``), so two areas
+        sharing one actor must not share cookies.
 
-    Stateful -> built once per actor/task (session + host clocks), used
+    Stateful -> built once per actor/task (sessions + host clocks), used
     per batch.  robots gating stays the scheduler's job, as in the
     simulated path.
     """
@@ -142,15 +147,25 @@ class HttpFetcher:
         backoff_scale: float = 1.0,
         user_agent: str = DEFAULT_USER_AGENT,
     ):
-        import requests
-
-        self.session = requests.Session()  # per-actor, once: pooled keep-alive
-        self.session.headers["User-Agent"] = user_agent
+        self.user_agent = user_agent
+        self._sessions: dict[str, object] = {}  # cookiejar key -> Session
+        self.session = self._session("")  # default jar (back-compat attr)
         self.delay_s = delay_s
         self.max_retries = max_retries
         self.timeout_s = timeout_s
         self.backoff_scale = backoff_scale
         self._next_free: dict[str, float] = {}  # host -> wall-clock next slot
+
+    def _session(self, jar: str):
+        """One pooled keep-alive Session per cookiejar key, built once per
+        actor (Scrapy's CookiesMiddleware jar semantics)."""
+        s = self._sessions.get(jar)
+        if s is None:
+            import requests
+
+            s = self._sessions[jar] = requests.Session()
+            s.headers["User-Agent"] = self.user_agent
+        return s
 
     def _polite_wait(self, host: str):
         now = time.time()
@@ -167,6 +182,7 @@ class HttpFetcher:
         import requests
 
         host = urlsplit(url).netloc
+        session = self._session(str((meta or {}).get("cookiejar", "")))
         attempts = 0
         t0 = time.time()
         while True:
@@ -174,9 +190,9 @@ class HttpFetcher:
             self._polite_wait(host)
             try:
                 if method == "POST":
-                    resp = self.session.post(url, data=form or {}, timeout=self.timeout_s)
+                    resp = session.post(url, data=form or {}, timeout=self.timeout_s)
                 else:
-                    resp = self.session.get(url, timeout=self.timeout_s)
+                    resp = session.get(url, timeout=self.timeout_s)
                 status, body = resp.status_code, resp.content
                 ctype = resp.headers.get("Content-Type", "")
             except requests.RequestException:  # conn error == retryable

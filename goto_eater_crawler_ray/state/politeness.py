@@ -25,11 +25,29 @@ with ``ray.remote`` for the engine.  Checkpointable to bytes.
 from __future__ import annotations
 
 import pickle
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
 
 DEFAULT_CRAWL_DELAY = 3.0  # reference settings.py:32
+
+
+@lru_cache(maxsize=4096)
+def _rule_matcher(prefix: str):
+    """RFC 9309 wildcard support: ``None`` for plain prefixes (fast
+    startswith path); a compiled regex when the rule uses ``*`` (any
+    sequence) or a trailing ``$`` (end anchor) — so 'Disallow: /*.pdf$'
+    blocks what protego/Scrapy would block instead of being treated as a
+    literal prefix that never matches.  Cached per pattern string so rules
+    arriving through lease dicts don't recompile per call."""
+    if "*" not in prefix and not prefix.endswith("$"):
+        return None
+    pat = re.escape(prefix).replace(r"\*", ".*")
+    if pat.endswith(r"\$"):
+        pat = pat[:-2] + "$"
+    return re.compile(pat)
 
 
 def parse_robots(robots_txt: str, user_agent: str = "goto-eater-crawler") -> tuple[list[tuple[str, bool]], float | None]:
@@ -76,14 +94,16 @@ def parse_robots(robots_txt: str, user_agent: str = "goto-eater-crawler") -> tup
 
 
 def robots_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
-    """Standard REP precedence: the longest matching prefix wins; on a
-    length tie Allow wins (least-restrictive, per the public REP spec).
-    No matching rule -> allowed.  Also accepts the legacy plain-string
-    form (a bare disallow-prefix list)."""
+    """Standard REP precedence (RFC 9309): the most-specific (longest
+    pattern) matching rule wins; on a length tie Allow wins
+    (least-restrictive).  Rules may use '*' / '$' wildcards (matched via
+    :func:`_rule_matcher`).  No matching rule -> allowed.  Also accepts
+    the legacy plain-string form (a bare disallow-prefix list)."""
     best_len, best_allow = -1, True
     for rule in rules:
         prefix, is_allow = rule if isinstance(rule, tuple) else (rule, False)
-        if path.startswith(prefix):
+        rx = _rule_matcher(prefix)
+        if rx.match(path) if rx is not None else path.startswith(prefix):
             ln = len(prefix)
             if ln > best_len or (ln == best_len and is_allow):
                 best_len, best_allow = ln, is_allow

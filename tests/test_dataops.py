@@ -118,6 +118,29 @@ class TestSimHash:
         with pytest.raises(ValueError, match="pigeonhole"):
             simhash_near_pairs(ds, max_hamming=4, n_pieces=4)
 
+    def test_hamming_near_pairs_exact_vs_brute_force(self, ray_session):
+        """hamming_near_pairs over raw (doc_id, fingerprint) input: exactly
+        the brute-force pair set, with exact distances — the property the
+        fingerprint_hamming_pairs SQL oracle pins at driver time."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import hamming_near_pairs
+
+        rng = np.random.default_rng(11)
+        fps = rng.integers(0, 2**63, size=120, dtype=np.uint64)
+        for j in range(8):  # planted near-dups: flip <= 3 bits
+            fps[60 + j] = fps[j] ^ np.uint64(sum(1 << b for b in rng.choice(64, size=j % 4, replace=False)))
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(np.arange(120), pa.int64()), "simhash": pa.array(fps, pa.uint64())}))
+        got = hamming_near_pairs(ds, max_hamming=20, n_pieces=32).to_pandas()
+        got_set = {(a, b): h for a, b, h in zip(got["doc_a"], got["doc_b"], got["hamming"])}
+        want = {}
+        for i in range(120):
+            x = fps[i] ^ fps[i + 1 :]
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            for off in np.flatnonzero(ham <= 20):
+                want[(i, i + 1 + int(off))] = int(ham[off])
+        assert got_set == want
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -259,6 +282,18 @@ class TestMultimodal:
         t = pa.table({"doc_id": [1], "media_bytes": [b"xxx"]})
         with pytest.raises(NotImplementedError):
             DecodeImage(strict=True)(t)
+
+    def test_non_image_bytes_route_to_fake_even_with_codec(self):
+        # magic-byte sniff: text bytes must NEVER reach the Pillow path —
+        # with a codec installed they'd raise UnidentifiedImageError
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage, _looks_like_image
+
+        assert not _looks_like_image(b"some document text cast to bytes")
+        assert _looks_like_image(b"\x89PNG\r\n\x1a\nrest")
+        assert _looks_like_image(b"\xff\xd8\xff\xe0jpeg")
+        dec = DecodeImage()
+        out = dec(pa.table({"doc_id": [1], "media_bytes": [b"some document text cast to bytes"]}))
+        assert out.column("mode")[0].as_py() == "RGB"  # deterministic fake, codec or not
 
     def test_fake_decode_deterministic(self):
         from goto_eater_crawler_ray.functions.multimodal import DecodeImage, ExtractFeatures, FrameSampler

@@ -51,9 +51,29 @@ class _SiteHandler(BaseHTTPRequestHandler):
         elif self.path == "/merchant/index.php?page=2":
             body = PAGE_TMPL.format(n=2, next_link='<ul><li class="next"><a href="/merchant/index.php?page=3">次</a></li></ul>')
         elif self.path == "/merchant/index.php?page=3":
-            body = PAGE_TMPL.format(n=3, next_link="")
+            # links into robots-disallowed territory: the engine must fetch
+            # the LIVE /robots.txt and never follow this (ROBOTSTXT_OBEY)
+            body = PAGE_TMPL.format(n=3, next_link='<ul><li class="next"><a href="/private/index.php">次</a></li></ul>')
+        elif self.path == "/private/index.php":
+            body = PAGE_TMPL.format(n=4, next_link="")  # served if asked — robots must prevent the ask
         elif self.path == "/robots.txt":
             body = "User-agent: *\nDisallow: /private/\n"
+        elif self.path.startswith("/cookie/set"):
+            jar = self.path.split("=", 1)[1]
+            payload = b"ok"
+            self.send_response(200)
+            self.send_header("Set-Cookie", f"who={jar}; Path=/")
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(payload)
+            return
+        elif self.path == "/cookie/echo":
+            payload = (self.headers.get("Cookie") or "").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(payload)
+            return
         else:
             self.send_response(404)
             self.end_headers()
@@ -117,6 +137,22 @@ class TestHttpFetcher:
         f.fetch(f"http://{http_server}/merchant/index.php")
         assert time.time() - t0 >= 0.5  # 3 same-host hits spaced >= delay
 
+    def test_cookiejar_isolation(self, http_server):
+        """meta={'cookiejar': key} -> independent sessions: two jars on ONE
+        host must not leak cookies (reference yamaguchi.py:29 crawls areas
+        through independent jars)."""
+        from goto_eater_crawler_ray.stages.fetch import HttpFetcher
+
+        f = HttpFetcher(delay_s=0.0)
+        f.fetch(f"http://{http_server}/cookie/set?jar=A", meta={"cookiejar": "A"})
+        f.fetch(f"http://{http_server}/cookie/set?jar=B", meta={"cookiejar": "B"})
+        _, _, body_a, *_ = f.fetch(f"http://{http_server}/cookie/echo", meta={"cookiejar": "A"})
+        _, _, body_b, *_ = f.fetch(f"http://{http_server}/cookie/echo", meta={"cookiejar": "B"})
+        _, _, body_default, *_ = f.fetch(f"http://{http_server}/cookie/echo")
+        assert body_a == b"who=A"
+        assert body_b == b"who=B"
+        assert body_default == b""  # default jar untouched by either
+
     def test_terminal_failure_is_row_not_exception(self):
         from goto_eater_crawler_ray.stages.fetch import HttpFetcher
 
@@ -165,7 +201,14 @@ class TestHttpCrawlE2E:
         )
         totals = eng.run()
         eng.shutdown()
+        # 3 pages, NOT 4: page 3 links to /private/index.php (which the
+        # server happily serves), but the engine fetched the LIVE
+        # /robots.txt at configure time and its 'Disallow: /private/'
+        # gates the link — the static politeness robots_txt here is ''
+        # (allow-all), so only the live fetch can explain the gating
         assert totals["pages"] == 3
+        assert not any("/private/" in p for _, p in _SiteHandler.hits)
+        assert any(p == "/robots.txt" for _, p in _SiteHandler.hits)
 
         tbl = pads.dataset(str(tmp_path / "out" / "parsed")).to_table()
         rows = sorted(tbl.to_pylist(), key=lambda r: r["visit_seq"])

@@ -132,8 +132,11 @@ class TestMiyagi:
         # contains an apostrophe, so this also guards the JS decode
         assert by_name["牛たん仙臺屋"]["provided_lat"] == "38.2601"
         assert by_name["定食のまるよし"]["provided_lng"] == "140.8754"
-        # two markers match name+substring -> null (miyagi.py:116-117)
-        assert by_name["カフェ青葉"]["provided_lat"] is None
+        # two markers match name+substring -> FIRST marker wins: the
+        # reference's `if match:` copies match[0] and its `elif 1 <
+        # len(match)` branch is dead code (miyagi.py:113-119 BEHAVIOR)
+        assert by_name["カフェ青葉"]["provided_lat"] == "38.25"
+        assert by_name["カフェ青葉"]["provided_lng"] == "140.87"
         # zero markers -> null (miyagi.py:118-119)
         assert by_name["未掲載食堂"]["provided_lat"] is None
         # area from the [ ... ] h2 bracket (miyagi.py:67-69)
@@ -1052,4 +1055,6 @@ class TestSiteItemsQuery:
             "okinawa", "saga", "tokushima", "shizuoka", "shizuoka_blue",
             "wakayama", "yamanashi", "yamaguchi", "tokyo_gnavi",
         }
-        assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 2
+        # 3 latlng rows: unique-match x2 + the 2-marker card (first marker
+        # wins, reference miyagi.py:113-119 behavior)
+        assert out[out["prefecture"] == "miyagi"]["provided_lat"].notna().sum() == 3

@@ -196,6 +196,22 @@ class TestRobots:
         rules3, _ = parse_robots("User-agent: *\nDisallow: /tie/\nAllow: /tie/\n")
         assert robots_allowed("/tie/x", rules3)
 
+    def test_wildcard_and_anchor_rules(self):
+        # RFC 9309 '*' / '$' wildcards, as protego honors them: a rule like
+        # 'Disallow: /*.pdf$' must block pdf paths, not be a dead literal
+        rules, _ = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+        assert not robots_allowed("/docs/report.pdf", rules)
+        assert robots_allowed("/docs/report.pdf?x=1", rules)  # $ anchors the end
+        assert robots_allowed("/docs/report.html", rules)
+        # mid-path '*': /shops*/private blocks /shops123/private
+        rules2, _ = parse_robots("User-agent: *\nDisallow: /shop*/private\n")
+        assert not robots_allowed("/shop123/private/x", rules2)
+        assert robots_allowed("/shop123/public", rules2)
+        # wildcard disallow + longer literal allow still follows precedence
+        rules3, _ = parse_robots("User-agent: *\nDisallow: /a/*.php\nAllow: /a/open/index.php\n")
+        assert robots_allowed("/a/open/index.php", rules3)
+        assert not robots_allowed("/a/x.php", rules3)
+
 
 class TestPoliteness:
     def test_per_host_serialization_and_delay(self):
