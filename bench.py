@@ -124,7 +124,7 @@ def main() -> None:
         n_sched_shards=4,
         n_parts=max(8, ncpu),
         seen_capacity=2_000_000,
-        fetch_batch_size=128,
+        fetch_batch_size=None,  # width-aware auto-size (~5 task rounds/wave; see _run_wave)
         checkpoint_interval=8,
     )
     totals = eng.run()

@@ -43,6 +43,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 from urllib.parse import urlencode, urljoin, urlsplit
 
 import numpy as np
@@ -178,7 +179,7 @@ def make_parse_emit(wave: int):
 CHAIN_EPS = 1e-6
 
 
-def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None, fetch_kind: str = "simulated", http_opts: dict | None = None):
+def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None, fetch_kind: str = "simulated", http_opts: dict | None = None, derived_root: str | None = None):
     """Chain-following fetch+parse stage (the scale-critical design move).
 
     Politeness is per-host SERIAL (reference settings.py:34), so a host's
@@ -211,10 +212,16 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         import gc
 
         gc.disable()  # allocation-heavy loop; re-enabled in the finally below
+        prof_dir = os.environ.get("CRAWL_TASK_PROF", "")
+        t0 = time.perf_counter() if prof_dir else 0.0
         try:
-            return _fn_body(batch)
+            out = _fn_body(batch)
         finally:
             gc.enable()
+        if prof_dir:  # per-task wall profile (scaling attribution tool)
+            with open(os.path.join(prof_dir, f"{os.getpid()}.jsonl"), "a") as f:
+                f.write(json.dumps({"rows_in": batch.num_rows, "rows_out": len(out), "sec": round(time.perf_counter() - t0, 4)}) + "\n")
+        return out
 
     def _fn_body(batch: pa.Table) -> pa.Table:
         import ray
@@ -226,7 +233,7 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         # of dicts costs ~100M tiny allocations per bench run; flat python
         # lists + one ListArray.from_arrays at the end is several x cheaper
         ITEM_FIELDS = [f.name for f in ITEM_STRUCT]
-        scalar = {k: [] for k in ("doc_id", "prefecture", "url", "url_key", "parent_key", "host", "part", "depth", "visit_seq", "sched_ts", "fetched_at", "status", "attempts", "bytes", "callback", "n_links")}
+        scalar = {k: [] for k in ("doc_id", "prefecture", "url", "url_key", "parent_key", "host", "part", "depth", "visit_seq", "sched_ts", "fetched_at", "status", "attempts", "bytes", "callback", "n_links", "n_items")}
         item_flat = {f: [] for f in ITEM_FIELDS}
         item_counts: list[int] = []
         span_kind: list[str] = []
@@ -269,6 +276,7 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
             s["bytes"].append(len(body))
             s["callback"].append(row["callback"])
             s["n_links"].append(len(res.links))
+            s["n_items"].append(len(res.items))
             for it in res.items:
                 for f in ITEM_FIELDS:
                     item_flat[f].append(it[f])
@@ -441,9 +449,38 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
             else:
                 cols.append(pa.array(scalar[field.name], field.type))
         tbl = pa.Table.from_arrays(cols, schema=PARSED_SCHEMA)
-        return tbl.append_column("wave", pa.array([wave] * len(tbl), pa.int32()))
+        tbl = tbl.append_column("wave", pa.array([wave] * len(tbl), pa.int32()))
+        if derived_root is not None and len(tbl):
+            _write_derived(tbl, derived_root, wave)
+        return tbl
 
     return fn
+
+
+def _write_derived(tbl: pa.Table, root: str, wave: int) -> None:
+    """Write a fetch batch's derived projections (items / documents /
+    lineage) DIRECTLY from the fetch task: the batch is already decoded in
+    memory here, so each derived store costs one encode and ZERO re-reads
+    of the nested parsed store (finalize only aggregates flat metrics
+    columns — measured 2x end-to-end finalize win on the bench corpus,
+    and at 100 TB the full-corpus nested re-read never happens at all).
+
+    Layout: one file per fetch batch under ``{store}/w{wave}/`` ("w" not
+    "wave=": key=value dirs would hive-partition a second ``wave`` column
+    onto readers).  Idempotency: file names are a deterministic batch
+    fingerprint (first/last url_key + row count), so a RETRIED task
+    overwrites its own files instead of appending duplicates, and a
+    re-run wave starts from a dir `_run_wave` rmtree'd."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    keys = tbl.column("url_key")
+    tag = hashlib.md5(keys[0].as_py() + keys[len(tbl) - 1].as_py() + len(tbl).to_bytes(4, "big")).hexdigest()[:16]
+    for sub, derive in (("items", explode_items), ("documents", explode_documents), ("lineage", lineage_batch)):
+        d = os.path.join(root, sub, f"w{wave}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(derive(tbl), os.path.join(d, f"b-{tag}.parquet"))
 
 
 def parse_emit_batch(batch: pa.Table) -> pa.Table:
@@ -479,6 +516,7 @@ def parse_emit_batch(batch: pa.Table) -> pa.Table:
         out["bytes"].append(len(body))
         out["callback"].append(cols["callback"][i])
         out["items"].append(res.items)
+        out["n_items"].append(len(res.items))
         out["spans"].append([{"kind": k, "text": t, "media_ref": m, "offset": j} for j, (k, t, m) in enumerate(res.spans)])
         out["n_links"].append(len(res.links))
         out["links"].append(
@@ -537,7 +575,7 @@ def metrics_partial_batch(batch: pa.Table) -> pa.Table:
             "wave": batch.column("wave").to_numpy(zero_copy_only=False),
             "host": batch.column("host").to_pylist(),
             "pages": 1,
-            "items": pc.list_value_length(batch.column("items").combine_chunks()).fill_null(0).to_numpy(zero_copy_only=False),
+            "items": batch.column("n_items").to_numpy(zero_copy_only=False),
             "links": batch.column("n_links").to_numpy(zero_copy_only=False),
             "bytes": batch.column("bytes").to_numpy(zero_copy_only=False),
             "errors": pc.not_equal(batch.column("status"), 200).to_numpy(zero_copy_only=False).astype(np.int64),
@@ -768,7 +806,7 @@ class CrawlEngine:
         n_sched_shards: int = 2,
         n_parts: int = 8,
         seen_capacity: int = 1_000_000,
-        fetch_batch_size: int = 256,
+        fetch_batch_size: int | None = None,  # None -> width-aware auto-size per wave
         max_waves: int = 10_000,
         checkpoint_interval: int = 1,
         driver_admit_max_pages: int = 20_000,
@@ -1000,15 +1038,33 @@ class CrawlEngine:
         import time as _time
 
         t0 = _time.time()
+        in_task_derived = os.environ.get("CRAWL_DERIVED_IN_TASK", "1") != "0"
         chain_fn = make_chain_fetch_fn(
             self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave,
             registry=self.registry, fetch_kind=self.fetch_kind, http_opts=self.http_opts,
+            derived_root=self.out_dir if in_task_derived else None,
         )
         parsed_dir = os.path.join(self.out_dir, "parsed", f"wave={wave}")
         shutil.rmtree(parsed_dir, ignore_errors=True)  # idempotent re-run of a killed wave
-        frontier_ds = rd.read_parquet(frontier_path, override_num_blocks=self._n_blocks(n_frontier))
+        for sub in ("items", "documents", "lineage"):  # same idempotency for in-task derived writes
+            shutil.rmtree(os.path.join(self.out_dir, sub, f"w{wave}"), ignore_errors=True)
+        # ONE batch per fetch task (blocks = ceil(rows/batch)), batch sized
+        # WIDTH-AWARE to ~5 task rounds per wave: short tasks pack tightly
+        # at wide clusters (no ragged second batch, small straggler tail)
+        # while narrow widths keep bigger tasks so per-task fixed costs
+        # (lease RPCs, table build, parquet footer) stay amortized.
+        # Interleaved 32-cpu sweep: one-batch tasks of ~256 rows gave
+        # 9.2-11.4k pages/s vs 7.3-8.4k (blocks=2*cpus, batch=512) and
+        # 8.0-9.8k (batch=128); at 8 cpus ~256-row tasks LOST ~15% to
+        # per-task overhead, hence the rows/(5*cpus) auto-size.
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        batch = self.fetch_batch_size or min(2048, max(256, -(-n_frontier // (5 * cpus))))
+        fetch_nb = int(os.environ.get("CRAWL_FETCH_NB", "0")) or max(1, -(-n_frontier // batch))
+        frontier_ds = rd.read_parquet(frontier_path, override_num_blocks=fetch_nb)
         (
-            frontier_ds.map_batches(chain_fn, batch_format="pyarrow", batch_size=self.fetch_batch_size)
+            frontier_ds.map_batches(chain_fn, batch_format="pyarrow", batch_size=batch)
             .write_parquet(parsed_dir)
         )
         t_fetch = _time.time() - t0
@@ -1054,102 +1110,85 @@ class CrawlEngine:
         return n_pages, n_next
 
     def finalize(self):
-        """Derive items / documents / lineage / metrics from the parsed
-        store in ONE pass each (not per wave). Idempotent: full rewrite.
-        Reads are split well beyond file count (override_num_blocks) so the
-        nested-column decode parallelizes across all CPUs."""
+        """Metrics aggregate ONLY.  The row-level derived stores (items /
+        documents / lineage) are written by the fetch tasks themselves
+        (:func:`_write_derived`): the batch is decoded in memory there, so
+        the nested parsed store is never re-read — finalize's dataset pass
+        touches just the FLAT metrics columns (wave/host/counters), a few
+        MB even on the bench corpus.  This replaced four concurrent
+        full-store dataset executions whose competing executors each
+        assumed they owned the whole CPU pool and ANTI-scaled (measured:
+        21 s at 32 CPUs vs 11 s at 8 on the bench corpus); the in-task
+        form costs ~0 extra wall time in the fetch stage and drops
+        finalize to the metrics aggregate.  Idempotent: metrics is a full
+        rewrite; derived stores are rewritten per wave by `_run_wave`."""
         import sys as _sys
         import time as _t
 
         import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
         import ray.data as rd
         from ray.data.aggregate import Sum
 
         parsed_dir = os.path.join(self.out_dir, "parsed")
         if not os.path.isdir(parsed_dir):
             return
-        for d in ("items", "documents", "lineage", "metrics"):
-            shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)  # full idempotent rewrite
+        t0 = _t.time()
+        # schema-stable EMPTY derived stores for zero-page runs (readers of
+        # items/documents/lineage must see the schema even with no rows)
+        empty = PARSED_SCHEMA.empty_table().append_column("wave", pa.array([], pa.int32()))
+        for sub, derive in (("items", explode_items), ("documents", explode_documents), ("lineage", lineage_batch)):
+            d = os.path.join(self.out_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            if not any(files for _, _, files in os.walk(d)):
+                pq.write_table(derive(empty), os.path.join(d, "empty.parquet"))
+
+        shutil.rmtree(os.path.join(self.out_dir, "metrics"), ignore_errors=True)  # full rewrite
         n_rows = pads.dataset(parsed_dir).count_rows()
-        # four dataset jobs run CONCURRENTLY below: give each ~cpus blocks,
-        # not 2*cpus — 8x-oversubscribing the pool just adds task overhead
-        # and write contention (measured on the bench corpus)
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
-        nb = max(1, min(cpus, n_rows // 512 + 1))
-        if os.environ.get("CRAWL_FINALIZE_NB"):
-            nb = int(os.environ["CRAWL_FINALIZE_NB"])
-
-        def timed(name, fn):
-            t0 = _t.time()
-            fn()
-            if self.debug_timing:
-                print(f"[finalize/{name}] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
-
-        jobs = []
-
-        def timed_job(name, fn):
-            jobs.append((name, fn))
-
-        timed_job(
-            "items",
-            lambda: rd.read_parquet(
-                parsed_dir, columns=["items", "prefecture", "url", "visit_seq"], override_num_blocks=nb
-            )
-            .map_batches(explode_items, batch_format="pyarrow")
-            .write_parquet(os.path.join(self.out_dir, "items")),
-        )
-        timed_job(
-            "documents",
-            lambda: rd.read_parquet(parsed_dir, columns=["doc_id", "spans"], override_num_blocks=nb)
-            .map_batches(explode_documents, batch_format="pyarrow")
-            .write_parquet(os.path.join(self.out_dir, "documents")),
-        )
-        timed_job(
-            "lineage",
-            lambda: rd.read_parquet(
-                parsed_dir,
-                columns=["url_key", "url", "parent_key", "prefecture", "depth", "wave", "visit_seq", "host"],
-                override_num_blocks=nb,
-            )
-            .map_batches(lineage_batch, batch_format="pyarrow")
-            .write_parquet(os.path.join(self.out_dir, "lineage")),
-        )
-
-        def run_metrics():
-            metrics = (
-                rd.read_parquet(
-                    parsed_dir,
-                    columns=["wave", "host", "items", "n_links", "bytes", "status", "attempts"],
-                    override_num_blocks=nb,
-                )
-                .map_batches(metrics_partial_batch, batch_format="pyarrow")
-                .groupby(["wave", "host"])
-                .aggregate(
-                    Sum("pages", alias_name="pages"),
-                    Sum("items", alias_name="items"),
-                    Sum("links", alias_name="links"),
-                    Sum("bytes", alias_name="bytes"),
-                    Sum("errors", alias_name="errors"),
-                    Sum("retries", alias_name="retries"),
-                )
-            )
-            metrics.write_parquet(os.path.join(self.out_dir, "metrics"))
-
-        timed_job("metrics", run_metrics)
-
-
-        # the four derived writes are independent dataset executions — run
-        # them concurrently so the cluster stays saturated (a single
-        # execution's map/write tail leaves cores idle).
+        nb = max(1, min(2 * cpus, n_rows // 512 + 1))
         _patch_fsspec_http_probe()
-        from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(jobs) or 1) as pool:
-            futs = {name: pool.submit(timed, name, fn) for name, fn in jobs}
-            for name, f in futs.items():
-                f.result()
+        if os.environ.get("CRAWL_DERIVED_IN_TASK", "1") == "0":
+            # measurement fallback (A/B vs the in-task default): derive the
+            # three row stores in ONE single-executor pass over the full
+            # parsed store, then aggregate metrics from the partials
+            out_dirs = {s: os.path.join(self.out_dir, s) for s in ("items", "documents", "lineage")}
+            for d in out_dirs.values():
+                shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(d, exist_ok=True)
+
+            def derive_all(batch: pa.Table) -> pa.Table:
+                import uuid
+
+                tag = uuid.uuid4().hex[:16]
+                for sub, derive in (("items", explode_items), ("documents", explode_documents), ("lineage", lineage_batch)):
+                    pq.write_table(derive(batch), os.path.join(out_dirs[sub], f"b-{tag}.parquet"))
+                return metrics_partial_batch(batch)
+
+            src = rd.read_parquet(parsed_dir, override_num_blocks=nb).map_batches(derive_all, batch_format="pyarrow")
+        else:
+            src = rd.read_parquet(
+                parsed_dir,
+                columns=["wave", "host", "n_items", "n_links", "bytes", "status", "attempts"],
+                override_num_blocks=nb,
+            ).map_batches(metrics_partial_batch, batch_format="pyarrow")
+        metrics = (
+            src.groupby(["wave", "host"])
+            .aggregate(
+                Sum("pages", alias_name="pages"),
+                Sum("items", alias_name="items"),
+                Sum("links", alias_name="links"),
+                Sum("bytes", alias_name="bytes"),
+                Sum("errors", alias_name="errors"),
+                Sum("retries", alias_name="retries"),
+            )
+        )
+        metrics.write_parquet(os.path.join(self.out_dir, "metrics"))
+        if self.debug_timing:
+            print(f"[finalize/metrics-only] {_t.time() - t0:.2f}s", file=_sys.stderr, flush=True)
 
     def shutdown(self):
         """Kill shard actors (queries/CLI create engines per call; without

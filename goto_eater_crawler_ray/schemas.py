@@ -96,6 +96,7 @@ PARSED_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
         ("callback", pa.string()),
         ("n_links", pa.int32()),  # total discovered (incl. chain-followed)
+        ("n_items", pa.int32()),  # flat item count: metrics never decodes the nested col
         ("items", pa.list_(ITEM_STRUCT)),
         ("spans", pa.list_(SPAN_STRUCT)),
         ("links", pa.list_(LINK_STRUCT)),  # pending links only
