@@ -978,6 +978,50 @@ def q_doc_spans(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_doc_spans_flat(sf_dir: str):
+    """Flattened projection of the flagship span pipeline — and its ORACLE:
+    one row per span, which DuckDB reproduces exactly with
+    string_split_regex + list_slice 10-word chunking, so the vectorized
+    offset arithmetic in q_doc_spans is hash-checked end-to-end (the
+    nested form itself stays rows-only: list<struct> output)."""
+
+    def flatten(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), parents),
+                "offset": flat.field("offset"),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+
+    return q_doc_spans(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_DOC_SPANS_FLAT = """
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS w
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS "offset",
+         array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS text
+  FROM words, LATERAL (SELECT UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i)
+)
+SELECT doc_id, "offset",
+       CASE WHEN "offset" % 5 = 4 THEN 'image' ELSE 'text' END AS kind,
+       text,
+       CASE WHEN "offset" % 5 = 4 THEN 'media://' || doc_id || '/' || CAST("offset" AS VARCHAR) ELSE '' END AS media_ref
+FROM spans
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1024,6 +1068,7 @@ QUERIES = {
     "crawl_documents": q_crawl_documents,
     "site_items": q_site_items,
     "doc_spans": q_doc_spans,
+    "doc_spans_flat": q_doc_spans_flat,
 }
 
 ORACLES = {
@@ -1054,6 +1099,7 @@ ORACLES = {
     "cosine_dups": SQL_COSINE_DUPS,
     "embedding_dup_groups": SQL_EMBEDDING_DUP_GROUPS,
     "media_metadata": SQL_MEDIA_METADATA,
+    "doc_spans_flat": SQL_DOC_SPANS_FLAT,
     # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
