@@ -1,0 +1,84 @@
+"""Deterministic sampling / dataset-split operators.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and cluster widths, (b) computable per batch
+with NO shuffle or global state, and (c) stable under re-partitioning —
+so membership must be a pure function of the row's key, never of
+position or randomness.  The standard trick: hash the key into buckets
+and take bucket ranges (the same idea behind
+`tf.data`-style hash splits and DuckDB/BigQuery `hash(key) % N`
+sampling).
+
+The bucket hash is md5 of the key's decimal string, first 8 bytes
+little-endian — EXACTLY DuckDB's ``md5_number_upper(CAST(k AS VARCHAR))``
+— so every operator here has an exact SQL twin and the driver's oracle
+gate hash-checks membership, not just counts.  (One md5 per ROW, not per
+token: documents are the unit, and the cost is the same as the
+`fingerprint` content-addressing pass.)
+
+At 100 TB each operator is a stateless `map_batches` filter: zero
+exchange, prunes at the earliest stage it is applied to.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def md5_buckets(vals, mod: int = 100) -> np.ndarray:
+    """Deterministic bucket in [0, mod) per value — md5(str(v)) first 8
+    bytes LE, the value DuckDB's ``md5_number_upper(CAST(v AS VARCHAR))``
+    yields, reduced mod `mod`."""
+    if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+        vals = vals.to_pylist()
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        out[i] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+    return (out % np.uint64(mod)).astype(np.int64)
+
+
+def hash_sample(ds, id_col: str, pct: int, mod: int = 100):
+    """Keep rows whose key bucket < pct (a deterministic ~pct% sample).
+    SQL twin: ``WHERE md5_number_upper(CAST(id AS VARCHAR)) % mod < pct``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = md5_buckets(t.column(id_col), mod)
+        return t.append_column("bucket", pa.array(b, pa.int64())).filter(pa.array(b < pct))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_split(ds, id_col: str, splits: list[tuple[str, int]], mod: int = 100):
+    """Assign every row a split label from cumulative bucket ranges, e.g.
+    ``[("train", 80), ("val", 10), ("test", 10)]`` (must sum to mod).
+    Disjoint, exhaustive, reproducible at any width/partitioning."""
+    if sum(w for _, w in splits) != mod:
+        raise ValueError(f"split weights must sum to mod={mod}")
+    names = [n for n, _ in splits]
+    bounds = np.cumsum([w for _, w in splits])
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = md5_buckets(t.column(id_col), mod)
+        lab = np.array(names, dtype=object)[np.searchsorted(bounds, b, side="right")]
+        return t.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, id_col: str, strata_col: str, rates: dict[str, int], default_pct: int = 0, mod: int = 100):
+    """Per-stratum deterministic sampling: stratum s keeps rows with
+    bucket < rates.get(s, default_pct).  The classic quality-weighted /
+    language-balanced corpus downsample, still a stateless per-batch
+    filter (rates ride the closure; no shuffle)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = md5_buckets(t.column(id_col), mod)
+        strata = t.column(strata_col).to_pylist()
+        thr = np.array([rates.get(s, default_pct) for s in strata], dtype=np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64())).filter(pa.array(b < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -455,3 +455,28 @@ def ivf_ann_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16
     assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
     cands = assigned.groupby("list_id").map_groups(search_list, batch_format="pyarrow")
     return cands.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def kmeans_clusters(emb_ds, n_clusters: int = 8, sample_limit: int = 4096, iters: int = 10, seed: int = 3):
+    """Spherical k-means cluster assignment over the embedding column —
+    the standard corpus-clustering / semantic-bucketing op for training
+    data curation (and the same machinery IVF uses for its coarse
+    quantizer): train centroids on a BOUNDED driver sample
+    (`ivf_train_centroids`), `ray.put` the KB-sized centroid matrix once,
+    then one matmul per batch assigns every vector.  Nothing corpus-sized
+    leaves the workers; deterministic for a fixed seed.  Non-SQL
+    (iterative training) -> rows-only driver check + pytest invariants."""
+    import ray
+
+    cent = ivf_train_centroids(emb_ds, n_centroids=n_clusters, sample_limit=sample_limit, iters=iters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int32())})
+        c = ray.get(cent_ref)
+        mat = _l2_normalize(_as_matrix(batch.column("embedding")))
+        lab = (mat @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table({"vec_id": batch.column("vec_id"), "cluster": pa.array(lab, pa.int32())})
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")

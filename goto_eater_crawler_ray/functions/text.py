@@ -300,3 +300,55 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     for row in sketches:
         merged.merge(HLL.from_bytes(row["sketch"]))
     return merged.estimate()
+
+
+def tfidf_terms(docs_ds):
+    """Distributed TF-IDF statistics: (doc_id, term, tf, df) — all exact
+    INTEGERS so a DuckDB unnest/GROUP BY twin hash-matches (the float
+    ``tf·ln(N/df)`` fold is a trivial scalar on top; the distributed work
+    is the two aggregations and the join, which is what this verifies).
+
+    Shape: term frequencies are computed ENTIRELY batch-locally (a
+    document lives in one row, so its tf vector never crosses a
+    partition — classic combiner); the distinct (doc, term, tf) rows then
+    shuffle ONCE (groupby term), and document frequency is attached
+    in-group as the group size.  At 100 TB the single exchange carries
+    distinct doc-term pairs, not token streams."""
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        flat = wl.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0)
+        parents = pc.list_parent_indices(wl).filter(keep)
+        terms = flat.filter(keep)
+        df = pd.DataFrame(
+            {
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), parents).to_numpy(zero_copy_only=False),
+                "term": terms.to_pandas(),
+            }
+        )
+        g = df.groupby(["doc_id", "term"], as_index=False, sort=False).size().rename(columns={"size": "tf"})
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"], pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tf = docs_ds.map_batches(tf_batch, batch_format="pyarrow")
+    out_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()), ("df", pa.int64())])
+
+    def with_df(g: pa.Table) -> pa.Table:
+        # tf rows are distinct (doc, term), so df(term) == the group size —
+        # attaching it inside the SAME groupby-term shuffle replaces an
+        # aggregate + hash join (whose internal partitioning chokes on
+        # key-count < partition-count with columnless empty blocks).
+        # Skew caveat: a term present in every document makes one group
+        # corpus-sized; production tf-idf drops ultra-common terms first
+        # (or computes df via aggregate + broadcast when vocab is bounded).
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        return g.append_column("df", pa.array(np.full(g.num_rows, g.num_rows), pa.int64()))
+
+    return tf.groupby("term").map_groups(with_df, batch_format="pyarrow")

@@ -1026,6 +1026,110 @@ FROM spans
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic sampling / splits / tf-idf / clustering
+# ---------------------------------------------------------------------------
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic ~10% corpus sample: md5-bucket(doc_id) < 10.
+    Membership is a pure function of the key (reproducible across runs,
+    widths, partitionings); zero shuffle.  Oracle: the identical
+    md5_number_upper bucket expression in SQL — hash-checks MEMBERSHIP,
+    not just the sampled row count."""
+    from ..functions.sampling import hash_sample
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", pct=10)
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, lang,
+       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10
+"""
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by key-hash bucket
+    ranges — disjoint, exhaustive, stable under re-partitioning."""
+    from ..functions.sampling import hash_split
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    return hash_split(ds, "doc_id", [("train", 80), ("val", 10), ("test", 10)])
+
+
+SQL_DOC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+            WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Language-balanced downsample: per-stratum keep rates (en is the
+    majority class -> 10%, minority langs -> 50%), still a stateless
+    per-batch filter (the classic corpus-rebalancing op)."""
+    from ..functions.sampling import stratified_sample
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang", rates={"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50})
+
+
+SQL_DOC_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang,
+       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                  WHEN 'es' THEN 50 WHEN 'zh' THEN 50 ELSE 0 END
+"""
+
+
+def q_tfidf(sf_dir: str):
+    """Distributed TF-IDF statistics (doc_id, term, tf, df) — exact
+    integers so the unnest/GROUP-BY SQL twin hash-matches; see
+    functions.text.tfidf_terms for the combiner/shuffle shape."""
+    from ..functions.text import tfidf_terms
+
+    return tfidf_terms(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]))
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
+"""
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Spherical k-means assignment over the embedding column (bounded
+    driver-sample training, broadcast centroids, one matmul per batch).
+    Non-SQL (iterative training) -> rows-only; determinism + coherence
+    pytest in tests/test_dataops.py."""
+    from ..functions.similarity import kmeans_clusters
+
+    return kmeans_clusters(rd.read_parquet(_p(sf_dir, "embeddings")), n_clusters=8)
+
+
+def q_media_frames(sf_dir: str):
+    """STUB video frame sampling (every-Nth-chunk flat_map shape) over the
+    binary media column — actor pool, one-to-many output.  Non-SQL
+    (DuckDB has no BLOB substring; text substr would diverge on
+    multi-byte UTF-8) -> rows-only + determinism pytest."""
+    from ..functions.multimodal import FrameSampler
+
+    return _docs_as_media(sf_dir).map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -1069,6 +1173,12 @@ QUERIES = {
     "site_items": q_site_items,
     "doc_spans": q_doc_spans,
     "doc_spans_flat": q_doc_spans_flat,
+    "doc_sample": q_doc_sample,
+    "doc_split": q_doc_split,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "tfidf": q_tfidf,
+    "kmeans_clusters": q_kmeans_clusters,
+    "media_frames": q_media_frames,
 }
 
 ORACLES = {
@@ -1100,6 +1210,10 @@ ORACLES = {
     "embedding_dup_groups": SQL_EMBEDDING_DUP_GROUPS,
     "media_metadata": SQL_MEDIA_METADATA,
     "doc_spans_flat": SQL_DOC_SPANS_FLAT,
+    "doc_sample": SQL_DOC_SAMPLE,
+    "doc_split": SQL_DOC_SPLIT,
+    "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+    "tfidf": SQL_TFIDF,
     # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

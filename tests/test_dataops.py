@@ -540,3 +540,109 @@ class TestExactVerify:
             assert (j, 100 + j) in found
         exact_rows = pairs[(pairs["doc_a"] < 10) & (pairs["doc_b"] >= 100)]
         assert (exact_rows["true_jaccard"] == 1.0).all()
+
+
+class TestSampling:
+    """Deterministic sampling/split operators (functions/sampling.py):
+    membership must be a pure function of the key — stable across runs,
+    widths, and partitionings (the property SQL_DOC_SAMPLE hash-checks
+    against DuckDB's md5_number_upper at driver time)."""
+
+    def _docs(self, n=300):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n), pa.int64()),
+                    "lang": pa.array(["en" if i % 3 else "zh" for i in range(n)], pa.string()),
+                }
+            )
+        )
+
+    def test_hash_sample_deterministic_and_repartition_stable(self, ray_session):
+        from goto_eater_crawler_ray.functions.sampling import hash_sample, md5_buckets
+
+        ds = self._docs()
+        got1 = sorted(hash_sample(ds, "doc_id", pct=20).to_pandas()["doc_id"])
+        got2 = sorted(hash_sample(ds.repartition(7), "doc_id", pct=20).to_pandas()["doc_id"])
+        assert got1 == got2  # membership independent of partitioning
+        # membership == the advertised bucket function, exactly
+        b = md5_buckets(list(range(300)))
+        assert got1 == sorted(np.flatnonzero(b < 20))
+        # md5 bucket matches DuckDB's md5_number_upper % 100 (oracle contract)
+        import duckdb
+
+        db = [r[0] for r in duckdb.sql(
+            "SELECT md5_number_upper(CAST(UNNEST(range(300)) AS VARCHAR)) % 100"
+        ).fetchall()]
+        assert db == list(b)
+
+    def test_hash_split_disjoint_exhaustive(self, ray_session):
+        from goto_eater_crawler_ray.functions.sampling import hash_split
+
+        df = hash_split(self._docs(), "doc_id", [("train", 80), ("val", 10), ("test", 10)]).to_pandas()
+        assert len(df) == 300  # exhaustive, one label each
+        counts = df["split"].value_counts()
+        assert set(counts.index) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"]  # ~80/10/10
+        with pytest.raises(ValueError, match="sum to mod"):
+            hash_split(self._docs(), "doc_id", [("a", 50), ("b", 40)])
+
+    def test_stratified_rates(self, ray_session):
+        from goto_eater_crawler_ray.functions.sampling import stratified_sample
+
+        df = stratified_sample(self._docs(), "doc_id", "lang", rates={"zh": 100}, default_pct=0).to_pandas()
+        assert set(df["lang"]) == {"zh"}  # en default 0, zh keeps all
+        assert len(df) == 100
+
+
+class TestTfIdf:
+    def test_matches_local_exact(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import tfidf_terms
+
+        texts = ["a b b c", "b c c d", "a a a", "  ", "d"]
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        got = tfidf_terms(ds).to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+        # local exact
+        from collections import Counter
+
+        tf = {(i, w): c for i, t in enumerate(texts) for w, c in Counter(t.split()).items()}
+        df = Counter(w for (_, w) in tf)
+        assert len(got) == len(tf)
+        for _, r in got.iterrows():
+            assert tf[(r["doc_id"], r["term"])] == r["tf"]
+            assert df[r["term"]] == r["df"]
+
+
+class TestKMeans:
+    def test_assignment_is_nearest_centroid_and_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.similarity import (
+            _as_matrix,
+            _l2_normalize,
+            ivf_train_centroids,
+            kmeans_clusters,
+        )
+
+        rng = np.random.default_rng(7)
+        # three well-separated blobs
+        centers = np.eye(3)
+        X = np.concatenate([c + 0.05 * rng.standard_normal((40, 3)) for c in centers])
+        t = pa.table({"vec_id": pa.array(np.arange(120), pa.int64()), "embedding": pa.array(X.tolist())})
+        ds = rd.from_arrow(t)
+        out1 = kmeans_clusters(ds, n_clusters=3).to_pandas().sort_values("vec_id")
+        out2 = kmeans_clusters(ds, n_clusters=3).to_pandas().sort_values("vec_id")
+        assert (out1["cluster"].to_numpy() == out2["cluster"].to_numpy()).all()  # deterministic
+        # blob coherence: each blob lands in ONE cluster, blobs in distinct clusters
+        labs = out1["cluster"].to_numpy()
+        blobs = [set(labs[i * 40 : (i + 1) * 40]) for i in range(3)]
+        assert all(len(b) == 1 for b in blobs)
+        assert len(set().union(*blobs)) == 3
+        # assignment == argmax cosine against the trained centroids
+        cent = ivf_train_centroids(ds, n_centroids=3)
+        want = (_l2_normalize(X) @ cent.T).argmax(axis=1)
+        assert (labs == want).all()
