@@ -352,3 +352,133 @@ def tfidf_terms(docs_ds):
         return g.append_column("df", pa.array(np.full(g.num_rows, g.num_rows), pa.int64()))
 
     return tf.groupby("term").map_groups(with_df, batch_format="pyarrow")
+
+
+def _split_tokens(t: pa.Table):
+    """Whitespace tokens of the batch's ``text`` column as (parent_row_index,
+    token) flat arrays — the SQL-twin tokenization
+    ``list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)``."""
+    wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+    flat = wl.flatten()
+    keep = pc.greater(pc.binary_length(flat), 0)
+    parents = pc.list_parent_indices(wl).filter(keep).to_numpy(zero_copy_only=False)
+    return parents, flat.filter(keep)
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document — the standard
+    LLM-corpus quality gate (repetitious documents are low quality):
+    word count, distinct-word count, top unigram frequency, top bigram
+    frequency.  All-integer outputs so the DuckDB unnest/GROUP BY twin
+    hash-matches exactly.
+
+    Entirely batch-local (a document lives in one row): tokens are
+    exploded WITHIN the batch with Arrow kernels, counted with one pandas
+    groupby, and scattered back — no shuffle at any scale."""
+    parents, toks = _split_tokens(batch)
+    words = toks.to_pandas().to_numpy()
+    n = batch.num_rows
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    n_unique = np.zeros(n, np.int64)
+    top_tf = np.zeros(n, np.int64)
+    top_bigram_tf = np.zeros(n, np.int64)
+    if len(words):
+        uni = pd.DataFrame({"p": parents, "w": words}).groupby(["p", "w"], sort=False).size()
+        per = uni.groupby(level=0).agg(["size", "max"])
+        idx = per.index.to_numpy()
+        n_unique[idx] = per["size"].to_numpy()
+        top_tf[idx] = per["max"].to_numpy()
+    if len(words) > 1:
+        same = parents[1:] == parents[:-1]  # bigrams never cross documents
+        if same.any():
+            bg = pd.Series(words[:-1][same]) + " " + pd.Series(words[1:][same])
+            bper = (
+                pd.DataFrame({"p": parents[:-1][same], "b": bg.to_numpy()})
+                .groupby(["p", "b"], sort=False)
+                .size()
+                .groupby(level=0)
+                .max()
+            )
+            top_bigram_tf[bper.index.to_numpy()] = bper.to_numpy()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_unique": pa.array(n_unique, pa.int64()),
+            "top_tf": pa.array(top_tf, pa.int64()),
+            "top_bigram_tf": pa.array(top_bigram_tf, pa.int64()),
+        }
+    )
+
+
+def bm25_topk(docs_ds, query_terms: list[str], k: int = 10, scale: int = 1_000_000):
+    """Distributed BM25 ranked retrieval for a fixed query-term set.
+
+    Scale shape (the part worth verifying):
+      1. one batch-local pass computes per-doc length + per-query-term tf
+         (Arrow split + bincount — no token stream ever leaves the task);
+         the NARROW per-doc stats table (k+2 int columns) is materialized
+         so the text corpus is read exactly once,
+      2. corpus constants (N, avg doc length, per-term document frequency)
+         are one tiny ``Dataset.aggregate`` — scalars to the driver, the
+         legal kind of driver materialization,
+      3. scoring is a second batch-local pass over the narrow stats with
+         the constants in the closure (broadcast, not re-shipped),
+      4. top-k = per-batch local top-k pre-prune (window.py trick) before
+         the global sort+limit, so the exchange carries O(blocks·k) rows.
+
+    Constants k1=1.2, b=0.75, (k1+1)=2.2 are literals mirrored digit-for-
+    digit in the SQL twin, and the per-term score sum runs in query-term
+    order, so the float arithmetic matches DuckDB's left-to-right
+    evaluation and the scaled-integer hash compare is exact."""
+    from ray.data.aggregate import Count, Sum
+
+    K1, B, K1P1 = 1.2, 0.75, 2.2
+    nq = len(query_terms)
+
+    def stats(t: pa.Table) -> pa.Table:
+        parents, toks = _split_tokens(t)
+        n = t.num_rows
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "dl": pa.array(np.bincount(parents, minlength=n), pa.int64()),
+        }
+        for i, qt in enumerate(query_terms):
+            mask = pc.equal(toks, qt).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[mask], minlength=n)
+            cols[f"tf_{i}"] = pa.array(tf, pa.int64())
+            cols[f"m_{i}"] = pa.array((tf > 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    st = docs_ds.map_batches(stats, batch_format="pyarrow").materialize()
+    aggs = [Count(alias_name="n"), Sum("dl", alias_name="sumdl")] + [
+        Sum(f"m_{i}", alias_name=f"df_{i}") for i in range(nq)
+    ]
+    g = st.aggregate(*aggs)
+    n_docs = float(g["n"])
+    avgdl = float(g["sumdl"]) / n_docs
+    idf = [float(np.log((n_docs - g[f"df_{i}"] + 0.5) / (g[f"df_{i}"] + 0.5) + 1.0)) for i in range(nq)]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        norm = K1 * (1.0 - B + B * (dl / avgdl))
+        s = np.zeros(len(dl))
+        for i in range(nq):
+            tf = t.column(f"tf_{i}").to_numpy().astype(np.float64)
+            s = s + (idf[i] * tf) * K1P1 / (tf + norm)
+        sc = pc.cast(pc.round(pa.array(s * scale)), pa.int64())
+        out = pa.table({"doc_id": t.column("doc_id"), "score": sc})
+        return out.filter(pc.greater(out.column("score"), 0))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = np.lexsort((t.column("doc_id").to_numpy(), -t.column("score").to_numpy()))[:k]
+        return t.take(pa.array(order))
+
+    return (
+        st.map_batches(score, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -1130,6 +1130,222 @@ def q_media_frames(sf_dir: str):
     return _docs_as_media(sf_dir).map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
 
 
+BM25_TERMS = ["query", "join", "stream"]  # mirrored verbatim in the SQL twin
+
+
+def q_bm25_topk(sf_dir: str):
+    """Distributed BM25 ranked retrieval (inverted-stats shape: batch-local
+    tf/doclen pass -> tiny corpus-constant aggregate -> broadcast-scored
+    second pass -> pre-pruned top-k).  Oracle: DuckDB computes the
+    identical formula with the same literals and evaluation order, ranked
+    on the same scaled-integer score (ties broken by doc_id on both
+    sides), so the hash compare is exact."""
+    from ..functions.text import bm25_topk
+
+    return bm25_topk(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), BM25_TERMS, k=10)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, len(ws) AS dl,
+         len(list_filter(ws, w -> w = 'query'))  AS tf0,
+         len(list_filter(ws, w -> w = 'join'))   AS tf1,
+         len(list_filter(ws, w -> w = 'stream')) AS tf2
+  FROM toks
+),
+corp AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM stats
+),
+scored AS (
+  SELECT s.doc_id,
+         CAST(round(1000000 * (
+             (ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1.0) * s.tf0) * 2.2
+               / (s.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (s.dl / (g.sumdl * 1.0 / g.n))))
+           + (ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1.0) * s.tf1) * 2.2
+               / (s.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (s.dl / (g.sumdl * 1.0 / g.n))))
+           + (ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0) * s.tf2) * 2.2
+               / (s.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (s.dl / (g.sumdl * 1.0 / g.n))))
+         )) AS BIGINT) AS score
+  FROM stats s CROSS JOIN corp g
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (word/unique/top-unigram/
+    top-bigram counts) — batch-local explode+count, zero shuffle; integer
+    outputs hash-match the DuckDB unnest/GROUP BY twin."""
+    from ..functions.text import repetition_stats_batch
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+uagg AS (
+  SELECT doc_id, sum(tf) AS n_words, count(*) AS n_unique, max(tf) AS top_tf
+  FROM uni GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, bg, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM toks)
+  GROUP BY doc_id, bg
+),
+bagg AS (SELECT doc_id, max(tf) AS top_bigram_tf FROM bi GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(u.n_words, 0) AS BIGINT)        AS n_words,
+       CAST(coalesce(u.n_unique, 0) AS BIGINT)       AS n_unique,
+       CAST(coalesce(u.top_tf, 0) AS BIGINT)         AS top_tf,
+       CAST(coalesce(b.top_bigram_tf, 0) AS BIGINT)  AS top_bigram_tf
+FROM toks t LEFT JOIN uagg u USING (doc_id) LEFT JOIN bagg b USING (doc_id)
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Corpus quality GATE: threshold filter over the vectorized quality
+    signals (the curation op on top of ``quality``) — keep mid-length
+    documents with a minimum stopword ratio.  Thresholds compare the
+    6-dp-rounded ratio on both sides, so the filter set is exact."""
+    from ..functions.text import quality_score_batch
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t.column("n_tokens"), 30), pc.less_equal(t.column("n_tokens"), 80)),
+            pc.greater_equal(t.column("stop_ratio"), 0.05),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = f"""
+SELECT * FROM ({SQL_QUALITY}) q
+WHERE n_tokens BETWEEN 30 AND 80 AND stop_ratio >= 0.05
+"""
+
+
+def _null_anti_join(left, right_keys, n_parts: int, on: str, right_on: str, marker: str):
+    """Hash anti-join: left LEFT OUTER JOIN (key, marker) rows, keep rows
+    whose marker is null, drop the marker.  The right side must carry a
+    non-null ``marker`` column because Ray's hash join merges the key
+    columns themselves (an unmatched left row keeps its own key — only a
+    payload column goes null).  Both sides shuffle by key hash — nothing
+    is ever a driver set (SURVEY §7.3 shuffle discipline)."""
+    joined = left.join(right_keys, join_type="left_outer", num_partitions=n_parts, on=(on,), right_on=(right_on,))
+
+    def only_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(marker))).drop_columns([marker])
+
+    return joined.map_batches(only_unmatched, batch_format="pyarrow")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """ANTI JOIN (the relational family the reference lacks but any
+    curation pipeline needs): customers with no completed ('F') order.
+    Distinct order keys come from a groupby (not a driver set), then one
+    hash left-outer join + null filter."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"])
+    f_orders = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_o"))
+    )
+    n_parts = max(2, min(64, cust.count() // 100_000 + 1))
+    return _null_anti_join(cust, f_orders, n_parts, on="c_custkey", right_on="o_custkey", marker="n_o")
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # closed set, mirrored in SQL
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT (long -> wide counts per user x event_type): batch-local
+    crosstab combiner, then ONE groupby-user Sum per pivot column — the
+    exchange carries at most |users| x |types| partial rows, never the
+    event stream."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        piv = pd.crosstab(df["user_id"], df["event_type"])
+        piv = piv.reindex(columns=EVENT_TYPES, fill_value=0).fillna(0).astype(np.int64).reset_index()
+        piv.columns = ["user_id"] + [f"n_{c}" for c in EVENT_TYPES]
+        return pa.Table.from_pandas(piv, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in EVENT_TYPES])
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_near_dedup_filter(sf_dir: str):
+    """End-to-end near-dup CURATION: MinHash-LSH pairs -> distributed
+    connected components -> keep only each group's minimum doc_id ->
+    anti-join the losers out of the corpus.  The op a real training-data
+    pipeline runs (dedup_filter's exact twin is oracle-green; this one is
+    probabilistic -> rows-only + planted-dup pytest)."""
+    from ..functions.dedup import connected_components_distributed, minhash_lsh_pairs
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pairs = minhash_lsh_pairs(docs.select_columns(["doc_id", "text"]), threshold=0.5)
+    groups = connected_components_distributed(pairs)
+
+    def losers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), t.column("group_id")))
+        return pa.table(
+            {"loser_id": t.column("doc_id"), "is_dup": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8())}
+        )
+
+    n_parts = max(2, min(64, docs.count() // 100_000 + 1))
+    return _null_anti_join(
+        docs, groups.map_batches(losers, batch_format="pyarrow"), n_parts, on="doc_id", right_on="loser_id", marker="is_dup"
+    )
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -1179,6 +1395,12 @@ QUERIES = {
     "tfidf": q_tfidf,
     "kmeans_clusters": q_kmeans_clusters,
     "media_frames": q_media_frames,
+    "bm25_topk": q_bm25_topk,
+    "doc_repetition": q_doc_repetition,
+    "quality_filter": q_quality_filter,
+    "anti_join_customers": q_anti_join_customers,
+    "events_pivot": q_events_pivot,
+    "near_dedup_filter": q_near_dedup_filter,
 }
 
 ORACLES = {
@@ -1214,6 +1436,11 @@ ORACLES = {
     "doc_split": SQL_DOC_SPLIT,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "tfidf": SQL_TFIDF,
+    "bm25_topk": SQL_BM25_TOPK,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "events_pivot": SQL_EVENTS_PIVOT,
     # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -646,3 +646,91 @@ class TestKMeans:
         cent = ivf_train_centroids(ds, n_centroids=3)
         want = (_l2_normalize(X) @ cent.T).argmax(axis=1)
         assert (labs == want).all()
+
+
+class TestRepetitionStats:
+    def test_known_values(self, ray_session):
+        from goto_eater_crawler_ray.functions.text import repetition_stats_batch
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a b a b a",          # 5 words, 2 unique, top_tf a=3, top bigram "a b"=2
+                    "  x  ",              # 1 word after trim/split
+                    "p q r p q r p q",    # 8 words, 3 unique, top_tf p=3, bigram "p q"=3
+                ],
+            }
+        )
+        out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+        assert out.loc[0].tolist() == [5, 2, 3, 2]
+        assert out.loc[1].tolist() == [1, 1, 1, 0]  # no bigram in a 1-word doc
+        assert out.loc[2].tolist() == [8, 3, 3, 3]
+
+    def test_batch_isolation(self, ray_session):
+        # bigrams must not cross document boundaries within a batch
+        from goto_eater_crawler_ray.functions.text import repetition_stats_batch
+
+        t = pa.table({"doc_id": [0, 1], "text": ["m n", "n m n m"]})
+        out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+        assert out.loc[0, "top_bigram_tf"] == 1   # "m n" once
+        assert out.loc[1, "top_bigram_tf"] == 2   # "n m" twice ("m n" once)
+
+
+class TestBM25:
+    def test_matches_local_reference(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import bm25_topk
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        texts = [" ".join(rng.choice(words, size=int(rng.integers(5, 40)))) for _ in range(80)]
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        terms = ["alpha", "zeta"]
+        got = bm25_topk(ds, terms, k=5).to_pandas()
+
+        # naive single-machine BM25 with the same constants
+        toks = [t.split() for t in texts]
+        N = len(toks)
+        avgdl = sum(len(w) for w in toks) / N
+        df = {q: sum(1 for w in toks if q in w) for q in terms}
+        idf = {q: math.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1.0) for q in terms}
+        scores = []
+        for i, w in enumerate(toks):
+            s = 0.0
+            for q in terms:
+                tf = w.count(q)
+                s += (idf[q] * tf) * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (len(w) / avgdl)))
+            scores.append((i, round(s * 1_000_000)))
+        want = sorted([x for x in scores if x[1] > 0], key=lambda x: (-x[1], x[0]))[:5]
+        assert list(zip(got["doc_id"], got["score"])) == want
+
+    def test_absent_term_scores_zero(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import bm25_topk
+
+        ds = rd.from_items([{"doc_id": i, "text": "just plain filler text"} for i in range(10)])
+        assert bm25_topk(ds, ["nonexistent"], k=5).count() == 0
+
+
+class TestNearDedupFilter:
+    def test_planted_dups_removed(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_near_dedup_filter
+
+        rng = np.random.default_rng(3)
+        words = [f"w{i:03d}" for i in range(200)]
+        texts = [" ".join(rng.choice(words, size=30)) for _ in range(50)]
+        rows = {"doc_id": list(range(50)) + [100, 101], "text": texts + [texts[0], texts[1]],
+                "lang": ["en"] * 52, "source": ["t"] * 52, "n_chars": [len(t) for t in texts] + [len(texts[0]), len(texts[1])]}
+        pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+        out = q_near_dedup_filter(str(tmp_path)).to_pandas()
+        # the exact copies (ids 100, 101) lose to their lower-id originals
+        assert 100 not in set(out["doc_id"]) and 101 not in set(out["doc_id"])
+        assert {0, 1}.issubset(set(out["doc_id"]))
+        assert len(out) == 50
