@@ -167,6 +167,8 @@ def main() -> None:
         "orders_topn_per_cust",
         "value_quantiles",
         "doc_spans",
+        "bm25_topk",
+        "doc_repetition",
     ]
     qtimes = {}
     for name in bench_queries:

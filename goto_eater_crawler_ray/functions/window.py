@@ -140,3 +140,52 @@ def top_n_per_key(
         return taken.append_column(rank_col, pa.array(pos[keep_mask] + 1, pa.int64()))
 
     return ds.map_batches(prune, batch_format="pyarrow").groupby("_key_part").map_groups(topn, batch_format="pyarrow")
+
+def lag_delta_per_key(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "delta",
+    first_value: int = -1,
+    n_key_parts: int = 64,
+):
+    """``value - lag(value) OVER (PARTITION BY key ORDER BY order_cols)``
+    with the partition's first row coalesced to ``first_value`` — the
+    inter-arrival / difference window op (event-gap analysis, rate
+    estimation).  Integer in, integer out, so the SQL twin hash-matches
+    with no float rounding concerns.
+
+    Same shape as :func:`rolling_mean_per_key`: one coarse hash shuffle
+    (key % n_key_parts), then an in-part lexsort + one vectorized shifted
+    subtraction across all key segments at once."""
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    def deltas(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        out_schema = pa.schema(
+            [part.schema.field(key_col)]
+            + [part.schema.field(c) for c in order_cols]
+            + [pa.field(out_col, pa.int64())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        orders = [part.column(c).to_numpy(zero_copy_only=False) for c in order_cols]
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sort_idx = np.lexsort(tuple(reversed(orders)) + (keys,))
+        keys, vals = keys[sort_idx], vals[sort_idx]
+        orders = [o[sort_idx] for o in orders]
+        seg_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        prev = np.concatenate(([0], vals[:-1]))
+        delta = np.where(seg_start, np.int64(first_value), vals - prev)
+        cols = {key_col: keys, out_col: delta}
+        for c, o in zip(order_cols, orders):
+            cols[c] = o
+        arrays = [pa.array(cols[f.name]).cast(f.type) for f in out_schema]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(deltas, batch_format="pyarrow")

@@ -1322,6 +1322,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_time_delta(sf_dir: str):
+    """LAG window op: per-user inter-arrival time in microseconds
+    (``epoch_us(ts) - lag(...)``), first event per user coalesced to -1 so
+    the output stays pure int64.  One coarse hash shuffle + vectorized
+    shifted subtraction (functions.window.lag_delta_per_key)."""
+    from ..functions.window import lag_delta_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())  # timestamp[us] -> microsecond ticks
+        return pa.table({"user_id": t.column("user_id"), "event_id": t.column("event_id"), "ts_us": us})
+
+    return lag_delta_per_key(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="ts_us",
+        out_col="delta_us",
+        first_value=-1,
+    )
+
+
+SQL_EVENTS_TIME_DELTA = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us
+FROM events
+"""
+
+
 def q_near_dedup_filter(sf_dir: str):
     """End-to-end near-dup CURATION: MinHash-LSH pairs -> distributed
     connected components -> keep only each group's minimum doc_id ->
@@ -1400,6 +1430,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "anti_join_customers": q_anti_join_customers,
     "events_pivot": q_events_pivot,
+    "events_time_delta": q_events_time_delta,
     "near_dedup_filter": q_near_dedup_filter,
 }
 
@@ -1441,6 +1472,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_time_delta": SQL_EVENTS_TIME_DELTA,
     # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -734,3 +734,24 @@ class TestNearDedupFilter:
         assert 100 not in set(out["doc_id"]) and 101 not in set(out["doc_id"])
         assert {0, 1}.issubset(set(out["doc_id"]))
         assert len(out) == 50
+
+
+class TestLagDelta:
+    def test_deltas_and_segment_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import lag_delta_per_key
+
+        rows = [
+            {"k": 1, "o": 10, "v": 100},
+            {"k": 1, "o": 20, "v": 150},
+            {"k": 1, "o": 30, "v": 130},
+            {"k": 2, "o": 5, "v": 7},
+            {"k": 2, "o": 6, "v": 9},
+        ]
+        out = (
+            lag_delta_per_key(rd.from_items(rows), key_col="k", order_cols=["o"], value_col="v", out_col="d")
+            .to_pandas()
+            .sort_values(["k", "o"])
+        )
+        assert out["d"].tolist() == [-1, 50, -20, -1, 2]  # first row per key -> -1
