@@ -1352,6 +1352,46 @@ FROM events
 """
 
 
+def q_doc_pack(sf_dir: str):
+    """LLM sequence packing: distributed prefix-sum gives each document
+    its global token start offset in doc_id order; seq_id = offset //
+    seq_len is the training sequence where the doc begins when the
+    corpus is concatenated and sliced every 512 tokens.  Two-pass scan
+    (functions.scan): one groupby shuffle + n_parts scalars to the
+    driver.  All-integer -> exact window-function oracle."""
+    from ..functions.scan import pack_sequences
+    from ..functions.text import _split_tokens
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        parents, _ = _split_tokens(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(np.bincount(parents, minlength=t.num_rows), pa.int64()),
+            }
+        )
+
+    return pack_sequences(ds.map_batches(counts, batch_format="pyarrow"), key_col="doc_id", n_tokens_col="n_tokens", seq_len=512)
+
+
+SQL_DOC_PACK = """
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM stats
+)
+SELECT doc_id, n_tokens, start_offset, CAST(start_offset // 512 AS BIGINT) AS seq_id FROM scanned
+"""
+
+
 def q_near_dedup_filter(sf_dir: str):
     """End-to-end near-dup CURATION: MinHash-LSH pairs -> distributed
     connected components -> keep only each group's minimum doc_id ->
@@ -1431,6 +1471,7 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "events_pivot": q_events_pivot,
     "events_time_delta": q_events_time_delta,
+    "doc_pack": q_doc_pack,
     "near_dedup_filter": q_near_dedup_filter,
 }
 
@@ -1473,6 +1514,7 @@ ORACLES = {
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_time_delta": SQL_EVENTS_TIME_DELTA,
+    "doc_pack": SQL_DOC_PACK,
     # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -755,3 +755,38 @@ class TestLagDelta:
             .sort_values(["k", "o"])
         )
         assert out["d"].tolist() == [-1, 50, -20, -1, 2]  # first row per key -> -1
+
+
+class TestPrefixSum:
+    def test_matches_numpy_cumsum_shuffled_input(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.scan import prefix_sum
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        vals = rng.integers(1, 50, size=n)
+        perm = rng.permutation(n)  # arrive in arbitrary order
+        ds = rd.from_items([{"k": int(k), "v": int(vals[k])} for k in perm]).repartition(7)
+        out = prefix_sum(ds, "k", "v", out_col="off", n_parts=16).to_pandas().sort_values("k")
+        want = np.concatenate(([0], np.cumsum(vals)[:-1]))
+        assert (out["off"].to_numpy() == want).all()
+
+    def test_sparse_keys(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.scan import prefix_sum
+
+        rows = [{"k": k, "v": 10} for k in [0, 5, 1000, 100000]]
+        out = prefix_sum(rd.from_items(rows), "k", "v", n_parts=8).to_pandas().sort_values("k")
+        assert out["offset"].tolist() == [0, 10, 20, 30]
+
+    def test_pack_sequences_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.scan import pack_sequences
+
+        rows = [{"k": i, "t": 100} for i in range(10)]  # 100 tokens each, seq_len 256
+        out = pack_sequences(rd.from_items(rows), "k", "t", seq_len=256).to_pandas().sort_values("k")
+        # offsets 0,100,...,900 -> seq 0,0,0,1,1,1,2,2,3,3
+        assert out["seq_id"].tolist() == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
