@@ -654,9 +654,45 @@ WHERE bit_count(xor(md5_number_upper(a.text), md5_number_upper(b.text))) <= 20
 
 
 def q_langid(sf_dir: str):
+    """Language-ID heuristic (vectorized Unicode-block script pass +
+    latin stopword vote) — ORACLE-pinned: the DuckDB twin replicates the
+    exact decision function (script-block regexp counts in the same
+    precedence order, distinct-token overlap with the verbatim stopword
+    lists, ties resolved to the earlier language in en>de>fr>es order,
+    matching the strict-> comparison over the Python dict iteration)."""
     from ..functions.text import LangId
 
     return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_LANGID = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS ws
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, text,
+    len(list_filter(ws, w -> w IN ('the','of','and','to','in','is','you','that','it','he','was','for','on','are','as','with','his','they','at','be','this'))) AS s_en,
+    len(list_filter(ws, w -> w IN ('der','die','das','und','ist','du','dass','es','er','war','für','auf','sind','als','mit','sein','sie','bei','sei','nicht','ein','eine'))) AS s_de,
+    len(list_filter(ws, w -> w IN ('le','la','les','de','et','est','tu','que','il','était','pour','sur','sont','comme','avec','son','ils','à','être','ce','une','dans'))) AS s_fr,
+    len(list_filter(ws, w -> w IN ('el','la','los','de','y','es','tú','que','él','era','para','en','son','como','con','su','ellos','ser','esta','una','las','del'))) AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE
+    WHEN len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')) > 0 THEN 'ja'
+    WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
+    WHEN len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]')) > 0 THEN 'ko'
+    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) > 0 THEN 'ru'
+    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) > 0 THEN 'ar'
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM scores
+"""
 
 
 
@@ -1515,7 +1551,8 @@ ORACLES = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_time_delta": SQL_EVENTS_TIME_DELTA,
     "doc_pack": SQL_DOC_PACK,
-    # minhash_pairs / simhash_groups / langid / lsh_ann / ivf_ann / media_decode /
+    "langid": SQL_LANGID,
+    # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
 }

@@ -790,3 +790,46 @@ class TestPrefixSum:
         out = pack_sequences(rd.from_items(rows), "k", "t", seq_len=256).to_pandas().sort_values("k")
         # offsets 0,100,...,900 -> seq 0,0,0,1,1,1,2,2,3,3
         assert out["seq_id"].tolist() == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+
+
+class TestLangIdOracleTwin:
+    def test_sql_twin_matches_all_script_branches(self, ray_session, tmp_path):
+        """The driver corpus is all-latin; prove the DuckDB twin equals
+        LangId on every branch (kana/cjk/hangul/cyrillic/arabic + all
+        four latin votes + tie cases)."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.pipelines.queries import SQL_LANGID
+        from goto_eater_crawler_ray.functions.text import LangId
+
+        texts = [
+            "これはテストです",          # kana -> ja
+            "汉字文本",                  # cjk only -> zh
+            "한국어 텍스트",             # hangul -> ko
+            "русский текст",             # cyrillic -> ru
+            "نص عربي",                   # arabic -> ar
+            "the cat was on the mat and it is his",   # en
+            "der hund ist bei der tür und er war für sie",  # de
+            "le chat est sur la table avec son ami dans une",  # fr
+            "él era para los perros y es su casa en las del",  # es
+            "zzz qqq xxx",               # no stopwords anywhere -> tie -> en
+            "die la",                    # de/fr/es tie at 1 vs en 0 -> de (earlier)
+            "漢字とかな混在 kana カタカナ",  # kana beats cjk
+        ]
+        tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+
+        got = (
+            rd.read_parquet(str(tmp_path / "documents.parquet"))
+            .map_batches(LangId, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+        exp = con.sql(SQL_LANGID).df().sort_values("doc_id")
+        assert got["lang_pred"].tolist() == exp["lang_pred"].tolist()
+        assert got["lang_pred"].tolist()[:9] == ["ja", "zh", "ko", "ru", "ar", "en", "de", "fr", "es"]
