@@ -81,3 +81,80 @@ def bin_to_value(bin_idx: int, lo: float, hi: float, n_bins: int = 1024) -> floa
     error <= (hi-lo)/n_bins/2 + discretization."""
     width = (hi - lo) / float(n_bins)
     return lo + (bin_idx + 0.5) * width
+
+
+def grouped_histogram_quantiles(ds, group_col: str, col: str, pcts: list[int] | None = None, n_bins: int = 256):
+    """Per-GROUP approximate percentiles with the same mergeable fixed-bin
+    sketch as :func:`histogram_quantiles` — the grouped form (percentile
+    per event type / per host / per label).
+
+    Assumes BOUNDED group cardinality (a closed category set): the pass-1
+    per-group (lo, hi, n) table is collected to the driver and broadcast
+    in the pass-2 closure — |groups| scalars, the legal kind of driver
+    materialization.  The histogram exchange carries at most
+    |groups|·n_bins rows, and the final per-group bin selection happens
+    INSIDE a groupby.map_groups (nothing cumulative on the driver), so
+    the shape survives many groups even though pass 1 would not.
+
+    The SQL twin evaluates the identical bin expression
+    ``least(floor((v-lo)/((hi-lo)/n_bins)), n_bins-1)`` per group and the
+    identical pure-integer rank ``(pct*n+99)//100``, so the hash compare
+    is exact."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if pcts is None:
+        pcts = [50, 90, 99]
+
+    stats_rows = ds.groupby(group_col).aggregate(
+        Min(col, alias_name="lo"), Max(col, alias_name="hi"), Count(alias_name="n")
+    ).take_all()
+    params = {r[group_col]: (float(r["lo"]), float(r["hi"]), int(r["n"])) for r in stats_rows}
+
+    key_type = pa.string() if isinstance(next(iter(params)), str) else pa.int64()
+    hist_schema = pa.schema([(group_col, key_type), ("bin", pa.int64()), ("c", pa.int64())])
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        gs, bs, cs = [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            lo, hi, _ = params[g]
+            width = (hi - lo) / float(n_bins)
+            v = sub[col].to_numpy(dtype=np.float64)
+            if width == 0.0:
+                b = np.zeros(len(v), dtype=np.int64)
+            else:
+                b = np.minimum(np.floor((v - lo) / width), n_bins - 1).astype(np.int64)
+            bins, counts = np.unique(b, return_counts=True)
+            gs.extend([g] * len(bins))
+            bs.extend(bins.tolist())
+            cs.extend(counts.tolist())
+        return pa.table({group_col: pa.array(gs, key_type), "bin": pa.array(bs, pa.int64()), "c": pa.array(cs, pa.int64())})
+
+    hist = ds.map_batches(bin_counts, batch_format="pyarrow").groupby([group_col, "bin"]).aggregate(Sum("c", alias_name="c"))
+
+    out_schema = pa.schema(
+        [(group_col, key_type), ("pct", pa.int64()), ("bin", pa.int64()), ("lo_c", pa.int64()), ("hi_c", pa.int64())]
+    )
+
+    def pick(gtbl: pa.Table) -> pa.Table:
+        if gtbl.num_rows == 0:
+            return out_schema.empty_table()
+        g = gtbl.column(group_col)[0].as_py()
+        lo, hi, n = params[g]
+        hdf = gtbl.to_pandas().sort_values("bin")
+        cum = hdf["c"].cumsum().to_numpy()
+        bins_sorted = hdf["bin"].to_numpy()
+        rows = {group_col: [], "pct": [], "bin": [], "lo_c": [], "hi_c": []}
+        for pct in pcts:
+            rank = (pct * n + 99) // 100
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows[group_col].append(g)
+            rows["pct"].append(int(pct))
+            rows["bin"].append(int(bins_sorted[min(idx, len(bins_sorted) - 1)]))
+            rows["lo_c"].append(int(round(lo * 100)))
+            rows["hi_c"].append(int(round(hi * 100)))
+        return pa.Table.from_arrays([pa.array(rows[f.name], f.type) for f in out_schema], schema=out_schema)
+
+    return hist.groupby(group_col).map_groups(pick, batch_format="pyarrow")

@@ -482,3 +482,37 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 10, scale: int = 1_000_0
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def top_ngrams(docs_ds, n_top: int = 20):
+    """Corpus-wide top-N bigram counts — the classic corpus-statistics op
+    (n-gram frequency tables for LM smoothing / contamination checks).
+
+    Combiner shape: bigrams are counted batch-locally (explode + one
+    pandas groupby, bigrams never cross documents), so the single
+    groupby(bigram) exchange carries per-batch DISTINCT bigram partials,
+    not the token stream; a per-batch local top-N pre-prune cannot be
+    applied before the global Sum (a globally frequent bigram may be
+    locally rare), so the prune happens after the aggregate, before the
+    final sort.  Ties broken by bigram text ascending, mirrored in SQL."""
+    from ray.data.aggregate import Sum
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        parents, toks = _split_tokens(t)
+        words = toks.to_pandas().to_numpy()
+        if len(words) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        same = parents[1:] == parents[:-1]
+        bg = pd.Series(words[:-1][same]) + " " + pd.Series(words[1:][same])
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = docs_ds.map_batches(bigram_partials, batch_format="pyarrow").groupby("bigram").aggregate(Sum("c", alias_name="c"))
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n_top:
+            return t
+        df = t.to_pandas().sort_values(["c", "bigram"], ascending=[False, True], kind="mergesort").head(n_top)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return counts.map_batches(local_topn, batch_format="pyarrow").sort(["c", "bigram"], descending=[True, False]).limit(n_top)

@@ -1428,6 +1428,65 @@ SELECT doc_id, n_tokens, start_offset, CAST(start_offset // 512 AS BIGINT) AS se
 """
 
 
+def q_events_quantiles_by_type(sf_dir: str):
+    """Per-GROUP sketch percentiles (p50/p90/p99 of value per event
+    type) — grouped form of value_quantiles: same mergeable fixed-bin
+    histogram, per-group (lo,hi,n) broadcast, per-group bin selection
+    inside map_groups.  Oracle runs the identical sketch in SQL."""
+    from ..functions.quantiles import grouped_histogram_quantiles
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    return grouped_histogram_quantiles(ds, "event_type", "value", pcts=[50, 90, 99], n_bins=256)
+
+
+SQL_EVENTS_QUANTILES_BY_TYPE = """
+WITH s AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - s.lo) / ((s.hi - s.lo) / 256.0)), 255) AS BIGINT) AS bin
+  FROM events e JOIN s USING (event_type)
+),
+h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY event_type, bin),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM h
+),
+r AS (
+  SELECT s.event_type, p.pct, (p.pct * s.n + 99) // 100 AS rnk, s.lo, s.hi
+  FROM s CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+)
+SELECT r.event_type, CAST(r.pct AS BIGINT) AS pct, CAST(min(cum.bin) AS BIGINT) AS bin,
+       CAST(round(r.lo * 100) AS BIGINT) AS lo_c, CAST(round(r.hi * 100) AS BIGINT) AS hi_c
+FROM r JOIN cum ON cum.event_type = r.event_type AND cum.cumc >= r.rnk
+GROUP BY r.event_type, r.pct, r.lo, r.hi
+"""
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 bigram counts (combiner -> one groupby(bigram)
+    Sum -> pruned global sort); ties broken by bigram text, mirrored in
+    the SQL twin, so the hash compare is exact."""
+    from ..functions.text import top_ngrams
+
+    return top_ngrams(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), n_top=20)
+
+
+SQL_TOP_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT bigram, count(*) AS c
+FROM (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM toks)
+GROUP BY bigram ORDER BY c DESC, bigram LIMIT 20
+"""
+
+
 def q_near_dedup_filter(sf_dir: str):
     """End-to-end near-dup CURATION: MinHash-LSH pairs -> distributed
     connected components -> keep only each group's minimum doc_id ->
@@ -1508,6 +1567,8 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "events_time_delta": q_events_time_delta,
     "doc_pack": q_doc_pack,
+    "events_quantiles_by_type": q_events_quantiles_by_type,
+    "top_bigrams": q_top_bigrams,
     "near_dedup_filter": q_near_dedup_filter,
 }
 
@@ -1552,6 +1613,8 @@ ORACLES = {
     "events_time_delta": SQL_EVENTS_TIME_DELTA,
     "doc_pack": SQL_DOC_PACK,
     "langid": SQL_LANGID,
+    "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
+    "top_bigrams": SQL_TOP_BIGRAMS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -833,3 +833,54 @@ class TestLangIdOracleTwin:
         exp = con.sql(SQL_LANGID).df().sort_values("doc_id")
         assert got["lang_pred"].tolist() == exp["lang_pred"].tolist()
         assert got["lang_pred"].tolist()[:9] == ["ja", "zh", "ko", "ru", "ar", "en", "de", "fr", "es"]
+
+
+class TestGroupedQuantiles:
+    def test_accuracy_vs_numpy_per_group(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.quantiles import bin_to_value, grouped_histogram_quantiles
+
+        rng = np.random.default_rng(9)
+        rows = []
+        gvals = {"a": rng.normal(10, 2, 4000), "b": rng.exponential(5, 3000)}
+        for g, vs in gvals.items():
+            rows += [{"g": g, "v": float(v)} for v in vs]
+        out = grouped_histogram_quantiles(rd.from_items(rows).repartition(8), "g", "v", pcts=[50, 99], n_bins=256).to_pandas()
+        assert len(out) == 4
+        for _, r in out.iterrows():
+            vs = gvals[r["g"]]
+            lo, hi = vs.min(), vs.max()
+            est = bin_to_value(r["bin"], lo, hi, n_bins=256)
+            want = np.percentile(vs, r["pct"])
+            assert abs(est - want) <= (hi - lo) / 256 * 2 + 1e-9, (r["g"], r["pct"])
+
+    def test_constant_group(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.quantiles import grouped_histogram_quantiles
+
+        rows = [{"g": "c", "v": 7.0}] * 50 + [{"g": "d", "v": float(i)} for i in range(100)]
+        out = grouped_histogram_quantiles(rd.from_items(rows), "g", "v", pcts=[50], n_bins=64).to_pandas()
+        const = out[out["g"] == "c"].iloc[0]
+        assert const["bin"] == 0 and const["lo_c"] == 700 and const["hi_c"] == 700
+
+
+class TestTopNgrams:
+    def test_matches_local_count(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import top_ngrams
+
+        rng = np.random.default_rng(13)
+        words = ["a", "b", "c", "d"]
+        texts = [" ".join(rng.choice(words, size=20)) for _ in range(60)]
+        got = top_ngrams(rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)]).repartition(5), n_top=10).to_pandas()
+        cnt = collections.Counter()
+        for t in texts:
+            w = t.split()
+            cnt.update(f"{x} {y}" for x, y in zip(w, w[1:]))
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(got["bigram"], got["c"])) == want
