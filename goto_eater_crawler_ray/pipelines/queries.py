@@ -1487,6 +1487,87 @@ GROUP BY bigram ORDER BY c DESC, bigram LIMIT 20
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/test DECONTAMINATION (eval-leakage check): which documents
+    of the hash-split test set share at least one word 4-gram with the
+    train set, and how many distinct 4-grams leak.  The standard
+    pre-training hygiene op.
+
+    Shape: 4-grams are exploded batch-locally (windows never cross
+    documents); each side is made distinct by ONE groupby (test by
+    (doc_id, gram), train by gram), then a single hash join on the gram
+    key and a groupby(doc_id) count.  Exchange carries distinct gram
+    rows only — never the token stream.  Split membership is the same
+    md5-bucket pure function as doc_split, so the SQL twin reproduces
+    the exact sets and the hash compare is exact."""
+    from ..functions.sampling import md5_buckets
+    from ..functions.text import _split_tokens
+
+    N = 4
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    gram_schema = pa.schema([("doc_id", pa.int64()), ("gram", pa.string())])
+
+    def make_grams(lo: int, hi: int):
+        def fn(t: pa.Table) -> pa.Table:
+            b = md5_buckets(t.column("doc_id").to_numpy(zero_copy_only=False))
+            t = t.filter(pa.array((b >= lo) & (b < hi)))
+            if t.num_rows == 0:
+                return gram_schema.empty_table()
+            parents, toks = _split_tokens(t)
+            words = toks.to_pandas().to_numpy()
+            m = len(words) - N + 1
+            if m <= 0:
+                return gram_schema.empty_table()
+            ok = np.ones(m, bool)
+            for j in range(1, N):
+                ok &= parents[j : m + j] == parents[:m]
+            s = pd.Series(words[:m][ok])
+            for j in range(1, N):
+                s = s + " " + pd.Series(words[j : m + j][ok])
+            doc_ids = pc.take(t.column("doc_id").combine_chunks(), pa.array(parents[:m][ok]))
+            return pa.table({"doc_id": doc_ids.cast(pa.int64()), "gram": pa.array(s.to_numpy(), pa.string())})
+
+        return fn
+
+    test_g = (
+        docs.map_batches(make_grams(90, 100), batch_format="pyarrow")
+        .groupby(["doc_id", "gram"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["doc_id", "gram"])
+    )
+    train_g = (
+        docs.map_batches(make_grams(0, 80), batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Count(alias_name="_tc"))
+        .select_columns(["gram"])
+        .map_batches(
+            lambda t: t.append_column("_tr", pa.array(np.ones(t.num_rows, np.int8), pa.int8())),
+            batch_format="pyarrow",
+        )
+    )
+    joined = test_g.join(train_g, join_type="inner", num_partitions=8, on=("gram",))
+    return joined.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS b,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, b,
+         unnest(list_transform(range(1, len(ws) - 2), i ->
+                list_aggregate(list_slice(ws, i, i + 3), 'string_agg', ' '))) AS gram
+  FROM toks
+),
+test_g AS (SELECT DISTINCT doc_id, gram FROM grams WHERE b >= 90),
+train_g AS (SELECT DISTINCT gram FROM grams WHERE b < 80)
+SELECT t.doc_id, count(*) AS n_shared
+FROM test_g t JOIN train_g USING (gram) GROUP BY t.doc_id
+"""
+
+
 def q_near_dedup_filter(sf_dir: str):
     """End-to-end near-dup CURATION: MinHash-LSH pairs -> distributed
     connected components -> keep only each group's minimum doc_id ->
@@ -1569,6 +1650,7 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "top_bigrams": q_top_bigrams,
+    "decontaminate": q_decontaminate,
     "near_dedup_filter": q_near_dedup_filter,
 }
 
@@ -1615,6 +1697,7 @@ ORACLES = {
     "langid": SQL_LANGID,
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "decontaminate": SQL_DECONTAMINATE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

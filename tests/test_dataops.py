@@ -884,3 +884,39 @@ class TestTopNgrams:
             cnt.update(f"{x} {y}" for x, y in zip(w, w[1:]))
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert list(zip(got["bigram"], got["c"])) == want
+
+
+class TestDecontaminate:
+    def test_planted_leak(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.functions.sampling import md5_buckets
+        from goto_eater_crawler_ray.pipelines.queries import q_decontaminate
+
+        # find ids landing in the train (<80) and test (>=90) hash buckets
+        ids = np.arange(0, 400)
+        buckets = md5_buckets(ids)
+        train_ids = ids[buckets < 80][:6].tolist()
+        test_ids = ids[buckets >= 90][:3].tolist()
+        assert len(train_ids) == 6 and len(test_ids) == 3
+
+        rng = np.random.default_rng(17)
+        vocab = [f"tok{i}" for i in range(500)]  # big vocab: no accidental 4-gram collisions
+
+        def fresh_doc():
+            return " ".join(rng.choice(vocab, size=12, replace=False))
+
+        texts = {i: fresh_doc() for i in train_ids + test_ids}
+        # plant: test doc 0 embeds a 4-gram from train doc 0; test doc 1
+        # embeds TWO distinct train 4-grams; test doc 2 stays clean
+        leak_a = " ".join(texts[train_ids[0]].split()[2:6])
+        leak_b = " ".join(texts[train_ids[1]].split()[0:4])
+        texts[test_ids[0]] = fresh_doc() + " " + leak_a
+        texts[test_ids[1]] = leak_a + " " + fresh_doc() + " " + leak_b
+        rows = {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+        pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+
+        out = q_decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert set(out.index) == {test_ids[0], test_ids[1]}
+        assert out.loc[test_ids[0], "n_shared"] == 1
+        assert out.loc[test_ids[1], "n_shared"] == 2
