@@ -1,0 +1,95 @@
+"""Dataset-native graph algorithms beyond connected components.
+
+PageRank over the crawl link graph — the classic crawl-prioritization
+signal (rank hosts/pages by link mass to order future fetches).  Power
+iteration expressed entirely in Dataset ops:
+
+  - static per-node state (out-degree) rides INSIDE the ranks table, so
+    each iteration is exactly ONE hash join (edges x ranks on src) and
+    ONE groupby-Sum (contributions routed to dst) plus two scalar
+    aggregates — no per-node driver state at any scale,
+  - dangling mass (rank parked on nodes with no out-links) is one
+    filtered Sum per iteration, redistributed uniformly, so ranks stay a
+    probability distribution,
+  - fixed iteration count (PageRank converges geometrically at the
+    damping rate; 10 iterations ≈ 0.85^10 < 0.2 residual bound, the
+    standard web-graph setting).
+
+Float caveat: groupby-Sum addition order is partition-dependent, so
+ranks are deterministic only to ~1e-15 — correctness is pytest-pinned
+against an identical-formula numpy power iteration (allclose 1e-9),
+not a SQL hash twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10, num_partitions: int | None = None):
+    """PageRank over ``edges_ds`` with columns (src:int64, dst:int64).
+    Returns a Dataset (node:int64, rank:float64); ranks sum to 1."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if num_partitions is None:
+        num_partitions = max(2, min(256, n_edges // 100_000 + 1))
+
+    # node universe = src ∪ dst, with out-degree (0 for sinks)
+    def srcs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src").cast(pa.int64()), "out": pa.array(np.ones(t.num_rows, np.int64))})
+
+    def dsts(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("dst").cast(pa.int64()), "out": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    nodes = (
+        edges.map_batches(srcs, batch_format="pyarrow")
+        .union(edges.map_batches(dsts, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("out", alias_name="outdeg"))
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}))
+
+    r0 = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank", pa.array(np.full(t.num_rows, r0), pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # the per-iteration dangling-mass aggregate is an extra dataset
+    # execution; skip it entirely when the graph has no sinks
+    n_dangling = nodes.filter(expr="outdeg == 0").count()
+
+    for _ in range(n_iter):
+        dangling = (
+            (ranks.filter(expr="outdeg == 0").aggregate(Sum("rank", alias_name="m"))["m"] or 0.0)
+            if n_dangling
+            else 0.0
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        hop = edges.join(ranks, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = pc.divide(t.column("rank"), pc.cast(t.column("outdeg"), pa.float64()))
+            return pa.table({"node": t.column("dst").cast(pa.int64()), "s": c})
+
+        sums = hop.map_batches(contrib, batch_format="pyarrow").groupby("node").aggregate(Sum("s", alias_name="s"))
+        merged = nodes.join(sums, join_type="left_outer", num_partitions=num_partitions, on=("node",))
+
+        def new_rank(t: pa.Table) -> pa.Table:
+            s = pc.coalesce(t.column("s"), pa.scalar(0.0, pa.float64()))
+            r = pc.add(pa.scalar(base, pa.float64()), pc.multiply(pa.scalar(damping, pa.float64()), s))
+            return pa.table({"node": t.column("node"), "outdeg": t.column("outdeg"), "rank": r})
+
+        ranks = merged.map_batches(new_rank, batch_format="pyarrow").materialize()
+
+    return ranks.drop_columns(["outdeg"])

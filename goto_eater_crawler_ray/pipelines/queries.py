@@ -1487,6 +1487,50 @@ GROUP BY bigram ORDER BY c DESC, bigram LIMIT 20
 """
 
 
+def q_crawl_pagerank(sf_dir: str):
+    """PageRank over the crawl's own link graph (lineage parent -> child
+    edges) — the classic crawl-prioritization signal, computed with the
+    dataset-native power iteration in functions.graph (one join + one
+    groupby-Sum per iteration, dangling mass redistributed).  Returns the
+    top pages by rank (url, rank in micro-units).  Non-SQL (iterative
+    float) -> rows-only; formula pinned against a local numpy power
+    iteration in tests/test_dataops.py::TestPageRank."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from ..functions.graph import pagerank
+    from ..sources.pagestore import ScaleSpec
+    from .crawl import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawl_pr_")
+    eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
+    eng.run()
+    eng.shutdown()
+    lin = pads.dataset(os.path.join(out, "lineage")).to_table()  # sf_dir unused: crawl queries synthesize their corpus
+
+    def key64(col: pa.ChunkedArray) -> np.ndarray:
+        raw = b"".join(v.as_py() or b"\x00" * 20 for v in col)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 20)[:, :8].copy().view(np.int64).ravel()
+
+    uk = key64(lin.column("url_key"))
+    pk = key64(lin.column("parent_key"))
+    roots = np.array([(v.as_py() is None) or (v.as_py() == b"\x00" * 20) for v in lin.column("parent_key")])
+    edges = pa.table({"src": pa.array(pk[~roots], pa.int64()), "dst": pa.array(uk[~roots], pa.int64())})
+    ranks = pagerank(rd.from_arrow(edges), n_iter=10)
+
+    # node id -> url lookup (the lineage table itself; hash-joined, not a
+    # driver dict, so the shape survives a web-scale lineage)
+    urls = rd.from_arrow(pa.table({"node_id": pa.array(uk, pa.int64()), "url": lin.column("url").combine_chunks()}))
+    named = ranks.join(urls, join_type="inner", num_partitions=4, on=("node",), right_on=("node_id",))
+
+    def scale_rank(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t.column("rank"), 1_000_000.0)), pa.int64())
+        return pa.table({"url": t.column("url"), "rank_micro": micro})
+
+    return named.map_batches(scale_rank, batch_format="pyarrow").sort(["rank_micro", "url"], descending=[True, False]).limit(50)
+
+
 def q_decontaminate(sf_dir: str):
     """Train/test DECONTAMINATION (eval-leakage check): which documents
     of the hash-split test set share at least one word 4-gram with the
@@ -1651,6 +1695,7 @@ QUERIES = {
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
+    "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }
 

@@ -920,3 +920,51 @@ class TestDecontaminate:
         assert set(out.index) == {test_ids[0], test_ids[1]}
         assert out.loc[test_ids[0], "n_shared"] == 1
         assert out.loc[test_ids[1], "n_shared"] == 2
+
+
+class TestPageRank:
+    @staticmethod
+    def _local(edges, n_iter=10, d=0.85):
+        nodes = sorted({u for e in edges for u in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        N = len(nodes)
+        out = np.zeros(N)
+        for s, _ in edges:
+            out[idx[s]] += 1
+        r = np.full(N, 1.0 / N)
+        for _ in range(n_iter):
+            dang = r[out == 0].sum()
+            base = (1 - d) / N + d * dang / N
+            s = np.zeros(N)
+            for u, v in edges:
+                s[idx[v]] += r[idx[u]] / out[idx[u]]
+            r = base + d * s
+        return {n: r[idx[n]] for n in nodes}
+
+    def test_cycle_is_uniform(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import pagerank
+
+        edges = [(i, (i + 1) % 6) for i in range(6)]
+        out = pagerank(rd.from_items([{"src": s, "dst": t} for s, t in edges]), n_iter=2).to_pandas()
+        assert np.allclose(out["rank"], 1 / 6, atol=1e-12)
+
+    def test_matches_local_power_iteration_with_dangling(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import pagerank
+
+        rng = np.random.default_rng(23)
+        edges = list({(int(a), int(b)) for a, b in rng.integers(0, 40, size=(150, 2)) if a != b})
+        # make node 40 a pure sink (dangling) with several in-links
+        edges += [(i, 40) for i in range(5)]
+        # 3 iterations keep the suite fast while still exercising the full
+        # formula (join, contribution sum, dangling redistribution) thrice
+        out = pagerank(rd.from_items([{"src": s, "dst": t} for s, t in edges]), n_iter=3).to_pandas()
+        want = self._local(edges, n_iter=3)
+        got = dict(zip(out["node"], out["rank"]))
+        assert set(got) == set(want)
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, n
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # ranks stay a distribution
