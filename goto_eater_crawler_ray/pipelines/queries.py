@@ -1487,6 +1487,117 @@ GROUP BY bigram ORDER BY c DESC, bigram LIMIT 20
 """
 
 
+def q_tokenize_flat(sf_dir: str):
+    """Tokenization to hash-vocab token IDs — the actual artifact an LLM
+    pipeline ships (not just counts): one row per (doc, position) with
+    token_id = md5-bucket(token) % 32768, the hashing-trick vocabulary.
+    Batch-local explode (positions computed segment-vectorized, one md5
+    per DISTINCT token in the batch via a pandas factorize), zero
+    shuffle; the SQL twin evaluates the identical id expression
+    (md5_number_upper == first 8 md5 bytes little-endian)."""
+    from ..functions.sampling import md5_buckets
+    from ..functions.text import _split_tokens
+
+    V = 32768
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        parents, toks = _split_tokens(t)
+        if len(parents) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64()), "token_id": pa.array([], pa.int64())}
+            )
+        words = toks.to_pandas()
+        # position within document: index minus segment start
+        idx = np.arange(len(parents))
+        seg_start = np.concatenate(([True], parents[1:] != parents[:-1]))
+        pos = idx - np.maximum.accumulate(np.where(seg_start, idx, 0))
+        # hash once per DISTINCT token in the batch, then scatter
+        codes, uniques = pd.factorize(words, sort=False)
+        ids = md5_buckets(uniques.to_numpy(), mod=V)[codes]
+        doc_ids = pc.take(t.column("doc_id").combine_chunks(), pa.array(parents))
+        return pa.table(
+            {
+                "doc_id": doc_ids.cast(pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tokenize, batch_format="pyarrow")
+
+
+SQL_TOKENIZE_FLAT = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       CAST(md5_number_upper(ws[i]) % 32768 AS BIGINT) AS token_id
+FROM toks, LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i)
+"""
+
+
+def q_events_zscore(sf_dir: str):
+    """Per-group feature normalization (z-score of value within its event
+    type) — the standard ML feature-scaling op.  One tiny groupby
+    aggregate (sum, sum-of-squares, count per type) broadcast into a
+    stateless second pass; the SQL twin evaluates the IDENTICAL
+    sum-based formula (mu = s1/n, var = (s2 - s1^2/n)/(n-1)) rather than
+    DuckDB's built-in stddev, so both sides share one algebraic
+    definition and the 4-dp scaled-integer hash compare is exact."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            s1=("value", "sum"), n=("value", "size")
+        )
+        g["s2"] = df.assign(v2=df["value"] ** 2).groupby("event_type")["v2"].sum().to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"), Sum("n", alias_name="n"))
+        .take_all()
+    )  # |event types| rows — bounded category set, broadcast in the closure
+    params = {}
+    for r in stats:
+        n, s1, s2 = float(r["n"]), float(r["s1"]), float(r["s2"])
+        mu = s1 / n
+        sd = float(np.sqrt((s2 - s1 * s1 / n) / (n - 1.0)))
+        params[r["event_type"]] = (mu, sd)
+
+    def zscore(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        mu = df["event_type"].map(lambda k: params[k][0]).to_numpy()
+        sd = df["event_type"].map(lambda k: params[k][1]).to_numpy()
+        z = (df["value"].to_numpy() - mu) / sd
+        zi = np.sign(z * 10_000.0) * np.floor(np.abs(z * 10_000.0) + 0.5)  # DuckDB round: half away from zero
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "z_4dp": pa.array(zi.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(zscore, batch_format="pyarrow")
+
+
+SQL_EVENTS_ZSCORE = """
+WITH s AS (
+  SELECT event_type, sum(value) AS s1, sum(value * value) AS s2, count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(round(10000 * ((e.value - s.s1 / s.n)
+            / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1.0)))) AS BIGINT) AS z_4dp
+FROM events e JOIN s USING (event_type)
+"""
+
+
 def q_crawl_pagerank(sf_dir: str):
     """PageRank over the crawl's own link graph (lineage parent -> child
     edges) — the classic crawl-prioritization signal, computed with the
@@ -1695,6 +1806,8 @@ QUERIES = {
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
+    "tokenize_flat": q_tokenize_flat,
+    "events_zscore": q_events_zscore,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }
@@ -1743,6 +1856,8 @@ ORACLES = {
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "decontaminate": SQL_DECONTAMINATE,
+    "tokenize_flat": SQL_TOKENIZE_FLAT,
+    "events_zscore": SQL_EVENTS_ZSCORE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
