@@ -169,6 +169,9 @@ def main() -> None:
         "doc_spans",
         "bm25_topk",
         "doc_repetition",
+        "tokenize_flat",
+        "doc_pack",
+        "decontaminate",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -1608,8 +1608,6 @@ def q_crawl_pagerank(sf_dir: str):
     iteration in tests/test_dataops.py::TestPageRank."""
     import tempfile
 
-    import pyarrow.dataset as pads
-
     from ..functions.graph import pagerank
     from ..sources.pagestore import ScaleSpec
     from .crawl import CrawlEngine
@@ -1618,21 +1616,29 @@ def q_crawl_pagerank(sf_dir: str):
     eng = CrawlEngine(ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4)
     eng.run()
     eng.shutdown()
-    lin = pads.dataset(os.path.join(out, "lineage")).to_table()  # sf_dir unused: crawl queries synthesize their corpus
+    # sf_dir unused: crawl queries synthesize their corpus.  Lineage is
+    # read as a DATASET (never a driver table) so the shape survives a
+    # web-scale lineage; sha1 keys fold to int64 node ids per batch.
+    lin = rd.read_parquet(os.path.join(out, "lineage"))
 
-    def key64(col: pa.ChunkedArray) -> np.ndarray:
-        raw = b"".join(v.as_py() or b"\x00" * 20 for v in col)
+    def key64(col) -> np.ndarray:
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        raw = b"".join(v.as_py() or b"\x00" * 20 for v in a)
+        if not raw:
+            return np.zeros(0, np.int64)
         return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 20)[:, :8].copy().view(np.int64).ravel()
 
-    uk = key64(lin.column("url_key"))
-    pk = key64(lin.column("parent_key"))
-    roots = np.array([(v.as_py() is None) or (v.as_py() == b"\x00" * 20) for v in lin.column("parent_key")])
-    edges = pa.table({"src": pa.array(pk[~roots], pa.int64()), "dst": pa.array(uk[~roots], pa.int64())})
-    ranks = pagerank(rd.from_arrow(edges), n_iter=10)
+    def to_edges(t: pa.Table) -> pa.Table:
+        uk, pk = key64(t.column("url_key")), key64(t.column("parent_key"))
+        roots = np.array([(v.as_py() is None) or (v.as_py() == b"\x00" * 20) for v in t.column("parent_key").combine_chunks()], dtype=bool) if t.num_rows else np.zeros(0, bool)
+        return pa.table({"src": pa.array(pk[~roots], pa.int64()), "dst": pa.array(uk[~roots], pa.int64())})
 
-    # node id -> url lookup (the lineage table itself; hash-joined, not a
-    # driver dict, so the shape survives a web-scale lineage)
-    urls = rd.from_arrow(pa.table({"node_id": pa.array(uk, pa.int64()), "url": lin.column("url").combine_chunks()}))
+    ranks = pagerank(lin.map_batches(to_edges, batch_format="pyarrow"), n_iter=10)
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.array(key64(t.column("url_key")), pa.int64()), "url": t.column("url")})
+
+    urls = lin.map_batches(to_urls, batch_format="pyarrow")
     named = ranks.join(urls, join_type="inner", num_partitions=4, on=("node",), right_on=("node_id",))
 
     def scale_rank(t: pa.Table) -> pa.Table:
@@ -1700,7 +1706,9 @@ def q_decontaminate(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    joined = test_g.join(train_g, join_type="inner", num_partitions=8, on=("gram",))
+    # join shuffle sized to the corpus (gram rows ~ tokens - 3 per doc)
+    n_parts = max(2, min(256, docs.count() // 10_000 + 1))
+    joined = test_g.join(train_g, join_type="inner", num_partitions=n_parts, on=("gram",))
     return joined.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
 
 
