@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10, num_partitions: int | None = None):
     """PageRank over ``edges_ds`` with columns (src:int64, dst:int64).
     Returns a Dataset (node:int64, rank:float64); ranks sum to 1."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Sum
 
     edges = edges_ds.materialize()
     n_edges = edges.count()

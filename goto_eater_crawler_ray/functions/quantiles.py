@@ -100,8 +100,6 @@ def grouped_histogram_quantiles(ds, group_col: str, col: str, pcts: list[int] | 
     ``least(floor((v-lo)/((hi-lo)/n_bins)), n_bins-1)`` per group and the
     identical pure-integer rank ``(pct*n+99)//100``, so the hash compare
     is exact."""
-    import pandas as pd
-    import ray.data as rd
     from ray.data.aggregate import Count, Max, Min, Sum
 
     if pcts is None:
@@ -112,7 +110,8 @@ def grouped_histogram_quantiles(ds, group_col: str, col: str, pcts: list[int] | 
     ).take_all()
     params = {r[group_col]: (float(r["lo"]), float(r["hi"]), int(r["n"])) for r in stats_rows}
 
-    key_type = pa.string() if isinstance(next(iter(params)), str) else pa.int64()
+    key_is_str = isinstance(next(iter(params), ""), str)  # empty input -> string key, empty result below
+    key_type = pa.string() if key_is_str else pa.int64()
     hist_schema = pa.schema([(group_col, key_type), ("bin", pa.int64()), ("c", pa.int64())])
 
     def bin_counts(batch: pa.Table) -> pa.Table:
@@ -153,8 +152,11 @@ def grouped_histogram_quantiles(ds, group_col: str, col: str, pcts: list[int] | 
             rows[group_col].append(g)
             rows["pct"].append(int(pct))
             rows["bin"].append(int(bins_sorted[min(idx, len(bins_sorted) - 1)]))
-            rows["lo_c"].append(int(round(lo * 100)))
-            rows["hi_c"].append(int(round(hi * 100)))
+            # DuckDB round() is half AWAY from zero; Python round() is
+            # half-to-even — match DuckDB explicitly so extrema landing
+            # exactly on .5 centi-units don't hash-mismatch
+            rows["lo_c"].append(int(np.sign(lo * 100) * np.floor(abs(lo * 100) + 0.5)))
+            rows["hi_c"].append(int(np.sign(hi * 100) * np.floor(abs(hi * 100) + 0.5)))
         return pa.Table.from_arrays([pa.array(rows[f.name], f.type) for f in out_schema], schema=out_schema)
 
     return hist.groupby(group_col).map_groups(pick, batch_format="pyarrow")

@@ -34,6 +34,8 @@ def prefix_sum(ds, key_col: str, value_col: str, out_col: str = "offset", n_part
     from ray.data.aggregate import Max, Sum
 
     hi = ds.aggregate(Max(key_col, alias_name="hi"))["hi"]
+    if hi is None:  # empty input: no partitions to scan, empty output
+        hi = 0
     rows_per_part = max(1, int(hi) // n_parts + 1)
 
     def part_key(t: pa.Table) -> pa.Table:

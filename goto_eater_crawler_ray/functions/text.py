@@ -466,7 +466,9 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 10, scale: int = 1_000_0
         for i in range(nq):
             tf = t.column(f"tf_{i}").to_numpy().astype(np.float64)
             s = s + (idf[i] * tf) * K1P1 / (tf + norm)
-        sc = pc.cast(pc.round(pa.array(s * scale)), pa.int64())
+        # DuckDB round() is half AWAY from zero (pc.round is half-to-even)
+        scaled = s * scale
+        sc = pa.array((np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64), pa.int64())
         out = pa.table({"doc_id": t.column("doc_id"), "score": sc})
         return out.filter(pc.greater(out.column("score"), 0))
 

@@ -1446,7 +1446,9 @@ WITH s AS (
 ),
 b AS (
   SELECT e.event_type,
-         CAST(least(floor((e.value - s.lo) / ((s.hi - s.lo) / 256.0)), 255) AS BIGINT) AS bin
+         CAST(CASE WHEN s.hi = s.lo THEN 0
+                   ELSE least(floor((e.value - s.lo) / ((s.hi - s.lo) / 256.0)), 255)
+              END AS BIGINT) AS bin
   FROM events e JOIN s USING (event_type)
 ),
 h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY event_type, bin),
@@ -1550,10 +1552,9 @@ def q_events_zscore(sf_dir: str):
 
     def partials(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            s1=("value", "sum"), n=("value", "size")
+        g = df.assign(v2=df["value"] ** 2).groupby("event_type", as_index=False).agg(
+            s1=("value", "sum"), n=("value", "size"), s2=("v2", "sum")
         )
-        g["s2"] = df.assign(v2=df["value"] ** 2).groupby("event_type")["v2"].sum().to_numpy()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     stats = (
@@ -1743,16 +1744,25 @@ def q_near_dedup_filter(sf_dir: str):
     pairs = minhash_lsh_pairs(docs.select_columns(["doc_id", "text"]), threshold=0.5)
     groups = connected_components_distributed(pairs)
 
+    loser_schema = pa.schema([("loser_id", pa.int64()), ("is_dup", pa.int8())])
+
     def losers(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("doc_id"), t.column("group_id")))
         return pa.table(
-            {"loser_id": t.column("doc_id"), "is_dup": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8())}
+            {
+                "loser_id": t.column("doc_id").cast(pa.int64()),
+                "is_dup": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            },
+            schema=loser_schema,
         )
 
+    losers_ds = groups.map_batches(losers, batch_format="pyarrow")
+    # an already-clean corpus (zero near-dup pairs) must be a no-op, not a
+    # crash: an all-empty losers side reaches the join with no schema
+    if losers_ds.count() == 0:
+        return docs
     n_parts = max(2, min(64, docs.count() // 100_000 + 1))
-    return _null_anti_join(
-        docs, groups.map_batches(losers, batch_format="pyarrow"), n_parts, on="doc_id", right_on="loser_id", marker="is_dup"
-    )
+    return _null_anti_join(docs, losers_ds, n_parts, on="doc_id", right_on="loser_id", marker="is_dup")
 
 
 QUERIES = {

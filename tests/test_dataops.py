@@ -968,3 +968,55 @@ class TestPageRank:
         for n in want:
             assert abs(got[n] - want[n]) < 1e-9, n
         assert abs(sum(got.values()) - 1.0) < 1e-9  # ranks stay a distribution
+
+
+class TestReviewRegressions:
+    def test_near_dedup_filter_clean_corpus_is_noop(self, ray_session, tmp_path):
+        # zero near-dup pairs must be a no-op, not an empty-schema join crash
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_near_dedup_filter
+
+        rng = np.random.default_rng(31)
+        words = [f"w{i:03d}" for i in range(300)]
+        texts = [" ".join(rng.choice(words, size=25, replace=False)) for _ in range(40)]
+        rows = {"doc_id": list(range(40)), "text": texts, "lang": ["en"] * 40}
+        pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+        out = q_near_dedup_filter(str(tmp_path)).to_pandas()
+        assert len(out) == 40 and set(out["doc_id"]) == set(range(40))
+
+    def test_grouped_quantiles_constant_group_matches_sql_twin(self, ray_session, tmp_path):
+        # the width==0 special case must agree between Python and the twin
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.pipelines.queries import SQL_EVENTS_QUANTILES_BY_TYPE
+        from goto_eater_crawler_ray.functions.quantiles import grouped_histogram_quantiles
+
+        rows = {"event_type": ["c"] * 30 + ["v"] * 40, "value": [7.0] * 30 + [float(i) for i in range(40)]}
+        pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+        got = (
+            grouped_histogram_quantiles(
+                rd.read_parquet(str(tmp_path / "events.parquet")), "event_type", "value", pcts=[50, 90, 99], n_bins=256
+            )
+            .to_pandas()
+            .sort_values(["event_type", "pct"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+        exp = con.sql(SQL_EVENTS_QUANTILES_BY_TYPE).df().sort_values(["event_type", "pct"]).reset_index(drop=True)
+        assert got[["event_type", "pct", "bin", "lo_c", "hi_c"]].astype(str).equals(
+            exp[["event_type", "pct", "bin", "lo_c", "hi_c"]].astype(str)
+        )
+        assert (got[got["event_type"] == "c"]["bin"] == 0).all()
+
+    def test_prefix_sum_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.scan import prefix_sum
+
+        empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
+        assert prefix_sum(empty, "k", "v").count() == 0
