@@ -1599,6 +1599,28 @@ FROM events e JOIN s USING (event_type)
 """
 
 
+def q_doc_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (zlib bytes-out / bytes-in per
+    document, 4-dp scaled int) — the standard cheap detector for
+    repetitive / boilerplate text in web-corpus curation (highly
+    compressible docs are low quality).  Batch-local, zero shuffle.
+    Non-SQL (no zlib in DuckDB) -> rows-only; monotonicity
+    (repetitive < random) and determinism pinned in pytest."""
+    import zlib
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ratios(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        out = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):  # doc-granular by necessity (zlib is per-blob)
+            raw = s.encode("utf-8")
+            out[i] = round(10_000 * len(zlib.compress(raw, 6)) / max(len(raw), 1))
+        return pa.table({"doc_id": t.column("doc_id"), "compress_ratio_4dp": pa.array(out, pa.int64())})
+
+    return ds.map_batches(ratios, batch_format="pyarrow")
+
+
 def q_crawl_pagerank(sf_dir: str):
     """PageRank over the crawl's own link graph (lineage parent -> child
     edges) — the classic crawl-prioritization signal, computed with the
@@ -1826,6 +1848,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "tokenize_flat": q_tokenize_flat,
     "events_zscore": q_events_zscore,
+    "doc_compress_ratio": q_doc_compress_ratio,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }

@@ -1020,3 +1020,21 @@ class TestReviewRegressions:
 
         empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
         assert prefix_sum(empty, "k", "v").count() == 0
+
+
+class TestCompressRatio:
+    def test_repetitive_compresses_more_and_deterministic(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_compress_ratio
+
+        rng = np.random.default_rng(41)
+        repetitive = "spam ham " * 200
+        random_text = " ".join(f"{rng.integers(0, 1 << 60):x}" for _ in range(200))
+        rows = {"doc_id": [0, 1], "text": [repetitive, random_text]}
+        pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+        a = q_doc_compress_ratio(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+        b = q_doc_compress_ratio(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+        assert a["compress_ratio_4dp"].tolist() == b["compress_ratio_4dp"].tolist()  # deterministic
+        assert a.loc[0, "compress_ratio_4dp"] < 1000   # boilerplate: <10% of raw size
+        assert a.loc[1, "compress_ratio_4dp"] > 5000   # high-entropy: poorly compressible
