@@ -141,6 +141,99 @@ def top_n_per_key(
 
     return ds.map_batches(prune, batch_format="pyarrow").groupby("_key_part").map_groups(topn, batch_format="pyarrow")
 
+def broadcast_interval_join_agg(
+    ds,
+    windows: pa.Table,
+    *,
+    ts_col: str,
+    value_col: str,
+    win_id_col: str = "window_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    count_col: str = "n_events",
+    sum_col: str = "sum_value",
+    max_windows: int = 100_000,
+):
+    """Broadcast interval (range) JOIN + aggregate: match every probe row
+    whose ``ts_col`` falls in ``[start, end)`` of a window — NO equality
+    key — and return per-window ``(win_id, count, sum(value))`` with
+    inner-join semantics (empty windows dropped).
+
+    The reference engine has no joins at all (SURVEY.md §2.6 covers only
+    the miyagi two-source lookup); this is the time-range lookup a crawl /
+    training-data pipeline needs for attribution windows, incident
+    correlation and campaign roll-ups.
+
+    Scale shape: the windows side is broadcast-small BY CONTRACT
+    (campaign / incident lists; hard-gated by ``max_windows`` — at 10^10
+    probe rows the probe side streams, nothing probe-sized ever
+    materializes).  Windows are sorted by start once on the driver and
+    shipped via ``ray.put``; each probe batch finds its candidate window
+    range with two ``np.searchsorted`` binary searches against the sorted
+    starts (using the max window width as the lookback bound), masks on
+    the true per-window end, and combines ``(count, sum)`` per window
+    LOCALLY with ``np.bincount`` — so the only exchange is the final tiny
+    ``groupby(window_id)`` over per-batch partials, O(blocks × windows)
+    rows max.  For a large-large interval join, bin BOTH sides by a time
+    bucket first (the bucketed equi-join pattern) and apply this
+    per-bucket; that variant is not needed for the query surface here.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if windows.num_rows > max_windows:
+        raise ValueError(
+            f"interval-join windows side has {windows.num_rows} rows > max_windows={max_windows}; "
+            "bin both sides by time bucket instead of broadcasting"
+        )
+    ids = windows.column(win_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = windows.column(start_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ends = windows.column(end_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, starts))
+    ids, starts, ends = ids[order], starts[order], ends[order]
+    max_width = int((ends - starts).max()) if len(starts) else 0
+    win_ref = ray.put((ids, starts, ends, max_width))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [pa.field(win_id_col, pa.int64()), pa.field(count_col, pa.int64()), pa.field(sum_col, pa.float64())]
+        )
+        w_ids, w_starts, w_ends, w_max = ray.get(win_ref)
+        if batch.num_rows == 0 or len(w_starts) == 0:
+            return out_schema.empty_table()
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # candidate windows for row ts: start in (ts - max_width, ts]
+        lo = np.searchsorted(w_starts, ts - w_max, side="right")
+        hi = np.searchsorted(w_starts, ts, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        ev_idx = np.repeat(np.arange(len(ts)), counts)
+        win_idx = np.repeat(lo, counts) + (np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts))
+        keep = w_ends[win_idx] > ts[ev_idx]  # exact end check (variable widths)
+        ev_idx, win_idx = ev_idx[keep], win_idx[keep]
+        if len(win_idx) == 0:
+            return out_schema.empty_table()
+        n_per_win = np.bincount(win_idx, minlength=len(w_starts))
+        s_per_win = np.bincount(win_idx, weights=vals[ev_idx], minlength=len(w_starts))
+        nz = np.flatnonzero(n_per_win)
+        return pa.table(
+            {
+                win_id_col: pa.array(w_ids[nz], pa.int64()),
+                count_col: pa.array(n_per_win[nz], pa.int64()),
+                sum_col: pa.array(s_per_win[nz], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(win_id_col)
+        .aggregate(Sum(count_col, alias_name=count_col), Sum(sum_col, alias_name=sum_col))
+    )
+
+
 def lag_delta_per_key(
     ds,
     key_col: str,

@@ -1621,6 +1621,47 @@ def q_doc_compress_ratio(sf_dir: str):
     return ds.map_batches(ratios, batch_format="pyarrow")
 
 
+def q_interval_join_events(sf_dir: str):
+    """Broadcast interval (range) join — NO equality key: every event whose
+    ts falls inside a 1-hour attribution window anchored at the sampled
+    anchor events (event_id % 100 == 0) rolls up into that window's
+    (count, sum).  The windows side is distributed-filtered then
+    broadcast (hard-gated small); the probe side streams — see
+    :func:`~goto_eater_crawler_ray.functions.window.broadcast_interval_join_agg`
+    for the scale contract and the large-large binning variant."""
+    from ..functions.window import broadcast_interval_join_agg
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "value"])
+    anchors = ev.map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("event_id").to_numpy(zero_copy_only=False) % 100 == 0)
+        ).select(["event_id", "ts"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hour_us = 3_600_000_000
+    win = pa.table(
+        {
+            "window_id": pa.array(anchors["event_id"].to_numpy(), pa.int64()),
+            "start": pa.array(anchors["ts"].astype("int64").to_numpy(), pa.int64()),
+            "end": pa.array(anchors["ts"].astype("int64").to_numpy() + hour_us, pa.int64()),
+        }
+    )
+    out = broadcast_interval_join_agg(ev, win, ts_col="ts", value_col="value")
+    return out.map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS ws FROM events WHERE event_id % 100 = 0
+)
+SELECT w.window_id,
+       count(*) AS n_events,
+       CAST(round(sum(e.value) * 100) AS BIGINT) AS sum_value
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 1 HOUR
+GROUP BY w.window_id
+"""
+
+
 def q_crawl_pagerank(sf_dir: str):
     """PageRank over the crawl's own link graph (lineage parent -> child
     edges) — the classic crawl-prioritization signal, computed with the
@@ -1849,6 +1890,7 @@ QUERIES = {
     "tokenize_flat": q_tokenize_flat,
     "events_zscore": q_events_zscore,
     "doc_compress_ratio": q_doc_compress_ratio,
+    "interval_join_events": q_interval_join_events,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }
@@ -1899,6 +1941,7 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "tokenize_flat": SQL_TOKENIZE_FLAT,
     "events_zscore": SQL_EVENTS_ZSCORE,
+    "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -1038,3 +1038,68 @@ class TestCompressRatio:
         assert a["compress_ratio_4dp"].tolist() == b["compress_ratio_4dp"].tolist()  # deterministic
         assert a.loc[0, "compress_ratio_4dp"] < 1000   # boilerplate: <10% of raw size
         assert a.loc[1, "compress_ratio_4dp"] > 5000   # high-entropy: poorly compressible
+
+
+class TestIntervalJoin:
+    def _run(self, events, windows):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import broadcast_interval_join_agg
+
+        ev = rd.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array([e[0] for e in events], pa.int64()),
+                    "value": pa.array([e[1] for e in events], pa.float64()),
+                }
+            )
+        )
+        win = pa.table(
+            {
+                "window_id": pa.array([w[0] for w in windows], pa.int64()),
+                "start": pa.array([w[1] for w in windows], pa.int64()),
+                "end": pa.array([w[2] for w in windows], pa.int64()),
+            }
+        )
+        df = broadcast_interval_join_agg(ev, win, ts_col="ts", value_col="value").to_pandas()
+        return df.set_index("window_id").sort_index()
+
+    def test_boundaries_overlap_and_variable_widths(self, ray_session):
+        # windows: [10,20) [15,40) [30,31)  — overlapping + variable width
+        windows = [(1, 10, 20), (2, 15, 40), (3, 30, 31)]
+        # ts=10 start-inclusive; ts=20 end-exclusive for w1 but inside w2;
+        # ts=17 matches BOTH w1 and w2; ts=30 matches w2 and w3; ts=99 none
+        events = [(10, 1.0), (20, 2.0), (17, 4.0), (30, 8.0), (99, 16.0)]
+        out = self._run(events, windows)
+        assert out.loc[1, "n_events"] == 2 and out.loc[1, "sum_value"] == 5.0  # ts 10,17
+        assert out.loc[2, "n_events"] == 3 and out.loc[2, "sum_value"] == 14.0  # ts 20,17,30
+        assert out.loc[3, "n_events"] == 1 and out.loc[3, "sum_value"] == 8.0
+
+    def test_empty_window_dropped_and_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(3)
+        events = [(int(rng.integers(0, 1000)), float(i)) for i in range(300)]
+        windows = [(i, int(s), int(s) + int(w)) for i, (s, w) in enumerate(zip(rng.integers(0, 1000, 20), rng.integers(1, 120, 20)))]
+        out = self._run(events, windows)
+        for wid, s, e in windows:
+            hits = [(t, v) for t, v in events if s <= t < e]
+            if not hits:
+                assert wid not in out.index  # inner-join: empty windows dropped
+            else:
+                assert out.loc[wid, "n_events"] == len(hits)
+                assert out.loc[wid, "sum_value"] == pytest.approx(sum(v for _, v in hits))
+
+    def test_max_windows_gate(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import broadcast_interval_join_agg
+
+        ev = rd.from_arrow(pa.table({"ts": pa.array([1], pa.int64()), "value": pa.array([1.0])}))
+        win = pa.table(
+            {
+                "window_id": pa.array(range(10), pa.int64()),
+                "start": pa.array(range(10), pa.int64()),
+                "end": pa.array(range(1, 11), pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError, match="max_windows"):
+            broadcast_interval_join_agg(ev, win, ts_col="ts", value_col="value", max_windows=5)
