@@ -1621,6 +1621,71 @@ def q_doc_compress_ratio(sf_dir: str):
     return ds.map_batches(ratios, batch_format="pyarrow")
 
 
+def q_span_media_resolve(sf_dir: str):
+    """Interleaved-payload media-ref resolution: flatten the span documents
+    (input_hint shape), keep the image spans, parse the referenced doc id
+    OUT of the ``media://{doc}/{offset}`` URI (vectorized regex), and
+    hash-join it against the media blob table to attach each blob's byte
+    length — the span -> blob-store resolution step every interleaved
+    text+media corpus needs before decode.  Both sides are corpus-sized,
+    so this is a true distributed hash join with partitions sized to the
+    corpus (never a driver lookup)."""
+    spans = q_doc_spans_flat(sf_dir)
+
+    def image_refs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "image"))
+        ref_doc = pc.struct_field(pc.extract_regex(t.column("media_ref"), r"media://(?P<d>\d+)/"), "d")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "offset": t.column("offset"),
+                "media_ref": t.column("media_ref"),
+                "ref_doc_id": pc.cast(ref_doc, pa.int64()),
+            }
+        )
+
+    img = spans.map_batches(image_refs, batch_format="pyarrow")
+    media = _docs_as_media(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "m_doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "media_len": pc.cast(pc.binary_length(t.column("media_bytes")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"]).count()
+    n_parts = max(2, min(256, n_docs // 100_000 + 1))
+    joined = img.join(media, join_type="inner", num_partitions=n_parts, on=("ref_doc_id",), right_on=("m_doc_id",))
+    return joined.select_columns(["doc_id", "offset", "media_ref", "media_len"])
+
+
+SQL_SPAN_MEDIA_RESOLVE = """
+WITH flat AS (
+  WITH words AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS w
+    FROM documents
+  ),
+  spans AS (
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS "offset"
+    FROM words, LATERAL (SELECT UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i)
+  )
+  SELECT doc_id, "offset",
+         'media://' || doc_id || '/' || CAST("offset" AS VARCHAR) AS media_ref
+  FROM spans WHERE "offset" % 5 = 4
+),
+media AS (
+  SELECT doc_id AS m_doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len
+  FROM documents
+)
+SELECT f.doc_id, f."offset", f.media_ref, m.media_len
+FROM flat f JOIN media m
+  ON CAST(regexp_extract(f.media_ref, 'media://(\\d+)/', 1) AS BIGINT) = m.m_doc_id
+"""
+
+
 def q_interval_join_events(sf_dir: str):
     """Broadcast interval (range) join — NO equality key: every event whose
     ts falls inside a 1-hour attribution window anchored at the sampled
@@ -1891,6 +1956,7 @@ QUERIES = {
     "events_zscore": q_events_zscore,
     "doc_compress_ratio": q_doc_compress_ratio,
     "interval_join_events": q_interval_join_events,
+    "span_media_resolve": q_span_media_resolve,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }
@@ -1942,6 +2008,7 @@ ORACLES = {
     "tokenize_flat": SQL_TOKENIZE_FLAT,
     "events_zscore": SQL_EVENTS_ZSCORE,
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
+    "span_media_resolve": SQL_SPAN_MEDIA_RESOLVE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

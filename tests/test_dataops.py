@@ -1103,3 +1103,25 @@ class TestIntervalJoin:
         )
         with pytest.raises(ValueError, match="max_windows"):
             broadcast_interval_join_agg(ev, win, ts_col="ts", value_col="value", max_windows=5)
+
+
+class TestSpanMediaResolve:
+    def test_refs_resolve_with_correct_lengths(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_span_media_resolve
+
+        # doc 7: 120 words -> 12 spans -> image spans at offsets 4 and 9
+        # doc 8: 30 words -> 3 spans -> no image span
+        # doc 9: multibyte text, 50 words -> image span at offset 4
+        rows = {
+            "doc_id": [7, 8, 9],
+            "text": [" ".join(f"w{i}" for i in range(120)), " ".join(f"v{i}" for i in range(30)), " ".join("日本語" for _ in range(50))],
+        }
+        pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+        df = q_span_media_resolve(str(tmp_path)).to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        assert list(zip(df["doc_id"], df["offset"])) == [("7", 4), ("7", 9), ("9", 4)]
+        assert df["media_ref"].tolist() == ["media://7/4", "media://7/9", "media://9/4"]
+        # media_len = utf8 byte length of the referenced doc's blob
+        assert df.loc[0, "media_len"] == len(rows["text"][0].encode())
+        assert df.loc[2, "media_len"] == len(rows["text"][2].encode())  # 3 bytes/char survives
