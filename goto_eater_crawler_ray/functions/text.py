@@ -365,6 +365,122 @@ def _split_tokens(t: pa.Table):
     return parents, flat.filter(keep)
 
 
+def heavy_hitter_topk(docs_ds, k: int = 20, capacity: int = 4096, max_candidates: int = 100_000):
+    """EXACT corpus top-k tokens via a mergeable heavy-hitter sketch + an
+    exact recount pass — the scale path that :func:`top_ngrams`' full
+    ``groupby(token)`` can't take at 100 TB (the full-domain exchange
+    carries every distinct token; this one carries ≤ ``capacity`` rows
+    per batch).
+
+    Pass 1 (sketch): each batch counts its tokens exactly (vectorized
+    ``value_counts``), keeps only the top-``capacity`` items with the
+    (capacity+1)-th largest local count ``t_b`` subtracted (a mergeable
+    SpaceSaving/Misra-Gries-style truncation: the surviving counter is a
+    LOWER bound, and any item's true batch count exceeds its emitted
+    counter by at most ``t_b``), and emits ``t_b`` under a sentinel key.
+    One ``groupby(token).Sum`` merges the partials, so globally
+    ``est(x) <= count(x) <= est(x) + slack`` with ``slack = Σ_b t_b`` —
+    for natural-language token tails ``t_b`` is ~1 per batch.
+
+    Pass 2 (exact): candidates = every sketched token whose upper bound
+    reaches the k-th largest lower bound (a guaranteed superset of the
+    true top-k among sketched tokens; unsketched tokens are covered by
+    the final guard below).  Their exact counts come from a second
+    streaming pass filtered to the broadcast candidate set; ties broken
+    (count DESC, token ASC) exactly as the SQL twin.
+
+    Guard: if the k-th exact count is not > ``slack`` (so an unsketched
+    token could in principle belong in the top-k), fall back to the exact
+    full-domain groupby — correctness never depends on the sketch bound.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sketch_partials(t: pa.Table) -> pa.Table:
+        _, toks = _split_tokens(t)
+        empty = pa.table({"token": pa.array([], pa.string()), "est": pa.array([], pa.int64())})
+        if len(toks) == 0:
+            return empty
+        vc = toks.to_pandas().value_counts()  # sorted desc, ties by insertion
+        if len(vc) > capacity:
+            t_b = int(vc.iloc[capacity])
+            kept = vc.iloc[:capacity] - t_b
+            kept = kept[kept > 0]
+        else:
+            t_b = 0
+            kept = vc
+        tokens = list(kept.index)
+        ests = kept.to_numpy(dtype=np.int64)
+        if t_b:
+            # "" never appears as a token (_split_tokens drops empties)
+            tokens.append("")
+            ests = np.append(ests, t_b)
+        return pa.table({"token": pa.array(tokens, pa.string()), "est": pa.array(ests, pa.int64())})
+
+    merged = docs_ds.map_batches(sketch_partials, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("est", alias_name="est")
+    )
+    # candidate selection stays distributed: only k rows (the lower-bound
+    # threshold) and the ≤ max_candidates survivors ever reach the driver
+    slack_df = merged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("token"), "")), batch_format="pyarrow"
+    ).to_pandas()
+    slack = int(slack_df["est"].sum()) if len(slack_df) else 0
+    top_est = (
+        merged.map_batches(lambda t: t.filter(pc.not_equal(t.column("token"), "")), batch_format="pyarrow")
+        .sort(["est", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if len(top_est) == 0:
+        return pa.table({"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+    kth_lower = int(top_est["est"].iloc[-1])
+    cands_ds = merged.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.not_equal(t.column("token"), ""), pc.greater_equal(pc.add(t.column("est"), slack), kth_lower))
+        ),
+        batch_format="pyarrow",
+    )
+    n_cands = cands_ds.count()
+    if n_cands > max_candidates:
+        raise ValueError(f"{n_cands} heavy-hitter candidates > max_candidates={max_candidates}; raise capacity")
+    cands = cands_ds.to_pandas()["token"].to_numpy()
+    cand_ref = ray.put(set(cands.tolist()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        _, toks = _split_tokens(t)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        s = toks.to_pandas()
+        cand = ray.get(cand_ref)
+        vc = s[s.isin(cand)].value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())})
+
+    exact = (
+        docs_ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort(["c", "token"], descending=[True, False])
+        .limit(k)
+    )
+    out = exact.to_pandas()
+    if len(out) == k and int(out["c"].iloc[-1]) <= slack:
+        # sketch bound too loose for this corpus/capacity: exact fallback
+        def count_partials(t: pa.Table) -> pa.Table:
+            _, toks = _split_tokens(t)
+            vc = toks.to_pandas().value_counts()
+            return pa.table({"token": pa.array(vc.index, pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())})
+
+        return (
+            docs_ds.map_batches(count_partials, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("c", alias_name="c"))
+            .sort(["c", "token"], descending=[True, False])
+            .limit(k)
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition signals per document — the standard
     LLM-corpus quality gate (repetitious documents are low quality):

@@ -1621,6 +1621,28 @@ def q_doc_compress_ratio(sf_dir: str):
     return ds.map_batches(ratios, batch_format="pyarrow")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus top-20 tokens via the mergeable heavy-hitter sketch +
+    exact-recount two-pass (see
+    :func:`~goto_eater_crawler_ray.functions.text.heavy_hitter_topk`) —
+    the scale path where a full-domain ``groupby(token)`` would shuffle
+    every distinct token at 100 TB.  Exact output, so the SQL twin is a
+    plain GROUP BY top-k with the same (count DESC, token ASC) tiebreak."""
+    from ..functions.text import heavy_hitter_topk
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return heavy_hitter_topk(ds, k=20, capacity=4096)
+
+
+SQL_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS token
+  FROM documents
+)
+SELECT token, count(*) AS c FROM toks GROUP BY token ORDER BY c DESC, token LIMIT 20
+"""
+
+
 def q_span_media_resolve(sf_dir: str):
     """Interleaved-payload media-ref resolution: flatten the span documents
     (input_hint shape), keep the image spans, parse the referenced doc id
@@ -1957,6 +1979,7 @@ QUERIES = {
     "doc_compress_ratio": q_doc_compress_ratio,
     "interval_join_events": q_interval_join_events,
     "span_media_resolve": q_span_media_resolve,
+    "heavy_hitters": q_heavy_hitters,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }
@@ -2009,6 +2032,7 @@ ORACLES = {
     "events_zscore": SQL_EVENTS_ZSCORE,
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     "span_media_resolve": SQL_SPAN_MEDIA_RESOLVE,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

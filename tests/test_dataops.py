@@ -2,6 +2,7 @@
 (recall vs brute force), text analysis, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1125,3 +1126,49 @@ class TestSpanMediaResolve:
         # media_len = utf8 byte length of the referenced doc's blob
         assert df.loc[0, "media_len"] == len(rows["text"][0].encode())
         assert df.loc[2, "media_len"] == len(rows["text"][2].encode())  # 3 bytes/char survives
+
+
+class TestHeavyHitters:
+    def _corpus(self):
+        # Zipf-ish: token f{i} appears ~600/(i+1) times, shuffled across 80 docs
+        rng = np.random.default_rng(11)
+        toks = []
+        for i in range(400):
+            toks += [f"f{i:03d}"] * (600 // (i + 1))
+        toks = np.array(toks)
+        rng.shuffle(toks)
+        docs = [" ".join(chunk) for chunk in np.array_split(toks, 80)]
+        exact = pd.Series(toks).value_counts()
+        return docs, exact
+
+    def _exact_topk(self, exact, k):
+        df = exact.rename_axis("token").reset_index(name="c")
+        return df.sort_values(["c", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
+
+    def test_sketch_path_matches_exact(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import heavy_hitter_topk
+
+        docs, exact = self._corpus()
+        ds = rd.from_items([{"text": d} for d in docs])
+        # capacity 50 << 400 distinct per batch -> real truncation + slack
+        out = heavy_hitter_topk(ds, k=10, capacity=50).to_pandas().reset_index(drop=True)
+        want = self._exact_topk(exact, 10)
+        assert out["token"].tolist() == want["token"].tolist()
+        assert out["c"].tolist() == want["c"].tolist()
+
+    def test_fallback_when_sketch_too_loose(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import heavy_hitter_topk
+
+        docs, exact = self._corpus()
+        ds = rd.from_items([{"text": d} for d in docs])
+        # capacity 3 -> slack dwarfs the k-th count -> exact fallback fires;
+        # result must STILL be exact
+        out = heavy_hitter_topk(ds, k=10, capacity=3, max_candidates=10_000)
+        df = out.to_pandas().reset_index(drop=True)
+        want = self._exact_topk(exact, 10)
+        assert df["token"].tolist() == want["token"].tolist()
+        assert df["c"].tolist() == want["c"].tolist()
