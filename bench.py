@@ -172,6 +172,9 @@ def main() -> None:
         "tokenize_flat",
         "doc_pack",
         "decontaminate",
+        "interval_join_events",
+        "span_media_resolve",
+        "heavy_hitters",
     ]
     qtimes = {}
     for name in bench_queries:

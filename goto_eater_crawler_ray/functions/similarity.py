@@ -480,3 +480,116 @@ def kmeans_clusters(emb_ds, n_clusters: int = 8, sample_limit: int = 4096, iters
         return pa.table({"vec_id": batch.column("vec_id"), "cluster": pa.array(lab, pa.int32())})
 
     return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_centroids(ds, label_col: str = "label", emb_col: str = "embedding", scale: int = 10_000):
+    """Per-label embedding centroids as flat ``(label, dim, centroid)``
+    rows with the mean emitted as ``round(mean*scale)`` BIGINT — the
+    class-centroid statistic diversity/dedup curation pipelines compute
+    over a labeled corpus.
+
+    Combiner shape: each batch reduces to at most ``labels × d`` partial
+    ``(label, dim, sum, count)`` rows (one `np.add.at` scatter per
+    batch, no per-row Python), so the single ``groupby(label, dim)``
+    exchange carries partials, never embeddings.  SQL twin: zip-UNNEST
+    of the list column + GROUP BY — mean computed as ``sum/count`` on
+    both sides so the scaled-int hash matches."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.schema(
+        [
+            pa.field("label", pa.int64()),
+            pa.field("dim", pa.int64()),
+            pa.field("s", pa.float64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        emb = _as_matrix(t.column(emb_col))
+        labels = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), emb.shape[1]
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(sums, inv, emb)
+        counts = np.bincount(inv, minlength=k)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = t.column("s").to_numpy(zero_copy_only=False) / t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "centroid_4dp": pa.array(np.round(mean * scale).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pca_project(ds, id_col: str = "vec_id", emb_col: str = "embedding", scale: int = 10_000):
+    """Projection of every embedding onto the corpus's top principal
+    component — distributed PCA via the two-moment trick: each batch
+    emits ONE row of sufficient statistics ``(n, Σx, Σx xᵀ flattened)``
+    (d=64 → ~33 KB), the driver merges the tiny partial table, solves
+    the d×d eigenproblem locally (O(d³), corpus-size-independent), and
+    a second streaming pass projects each vector onto the broadcast
+    component.  Sign fixed deterministically (largest-|loading|
+    component positive).  Non-SQL (eigendecomposition) -> rows-only;
+    subspace-equivalence pytest against full-matrix numpy PCA."""
+    import ray
+
+    def moment_partials(t: pa.Table) -> pa.Table:
+        emb = _as_matrix(t.column(emb_col))
+        n, d = emb.shape
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([emb.sum(axis=0)], pa.list_(pa.float64())),
+                "xtx": pa.array([(emb.T @ emb).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    mom = ds.map_batches(moment_partials, batch_format="pyarrow").to_pandas()
+    n = int(mom["n"].sum())
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()), "pc1_proj_4dp": pa.array([], pa.int64())})
+    s = np.sum(np.stack(mom["s"].to_numpy()), axis=0)
+    xtx = np.sum(np.stack(mom["xtx"].to_numpy()), axis=0)
+    d = len(s)
+    mu = s / n
+    cov = xtx.reshape(d, d) / n - np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(cov)
+    pc1 = vecs[:, -1]
+    if pc1[np.argmax(np.abs(pc1))] < 0:
+        pc1 = -pc1
+    ref = ray.put((mu, pc1))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu_b, pc_b = ray.get(ref)
+        emb = _as_matrix(t.column(emb_col))
+        proj = (emb - mu_b) @ pc_b if len(emb) else np.zeros(0)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "pc1_proj_4dp": pa.array(np.round(proj * scale).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

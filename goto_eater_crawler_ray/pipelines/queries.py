@@ -1621,6 +1621,39 @@ def q_doc_compress_ratio(sf_dir: str):
     return ds.map_batches(ratios, batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class-centroid curation statistic)
+    — see :func:`~goto_eater_crawler_ray.functions.similarity.grouped_centroids`
+    for the combiner shape (≤ labels×d partial rows per batch; the
+    groupby never moves embeddings)."""
+    from ..functions.similarity import grouped_centroids
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding", "label"])
+    return grouped_centroids(ds)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH flat AS (
+  SELECT label, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+       CAST(round(sum(CAST(e AS DOUBLE)) / count(*) * 10000) AS BIGINT) AS centroid_4dp
+FROM flat GROUP BY label, i
+"""
+
+
+def q_embedding_pca(sf_dir: str):
+    """Top-principal-component projection of every embedding (distributed
+    two-moment PCA; the d×d eigenproblem is corpus-size-independent).
+    Non-SQL (eigendecomposition) -> rows-only; subspace-equivalence
+    pytest vs full-matrix numpy PCA."""
+    from ..functions.similarity import pca_project
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return pca_project(ds)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact corpus top-20 tokens via the mergeable heavy-hitter sketch +
     exact-recount two-pass (see
@@ -1980,6 +2013,8 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "span_media_resolve": q_span_media_resolve,
     "heavy_hitters": q_heavy_hitters,
+    "label_centroids": q_label_centroids,
+    "embedding_pca": q_embedding_pca,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
 }
@@ -2033,6 +2068,7 @@ ORACLES = {
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     "span_media_resolve": SQL_SPAN_MEDIA_RESOLVE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

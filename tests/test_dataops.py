@@ -1172,3 +1172,45 @@ class TestHeavyHitters:
         want = self._exact_topk(exact, 10)
         assert df["token"].tolist() == want["token"].tolist()
         assert df["c"].tolist() == want["c"].tolist()
+
+
+class TestEmbeddingStats:
+    def test_grouped_centroids_exact_and_partition_stable(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.similarity import grouped_centroids
+
+        rng = np.random.default_rng(5)
+        emb = rng.normal(size=(60, 4)).astype(np.float32)
+        labels = np.arange(60) % 3
+        rows = [{"embedding": emb[i].tolist(), "label": int(labels[i])} for i in range(60)]
+        out = grouped_centroids(rd.from_items(rows)).to_pandas()
+        out2 = grouped_centroids(rd.from_items(rows).repartition(7)).to_pandas()
+        for lab in range(3):
+            want = np.round(emb[labels == lab].astype(np.float64).mean(axis=0) * 10_000).astype(np.int64)
+            got = out[out["label"] == lab].sort_values("dim")["centroid_4dp"].to_numpy()
+            assert np.array_equal(got, want)
+        a = out.sort_values(["label", "dim"]).reset_index(drop=True)
+        b = out2.sort_values(["label", "dim"]).reset_index(drop=True)
+        assert a.equals(b)  # block layout must not change the result
+
+    def test_pca_matches_numpy_subspace(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.similarity import pca_project
+
+        rng = np.random.default_rng(9)
+        # anisotropic cloud: variance 9 along a known direction, 1 elsewhere
+        d = 8
+        direction = rng.normal(size=d)
+        direction /= np.linalg.norm(direction)
+        coords = rng.normal(size=(300, d))
+        emb = coords + 2.0 * np.outer(coords[:, 0], direction)
+        rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(300)]
+        out = pca_project(rd.from_items(rows)).to_pandas().sort_values("vec_id")
+        centered = emb - emb.mean(axis=0)
+        _, vecs = np.linalg.eigh(np.cov(centered.T, bias=True))
+        want = centered @ vecs[:, -1]
+        got = out["pc1_proj_4dp"].to_numpy() / 10_000.0
+        corr = np.corrcoef(got, want)[0, 1]
+        assert abs(corr) > 0.9999  # same principal axis (sign may differ)
