@@ -365,7 +365,9 @@ def _split_tokens(t: pa.Table):
     return parents, flat.filter(keep)
 
 
-def heavy_hitter_topk(docs_ds, k: int = 20, capacity: int = 4096, max_candidates: int = 100_000):
+def heavy_hitter_topk(
+    docs_ds, k: int = 20, capacity: int = 4096, max_candidates: int = 100_000, num_partitions: int | None = None
+):
     """EXACT corpus top-k tokens via a mergeable heavy-hitter sketch + an
     exact recount pass — the scale path that :func:`top_ngrams`' full
     ``groupby(token)`` can't take at 100 TB (the full-domain exchange
@@ -396,6 +398,13 @@ def heavy_hitter_topk(docs_ds, k: int = 20, capacity: int = 4096, max_candidates
     import ray
     from ray.data.aggregate import Sum
 
+    if num_partitions is None:
+        # corpus-sized auto-sizing (repo convention, metadata-cheap for
+        # parquet reads); also keeps the shuffle partition count at or
+        # below the group-domain size for small corpora, so no hash
+        # partition is empty (schema-less RefBundle log noise)
+        num_partitions = max(2, min(256, docs_ds.count() // 100_000 + 1))
+
     def sketch_partials(t: pa.Table) -> pa.Table:
         _, toks = _split_tokens(t)
         empty = pa.table({"token": pa.array([], pa.string()), "est": pa.array([], pa.int64())})
@@ -417,8 +426,17 @@ def heavy_hitter_topk(docs_ds, k: int = 20, capacity: int = 4096, max_candidates
             ests = np.append(ests, t_b)
         return pa.table({"token": pa.array(tokens, pa.string()), "est": pa.array(ests, pa.int64())})
 
-    merged = docs_ds.map_batches(sketch_partials, batch_format="pyarrow").groupby("token").aggregate(
-        Sum("est", alias_name="est")
+    # partials are consolidated to num_partitions blocks BEFORE the
+    # groupby: Ray's aggregate emits schema-less empty output blocks when
+    # the group domain is smaller than its input block count, and the
+    # partials are sketch-sized (≤ capacity rows per input block), so the
+    # extra exchange is negligible next to the corpus pass
+    merged = (
+        docs_ds.map_batches(sketch_partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("token", num_partitions=num_partitions)
+        .aggregate(Sum("est", alias_name="est"))
+        .materialize()  # read 3× below
     )
     # candidate selection stays distributed: only k rows (the lower-bound
     # threshold) and the ≤ max_candidates survivors ever reach the driver
@@ -458,7 +476,8 @@ def heavy_hitter_topk(docs_ds, k: int = 20, capacity: int = 4096, max_candidates
 
     exact = (
         docs_ds.map_batches(recount, batch_format="pyarrow")
-        .groupby("token")
+        .repartition(num_partitions)
+        .groupby("token", num_partitions=num_partitions)
         .aggregate(Sum("c", alias_name="c"))
         .sort(["c", "token"], descending=[True, False])
         .limit(k)
@@ -473,7 +492,8 @@ def heavy_hitter_topk(docs_ds, k: int = 20, capacity: int = 4096, max_candidates
 
         return (
             docs_ds.map_batches(count_partials, batch_format="pyarrow")
-            .groupby("token")
+            .repartition(num_partitions)
+            .groupby("token", num_partitions=num_partitions)
             .aggregate(Sum("c", alias_name="c"))
             .sort(["c", "token"], descending=[True, False])
             .limit(k)
