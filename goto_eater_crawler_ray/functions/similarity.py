@@ -567,7 +567,8 @@ def pca_project(ds, id_col: str = "vec_id", emb_col: str = "embedding", scale: i
         )
 
     mom = ds.map_batches(moment_partials, batch_format="pyarrow").to_pandas()
-    n = int(mom["n"].sum())
+    # an empty dataset never invokes the UDF, so the frame can lack columns
+    n = int(mom["n"].sum()) if "n" in mom.columns else 0
     if n == 0:
         return pa.table({id_col: pa.array([], pa.int64()), "pc1_proj_4dp": pa.array([], pa.int64())})
     s = np.sum(np.stack(mom["s"].to_numpy()), axis=0)

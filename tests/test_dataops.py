@@ -1214,3 +1214,49 @@ class TestEmbeddingStats:
         got = out["pc1_proj_4dp"].to_numpy() / 10_000.0
         corr = np.corrcoef(got, want)[0, 1]
         assert abs(corr) > 0.9999  # same principal axis (sign may differ)
+
+
+class TestNewOpsEmptyInputs:
+    def test_interval_join_empty_sides(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import broadcast_interval_join_agg
+
+        ev = rd.from_arrow(pa.table({"ts": pa.array([1, 2], pa.int64()), "value": pa.array([1.0, 2.0])}))
+        no_windows = pa.table(
+            {"window_id": pa.array([], pa.int64()), "start": pa.array([], pa.int64()), "end": pa.array([], pa.int64())}
+        )
+        assert broadcast_interval_join_agg(ev, no_windows, ts_col="ts", value_col="value").count() == 0
+        no_events = rd.from_arrow(pa.table({"ts": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}))
+        win = pa.table(
+            {"window_id": pa.array([1], pa.int64()), "start": pa.array([0], pa.int64()), "end": pa.array([10], pa.int64())}
+        )
+        assert broadcast_interval_join_agg(no_events, win, ts_col="ts", value_col="value").count() == 0
+
+    def test_centroids_and_pca_empty(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.similarity import grouped_centroids, pca_project
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "label": pa.array([], pa.int32()),
+                }
+            )
+        )
+        assert grouped_centroids(empty).count() == 0
+        out = pca_project(empty)
+        assert out.num_rows == 0 and out.column_names == ["vec_id", "pc1_proj_4dp"]
+
+    def test_heavy_hitters_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import heavy_hitter_topk
+
+        empty = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+        out = heavy_hitter_topk(empty, k=5, num_partitions=2)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(df) == 0
