@@ -41,6 +41,8 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ._partitions import auto_num_partitions
 import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
@@ -592,7 +594,7 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partiti
         # than in compute; ~100k edge rows per shuffle partition keeps
         # partitions batch-sized at any scale (measured: 47s -> 14s on a
         # 257-node graph, driver-equivalence tests unchanged)
-        num_partitions = max(2, min(256, n_edges // 100_000 + 1))
+        num_partitions = auto_num_partitions(n_edges)
     # initial label = min(self, min neighbor)
     labels = (
         edges.groupby("node")

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ._partitions import auto_num_partitions
 import pyarrow.compute as pc
 
 
@@ -36,7 +38,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10, num_partitions: 
     edges = edges_ds.materialize()
     n_edges = edges.count()
     if num_partitions is None:
-        num_partitions = max(2, min(256, n_edges // 100_000 + 1))
+        num_partitions = auto_num_partitions(n_edges)
 
     # node universe = src ∪ dst, with out-degree (0 for sinks)
     def srcs(t: pa.Table) -> pa.Table:

@@ -570,7 +570,12 @@ def pca_project(ds, id_col: str = "vec_id", emb_col: str = "embedding", scale: i
     # an empty dataset never invokes the UDF, so the frame can lack columns
     n = int(mom["n"].sum()) if "n" in mom.columns else 0
     if n == 0:
-        return pa.table({id_col: pa.array([], pa.int64()), "pc1_proj_4dp": pa.array([], pa.int64())})
+        import ray.data
+
+        # Dataset on every path (callers must not duck-type the return)
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "pc1_proj_4dp": pa.array([], pa.int64())})
+        )
     s = np.sum(np.stack(mom["s"].to_numpy()), axis=0)
     xtx = np.sum(np.stack(mom["xtx"].to_numpy()), axis=0)
     d = len(s)

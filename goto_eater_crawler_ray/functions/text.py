@@ -19,6 +19,8 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ._partitions import auto_num_partitions
 import pyarrow.compute as pc
 
 STOPWORDS = ("the", "a", "of", "to", "and")  # fixed, mirrored in oracle SQL
@@ -403,7 +405,7 @@ def heavy_hitter_topk(
         # parquet reads); also keeps the shuffle partition count at or
         # below the group-domain size for small corpora, so no hash
         # partition is empty (schema-less RefBundle log noise)
-        num_partitions = max(2, min(256, docs_ds.count() // 100_000 + 1))
+        num_partitions = auto_num_partitions(docs_ds.count())
 
     def sketch_partials(t: pa.Table) -> pa.Table:
         _, toks = _split_tokens(t)
@@ -450,8 +452,33 @@ def heavy_hitter_topk(
         .limit(k)
         .to_pandas()
     )
+    def exact_fallback() -> pa.Table:
+        """Full-domain exact top-k — correctness never depends on the
+        sketch bound."""
+
+        def count_partials(t: pa.Table) -> pa.Table:
+            _, toks = _split_tokens(t)
+            vc = toks.to_pandas().value_counts()
+            return pa.table({"token": pa.array(vc.index, pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())})
+
+        return (
+            docs_ds.map_batches(count_partials, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby("token", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="c"))
+            .sort(["c", "token"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+            .pipe(pa.Table.from_pandas, preserve_index=False)
+        )
+
     if len(top_est) == 0:
-        return pa.table({"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        if slack == 0:
+            # nothing was truncated anywhere -> the corpus truly has no tokens
+            return pa.table({"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        # every batch truncated everything away (capacity below the batch
+        # token-tail): the sketch carries no signal — go exact
+        return exact_fallback()
     kth_lower = int(top_est["est"].iloc[-1])
     cands_ds = merged.map_batches(
         lambda t: t.filter(
@@ -483,21 +510,11 @@ def heavy_hitter_topk(
         .limit(k)
     )
     out = exact.to_pandas()
-    if len(out) == k and int(out["c"].iloc[-1]) <= slack:
-        # sketch bound too loose for this corpus/capacity: exact fallback
-        def count_partials(t: pa.Table) -> pa.Table:
-            _, toks = _split_tokens(t)
-            vc = toks.to_pandas().value_counts()
-            return pa.table({"token": pa.array(vc.index, pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())})
-
-        return (
-            docs_ds.map_batches(count_partials, batch_format="pyarrow")
-            .repartition(num_partitions)
-            .groupby("token", num_partitions=num_partitions)
-            .aggregate(Sum("c", alias_name="c"))
-            .sort(["c", "token"], descending=[True, False])
-            .limit(k)
-        )
+    if slack > 0 and (len(out) < k or int(out["c"].iloc[-1]) <= slack):
+        # sketch bound too loose for this corpus/capacity: fewer than k
+        # candidates survived, or an unsketched token (count ≤ slack)
+        # could still belong in the top-k — go exact
+        return exact_fallback()
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions._partitions import auto_num_partitions
+
 
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -561,7 +563,7 @@ def q_dedup_filter(sf_dir: str):
     keep = exact_dedup(docs.select_columns(["doc_id", "text"])).select_columns(["keep_id"])
     # shuffle partitions sized to the corpus (parquet row count is
     # metadata-cheap): ~100k rows/partition, like the CC auto-sizing
-    n_parts = max(2, min(256, docs.count() // 100_000 + 1))
+    n_parts = auto_num_partitions(docs.count())
     joined = docs.join(keep, join_type="inner", num_partitions=n_parts, on=("doc_id",), right_on=("keep_id",))
     return joined.select_columns(["doc_id", "text", "lang"])
 
@@ -1313,7 +1315,7 @@ def q_anti_join_customers(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_o"))
     )
-    n_parts = max(2, min(64, cust.count() // 100_000 + 1))
+    n_parts = auto_num_partitions(cust.count(), cap=64)
     return _null_anti_join(cust, f_orders, n_parts, on="c_custkey", right_on="o_custkey", marker="n_o")
 
 
@@ -1710,7 +1712,7 @@ def q_span_media_resolve(sf_dir: str):
         batch_format="pyarrow",
     )
     n_docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"]).count()
-    n_parts = max(2, min(256, n_docs // 100_000 + 1))
+    n_parts = auto_num_partitions(n_docs)
     joined = img.join(media, join_type="inner", num_partitions=n_parts, on=("ref_doc_id",), right_on=("m_doc_id",))
     return joined.select_columns(["doc_id", "offset", "media_ref", "media_len"])
 
@@ -1751,21 +1753,31 @@ def q_interval_join_events(sf_dir: str):
     for the scale contract and the large-large binning variant."""
     from ..functions.window import broadcast_interval_join_agg
 
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "value"])
-    anchors = ev.map_batches(
-        lambda t: t.filter(
-            pa.array(t.column("event_id").to_numpy(zero_copy_only=False) % 100 == 0)
-        ).select(["event_id", "ts"]),
-        batch_format="pyarrow",
-    ).to_pandas()
+    # anchor pass prunes to the two columns it needs, and the ts -> int64
+    # conversion happens in Arrow (timestamp[us] cast) BEFORE to_pandas, so
+    # the unit can never silently diverge from the probe side's cast
+    anchors = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                }
+            ).filter(pa.array(t.column("event_id").to_numpy(zero_copy_only=False) % 100 == 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     hour_us = 3_600_000_000
     win = pa.table(
         {
             "window_id": pa.array(anchors["event_id"].to_numpy(), pa.int64()),
-            "start": pa.array(anchors["ts"].astype("int64").to_numpy(), pa.int64()),
-            "end": pa.array(anchors["ts"].astype("int64").to_numpy() + hour_us, pa.int64()),
+            "start": pa.array(anchors["ts_us"].to_numpy(), pa.int64()),
+            "end": pa.array(anchors["ts_us"].to_numpy() + hour_us, pa.int64()),
         }
     )
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
     out = broadcast_interval_join_agg(ev, win, ts_col="ts", value_col="value")
     return out.map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
 
@@ -1891,7 +1903,7 @@ def q_decontaminate(sf_dir: str):
         )
     )
     # join shuffle sized to the corpus (gram rows ~ tokens - 3 per doc)
-    n_parts = max(2, min(256, docs.count() // 10_000 + 1))
+    n_parts = auto_num_partitions(docs.count(), rows_per_part=10_000)
     joined = test_g.join(train_g, join_type="inner", num_partitions=n_parts, on=("gram",))
     return joined.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
 
@@ -1944,7 +1956,7 @@ def q_near_dedup_filter(sf_dir: str):
     # crash: an all-empty losers side reaches the join with no schema
     if losers_ds.count() == 0:
         return docs
-    n_parts = max(2, min(64, docs.count() // 100_000 + 1))
+    n_parts = auto_num_partitions(docs.count(), cap=64)
     return _null_anti_join(docs, losers_ds, n_parts, on="doc_id", right_on="loser_id", marker="is_dup")
 
 

@@ -1249,7 +1249,8 @@ class TestNewOpsEmptyInputs:
         )
         assert grouped_centroids(empty).count() == 0
         out = pca_project(empty)
-        assert out.num_rows == 0 and out.column_names == ["vec_id", "pc1_proj_4dp"]
+        assert out.count() == 0  # Dataset on the empty path too
+        assert [f.name for f in out.schema().base_schema] == ["vec_id", "pc1_proj_4dp"]
 
     def test_heavy_hitters_empty_corpus(self, ray_session):
         import ray.data as rd
@@ -1260,3 +1261,33 @@ class TestNewOpsEmptyInputs:
         out = heavy_hitter_topk(empty, k=5, num_partitions=2)
         df = out.to_pandas() if hasattr(out, "to_pandas") else out
         assert len(df) == 0
+
+    def test_heavy_hitters_all_truncated_falls_back(self, ray_session):
+        """Review repro: capacity below every batch's token tail -> the
+        sketch carries nothing but sentinels; must fall back to exact."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import heavy_hitter_topk
+
+        # 6 docs x 10 distinct tokens, each token once per doc (count 6 each)
+        docs = [" ".join(f"t{i}" for i in range(10)) for _ in range(6)]
+        ds = rd.from_items([{"text": d} for d in docs])
+        out = heavy_hitter_topk(ds, k=5, capacity=3, num_partitions=2)
+        df = out.to_pandas()
+        assert len(df) == 5 and (df["c"] == 6).all()
+        assert df["token"].tolist() == ["t0", "t1", "t2", "t3", "t4"]  # count tie -> token asc
+
+    def test_heavy_hitters_fewer_than_k_candidates_falls_back(self, ray_session):
+        """Review repro: one dominant token survives the sketch but k-1
+        singletons are all truncated -> len(out) < k must trigger exact."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import heavy_hitter_topk
+
+        text = " ".join(["big"] * 25) + " " + " ".join(f"s{i}" for i in range(40))
+        ds = rd.from_items([{"text": text}])
+        out = heavy_hitter_topk(ds, k=5, capacity=3, num_partitions=2)
+        df = out.to_pandas()
+        assert len(df) == 5
+        assert df["token"].iloc[0] == "big" and df["c"].iloc[0] == 25
+        assert df["token"].iloc[1:].tolist() == ["s0", "s1", "s10", "s11"] and (df["c"].iloc[1:] == 1).all()
