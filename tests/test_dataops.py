@@ -1291,3 +1291,45 @@ class TestNewOpsEmptyInputs:
         assert len(df) == 5
         assert df["token"].iloc[0] == "big" and df["c"].iloc[0] == 25
         assert df["token"].iloc[1:].tolist() == ["s0", "s1", "s10", "s11"] and (df["c"].iloc[1:] == 1).all()
+
+
+class TestDocSpansReference:
+    def test_nested_spans_match_python_reference_and_roundtrip(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_spans, q_doc_spans_flat
+
+        texts = {
+            1: "",                                    # empty doc -> 0 spans
+            2: "   \t  ",                             # whitespace-only -> 0 spans
+            3: " ".join(f"w{i}" for i in range(10)),  # exactly one full span
+            4: "  a   b  ",                           # ragged whitespace
+            5: " ".join(f"w{i}" for i in range(51)),  # 6 spans, 6th has 1 word
+            6: " ".join("日本語" for _ in range(12)),   # multibyte
+        }
+        pq.write_table(
+            pa.table({"doc_id": list(texts), "text": list(texts.values())}), tmp_path / "documents.parquet"
+        )
+        nested = {r["doc_id"]: r["spans"] for r in q_doc_spans(str(tmp_path)).take_all()}
+        for did, text in texts.items():
+            words = text.split()
+            want = []
+            for i in range((len(words) + 9) // 10):
+                is_img = i % 5 == 4
+                want.append(
+                    {
+                        "kind": "image" if is_img else "text",
+                        "text": " ".join(words[i * 10 : i * 10 + 10]),
+                        "media_ref": f"media://{did}/{i}" if is_img else "",
+                        "offset": i,
+                    }
+                )
+            assert nested[str(did)] == want, f"doc {did}"
+        # flat projection is exactly the flattened nested form (round-trip)
+        flat = q_doc_spans_flat(str(tmp_path)).to_pandas()
+        rebuilt = {
+            did: [dict(kind=k, text=t, media_ref=m, offset=o) for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"], g["offset"])]
+            for did, g in flat.sort_values(["doc_id", "offset"]).groupby("doc_id")
+        }
+        for did in texts:
+            assert rebuilt.get(str(did), []) == nested[str(did)]
