@@ -175,6 +175,8 @@ def main() -> None:
         "interval_join_events",
         "span_media_resolve",
         "heavy_hitters",
+        "label_centroids",
+        "embedding_pca",
     ]
     qtimes = {}
     for name in bench_queries:
