@@ -240,6 +240,68 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_rollup(sf_dir: str):
+    """Hierarchical ROLLUP totals — (event_type, hour) -> (event_type) ->
+    grand total, the three-level report shape of ``GROUP BY ROLLUP``.
+    Expressed Ray-Data-first as three groupby aggregates UNIONed (each a
+    partial-combined shuffle over the same scan), with rollup levels
+    marked by sentinel values ('__all__' / hour -1) so the SQL twin's
+    COALESCE produces identical columns.  The two coarser levels
+    re-aggregate the FINE level's tiny output (never the raw table), so
+    the corpus is scanned and shuffled exactly once."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.divide(pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64()), 3_600_000_000), pa.int64())
+        return pa.table({"event_type": t["event_type"], "hour_epoch": hour, "value": t["value"]})
+
+    fine = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .materialize()  # tiny (types x hours); feeds both coarser levels
+    )
+    by_type = (
+        # consolidate the tiny inputs first: Ray's aggregate emits
+        # schema-less empty blocks when groups < input blocks
+        fine.repartition(2)
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(
+            lambda t: t.append_column("hour_epoch", pa.array(np.full(t.num_rows, -1), pa.int64())).select(
+                ["event_type", "hour_epoch", "n_events", "sum_value"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    grand = by_type.repartition(1).groupby(None).aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": pa.array(["__all__"] * t.num_rows, pa.string()),
+                "hour_epoch": pa.array([-1] * t.num_rows, pa.int64()),
+                "n_events": t.column("n_events"),
+                "sum_value": t.column("sum_value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    fine_sel = fine.map_batches(
+        lambda t: t.select(["event_type", "hour_epoch", "n_events", "sum_value"]), batch_format="pyarrow"
+    )
+    out = fine_sel.union(by_type).union(grand)
+    return out.map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT), -1) AS hour_epoch,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+"""
+
+
 def q_events_top_users(sf_dir: str):
     """Per-event-type top-3 users by total value (groupby + map_groups —
     the window-function shape)."""
@@ -1978,6 +2040,7 @@ QUERIES = {
     "parts_by_brand": q_parts_by_brand,
     "sorted_topn": q_sorted_topn,
     "events_hourly": q_events_hourly,
+    "events_rollup": q_events_rollup,
     "events_top_users": q_events_top_users,
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
@@ -2049,6 +2112,7 @@ ORACLES = {
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "sorted_topn": SQL_SORTED_TOPN,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "events_top_users": SQL_EVENTS_TOP_USERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

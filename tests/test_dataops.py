@@ -1333,3 +1333,17 @@ class TestDocSpansReference:
         }
         for did in texts:
             assert rebuilt.get(str(did), []) == nested[str(did)]
+
+
+class TestEventsRollup:
+    def test_levels_are_consistent(self, ray_session):
+        from goto_eater_crawler_ray.pipelines.queries import q_events_rollup
+
+        df = q_events_rollup("/root/testdata/sf0.001").to_pandas()
+        fine = df[(df["event_type"] != "__all__") & (df["hour_epoch"] != -1)]
+        by_type = df[(df["event_type"] != "__all__") & (df["hour_epoch"] == -1)]
+        grand = df[df["event_type"] == "__all__"]
+        assert len(grand) == 1
+        assert grand["n_events"].iloc[0] == fine["n_events"].sum() == by_type["n_events"].sum()
+        for et, g in fine.groupby("event_type"):
+            assert by_type.loc[by_type["event_type"] == et, "n_events"].iloc[0] == g["n_events"].sum()
