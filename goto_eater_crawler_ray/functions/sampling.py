@@ -29,16 +29,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def md5_buckets(vals, mod: int = 100) -> np.ndarray:
-    """Deterministic bucket in [0, mod) per value — md5(str(v)) first 8
-    bytes LE, the value DuckDB's ``md5_number_upper(CAST(v AS VARCHAR))``
-    yields, reduced mod `mod`."""
+def md5_u64(vals) -> np.ndarray:
+    """Raw 64-bit key hash — md5(str(v)) first 8 bytes LE, EXACTLY
+    DuckDB's ``md5_number_upper(CAST(v AS VARCHAR))`` (uint64)."""
     if isinstance(vals, (pa.Array, pa.ChunkedArray)):
         vals = vals.to_pylist()
     out = np.empty(len(vals), dtype=np.uint64)
     for i, v in enumerate(vals):
         out[i] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
-    return (out % np.uint64(mod)).astype(np.int64)
+    return out
+
+
+def md5_buckets(vals, mod: int = 100) -> np.ndarray:
+    """Deterministic bucket in [0, mod) per value — md5(str(v)) first 8
+    bytes LE, the value DuckDB's ``md5_number_upper(CAST(v AS VARCHAR))``
+    yields, reduced mod `mod`."""
+    return (md5_u64(vals) % np.uint64(mod)).astype(np.int64)
 
 
 def hash_sample(ds, id_col: str, pct: int, mod: int = 100):

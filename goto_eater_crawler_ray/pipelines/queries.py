@@ -1718,6 +1718,41 @@ def q_embedding_pca(sf_dir: str):
     return pca_project(ds)
 
 
+def q_doc_shuffle(sf_dir: str):
+    """Deterministic GLOBAL training-data shuffle: every document's
+    position in the md5-keyed pseudo-random order — reproducible across
+    runs, widths and repartitioning (position is a pure function of the
+    corpus, like the hash splits).  Ranks come from the distributed
+    two-pass scan (``functions/scan.py``): key-range partition on the
+    64-bit hash, n_parts partition counts to the driver, broadcast
+    offsets + local cumsum — one shuffle, no global sort materialized.
+    SQL twin: ``row_number() OVER (ORDER BY md5_number_upper(...))``."""
+    from ..functions.sampling import md5_u64
+    from ..functions.scan import prefix_sum
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        k = md5_u64(t.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "_skey": pa.array(k, pa.uint64()),
+                "_one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    ranked = prefix_sum(docs.map_batches(with_key, batch_format="pyarrow"), "_skey", "_one", out_col="shuffle_pos")
+    return ranked.select_columns(["doc_id", "shuffle_pos"])
+
+
+SQL_DOC_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR))) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact corpus top-20 tokens via the mergeable heavy-hitter sketch +
     exact-recount two-pass (see
@@ -2098,6 +2133,7 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "span_media_resolve": q_span_media_resolve,
     "heavy_hitters": q_heavy_hitters,
+    "doc_shuffle": q_doc_shuffle,
     "label_centroids": q_label_centroids,
     "embedding_pca": q_embedding_pca,
     "crawl_pagerank": q_crawl_pagerank,
@@ -2154,6 +2190,7 @@ ORACLES = {
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     "span_media_resolve": SQL_SPAN_MEDIA_RESOLVE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "doc_shuffle": SQL_DOC_SHUFFLE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

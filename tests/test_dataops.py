@@ -1347,3 +1347,18 @@ class TestEventsRollup:
         assert grand["n_events"].iloc[0] == fine["n_events"].sum() == by_type["n_events"].sum()
         for et, g in fine.groupby("event_type"):
             assert by_type.loc[by_type["event_type"] == et, "n_events"].iloc[0] == g["n_events"].sum()
+
+
+class TestDocShuffle:
+    def test_permutation_and_partition_stability(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_shuffle
+
+        n = 300
+        pq.write_table(pa.table({"doc_id": list(range(n)), "text": ["x"] * n}), tmp_path / "documents.parquet")
+        df = q_doc_shuffle(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert sorted(df["shuffle_pos"]) == list(range(n))  # exact permutation
+        assert df["shuffle_pos"].tolist() != list(range(n))  # actually shuffled
+        again = q_doc_shuffle(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert df["shuffle_pos"].tolist() == again["shuffle_pos"].tolist()  # deterministic
