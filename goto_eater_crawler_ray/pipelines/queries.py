@@ -1718,6 +1718,61 @@ def q_embedding_pca(sf_dir: str):
     return pca_project(ds)
 
 
+def q_bloom_join_revenue(sf_dir: str):
+    """Bloom-filter semi-join reduction (``functions/bloomjoin.py``):
+    revenue per high-value order.  The small side (orders >400k) builds a
+    broadcast bloom; the corpus-sized lineitem probe drops non-matching
+    rows batch-locally BEFORE any exchange, pre-aggregates revenue per
+    order per batch (combiner), and only then hash-joins the exact small
+    side — so the shuffle carries the ~matching partials, not the whole
+    probe table.  False positives survive the bloom but are removed by
+    the exact join: the result is identical to the plain SQL join."""
+    import ray
+
+    from ..functions.bloomjoin import bloom_filter_probe, build_bloom
+
+    orders_small = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    bloom_ref = ray.put(build_bloom(orders_small, "o_orderkey"))
+    probe = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    pruned = bloom_filter_probe(probe, "l_orderkey", bloom_ref)
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        # per-ROW integer scaling (the filter_revenue formula verbatim):
+        # integer partials sum order-independently, so the distributed
+        # aggregation is hash-exact against the SQL twin by construction
+        rev = pc.cast(
+            pc.round(pc.multiply(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])), 10000.0)),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {"l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False), "rev": rev.to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()), "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
+
+    partials = pruned.map_batches(partial_rev, batch_format="pyarrow")
+    n_parts = auto_num_partitions(orders_small.count(), cap=64)
+    joined = partials.join(orders_small, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": pc.cast(t.column("revenue"), pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BLOOM_JOIN_REVENUE = """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o.o_orderkey
+"""
+
+
 def q_doc_shuffle(sf_dir: str):
     """Deterministic GLOBAL training-data shuffle: every document's
     position in the md5-keyed pseudo-random order — reproducible across
@@ -2134,6 +2189,7 @@ QUERIES = {
     "span_media_resolve": q_span_media_resolve,
     "heavy_hitters": q_heavy_hitters,
     "doc_shuffle": q_doc_shuffle,
+    "bloom_join_revenue": q_bloom_join_revenue,
     "label_centroids": q_label_centroids,
     "embedding_pca": q_embedding_pca,
     "crawl_pagerank": q_crawl_pagerank,
@@ -2191,6 +2247,7 @@ ORACLES = {
     "span_media_resolve": SQL_SPAN_MEDIA_RESOLVE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "doc_shuffle": SQL_DOC_SHUFFLE,
+    "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -1362,3 +1362,32 @@ class TestDocShuffle:
         assert df["shuffle_pos"].tolist() != list(range(n))  # actually shuffled
         again = q_doc_shuffle(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert df["shuffle_pos"].tolist() == again["shuffle_pos"].tolist()  # deterministic
+
+
+class TestBloomJoin:
+    def test_probe_keeps_all_matches_and_prunes_most_nonmatches(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.bloomjoin import bloom_filter_probe, build_bloom
+
+        build_keys = list(range(0, 2000, 20))  # 100 keys
+        build = rd.from_arrow(pa.table({"k": pa.array(build_keys, pa.int64())}))
+        probe = rd.from_arrow(pa.table({"k": pa.array(range(2000), pa.int64()), "v": pa.array(range(2000), pa.int64())}))
+        bloom_ref = ray.put(build_bloom(build, "k"))
+        kept = bloom_filter_probe(probe, "k", bloom_ref).to_pandas()
+        # NO false negatives: every true match survives
+        assert set(build_keys) <= set(kept["k"])
+        # false-positive rate bounded: prunes the overwhelming majority
+        assert len(kept) < 100 + 0.05 * 2000
+        # values ride through untouched
+        assert (kept["k"] == kept["v"]).all()
+
+    def test_build_side_gate(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.bloomjoin import build_bloom
+
+        big = rd.from_arrow(pa.table({"k": pa.array(range(100), pa.int64())}))
+        with pytest.raises(ValueError, match="max_build_rows"):
+            build_bloom(big, "k", max_build_rows=50)
