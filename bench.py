@@ -177,6 +177,9 @@ def main() -> None:
         "heavy_hitters",
         "label_centroids",
         "embedding_pca",
+        "events_rollup",
+        "doc_shuffle",
+        "bloom_join_revenue",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -1731,9 +1731,13 @@ def q_bloom_join_revenue(sf_dir: str):
 
     from ..functions.bloomjoin import bloom_filter_probe, build_bloom
 
-    orders_small = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_orderkey"]),
-        batch_format="pyarrow",
+    orders_small = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # small by contract; read 4x (two counts, the bloom build, the join)
     )
     bloom_ref = ray.put(build_bloom(orders_small, "o_orderkey"))
     probe = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
