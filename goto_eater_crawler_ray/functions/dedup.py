@@ -355,7 +355,10 @@ class SimHasher:
         for i, w in enumerate(uniq):
             bts = w.encode("utf-8")
             h_uniq[i] = np.uint64((zlib.crc32(bts) << 32) | zlib.crc32(bts, 0xFACE))
-        contrib = (2 * ((h_uniq[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64) - 1)
+        # int8 is enough for the ±1 contributions; np.add.at upcasts
+        # against the int64 accumulator, cutting the transient
+        # (tokens x 64) gather 8x
+        contrib = (2 * ((h_uniq[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int8) - 1)
         acc = np.zeros((n, 64), np.int64)
         np.add.at(acc, parents, contrib[codes])
         sims = ((acc > 0).astype(np.uint64) << self.bits[None, :]).sum(axis=1, dtype=np.uint64)

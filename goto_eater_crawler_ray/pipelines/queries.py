@@ -245,8 +245,10 @@ def q_events_rollup(sf_dir: str):
     grand total, the three-level report shape of ``GROUP BY ROLLUP``.
     Expressed Ray-Data-first as three groupby aggregates UNIONed (each a
     partial-combined shuffle over the same scan), with rollup levels
-    marked by sentinel values ('__all__' / hour -1) so the SQL twin's
-    COALESCE produces identical columns.  The two coarser levels
+    marked by sentinel values ('__all__' / hour -1) plus an unambiguous
+    ``lvl`` marker column (0/1/3 == the SQL twin's
+    ``grouping(a)*2 + grouping(b)``, so real data colliding with a
+    sentinel value can never masquerade as a total).  The two coarser levels
     re-aggregate the FINE level's tiny output (never the raw table), so
     the corpus is scanned and shuffled exactly once."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
@@ -262,23 +264,26 @@ def q_events_rollup(sf_dir: str):
         .materialize()  # tiny (types x hours); feeds both coarser levels
     )
     by_type = (
-        # consolidate the tiny inputs first: Ray's aggregate emits
-        # schema-less empty blocks when groups < input blocks
-        fine.repartition(2)
+        # consolidate the tiny input to ONE block first: Ray's aggregate
+        # emits schema-less empty blocks when groups < input blocks (a
+        # single distinct event_type would still trip a 2-block input)
+        fine.repartition(1)
         .groupby("event_type")
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
         .map_batches(
-            lambda t: t.append_column("hour_epoch", pa.array(np.full(t.num_rows, -1), pa.int64())).select(
-                ["event_type", "hour_epoch", "n_events", "sum_value"]
-            ),
+            lambda t: t.append_column("hour_epoch", pa.array(np.full(t.num_rows, -1), pa.int64()))
+            .append_column("lvl", pa.array(np.full(t.num_rows, 1), pa.int64()))
+            .select(["event_type", "hour_epoch", "lvl", "n_events", "sum_value"]),
             batch_format="pyarrow",
         )
+        .materialize()  # tiny (one row per type); feeds both the union and grand
     )
     grand = by_type.repartition(1).groupby(None).aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")).map_batches(
         lambda t: pa.table(
             {
                 "event_type": pa.array(["__all__"] * t.num_rows, pa.string()),
                 "hour_epoch": pa.array([-1] * t.num_rows, pa.int64()),
+                "lvl": pa.array([3] * t.num_rows, pa.int64()),
                 "n_events": t.column("n_events"),
                 "sum_value": t.column("sum_value"),
             }
@@ -286,7 +291,10 @@ def q_events_rollup(sf_dir: str):
         batch_format="pyarrow",
     )
     fine_sel = fine.map_batches(
-        lambda t: t.select(["event_type", "hour_epoch", "n_events", "sum_value"]), batch_format="pyarrow"
+        lambda t: t.append_column("lvl", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())).select(
+            ["event_type", "hour_epoch", "lvl", "n_events", "sum_value"]
+        ),
+        batch_format="pyarrow",
     )
     out = fine_sel.union(by_type).union(grand)
     return out.map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
@@ -295,6 +303,7 @@ def q_events_rollup(sf_dir: str):
 SQL_EVENTS_ROLLUP = """
 SELECT COALESCE(event_type, '__all__') AS event_type,
        COALESCE(CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT), -1) AS hour_epoch,
+       CAST(grouping(event_type) * 2 + grouping(date_trunc('hour', ts)) AS BIGINT) AS lvl,
        count(*) AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value
 FROM events

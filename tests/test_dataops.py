@@ -1336,13 +1336,13 @@ class TestDocSpansReference:
 
 
 class TestEventsRollup:
-    def test_levels_are_consistent(self, ray_session):
+    def test_levels_are_consistent(self, ray_session, sf_dir):
         from goto_eater_crawler_ray.pipelines.queries import q_events_rollup
 
-        df = q_events_rollup("/root/testdata/sf0.001").to_pandas()
-        fine = df[(df["event_type"] != "__all__") & (df["hour_epoch"] != -1)]
-        by_type = df[(df["event_type"] != "__all__") & (df["hour_epoch"] == -1)]
-        grand = df[df["event_type"] == "__all__"]
+        df = q_events_rollup(sf_dir).to_pandas()
+        fine = df[df["lvl"] == 0]
+        by_type = df[df["lvl"] == 1]
+        grand = df[df["lvl"] == 3]
         assert len(grand) == 1
         assert grand["n_events"].iloc[0] == fine["n_events"].sum() == by_type["n_events"].sum()
         for et, g in fine.groupby("event_type"):
