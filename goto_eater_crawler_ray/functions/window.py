@@ -282,3 +282,62 @@ def lag_delta_per_key(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(deltas, batch_format="pyarrow")
+
+
+def funnel_stages(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    out_col: str = "funnel_stage",
+    n_key_parts: int = 64,
+):
+    """Ordered funnel / sequence analysis: how far each key progressed
+    through ``steps`` IN ORDER — stage k means the first step-k event
+    STRICTLY after the key's first step-(k-1) event exists (the classic
+    product-analytics funnel; each later step must follow the earlier
+    one in time, not merely exist).
+
+    Same shape as :func:`rolling_mean_per_key`: ONE coarse hash shuffle
+    (key % n_key_parts), then each partition computes every key's stage
+    with segment-vectorized numpy — per step, a masked
+    ``np.minimum.reduceat`` finds each key's first qualifying timestamp,
+    broadcast back with ``np.repeat`` for the next step's strict-after
+    mask.  len(steps) reduceat passes, no per-key Python.
+
+    SQL twin: a chain of ``min(ts) ... WHERE ts > prev`` CTEs LEFT-JOINed
+    onto the distinct keys (mirrored strict inequality)."""
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    def stages(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema([part.schema.field(key_col), pa.field(out_col, pa.int64())])
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        types = part.column(type_col).to_pandas().to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys, ts, types = keys[order], ts[order], types[order]
+        seg_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        bounds = np.flatnonzero(seg_start)
+        seg_len = np.diff(np.append(bounds, n))
+        prev = np.full(len(bounds), -np.inf)  # stage-0 threshold: any time qualifies
+        stage = np.zeros(len(bounds), np.int64)
+        alive = np.ones(len(bounds), bool)
+        for step in steps:
+            # first ts of this step type STRICTLY after the key's previous-step ts
+            cand = np.where((types == step) & (ts > np.repeat(prev, seg_len)), ts, np.inf)
+            first = np.minimum.reduceat(cand, bounds)
+            first[seg_len == 0] = np.inf  # reduceat quirk guard (cannot occur: segments non-empty)
+            reached = alive & np.isfinite(first)
+            stage[reached] += 1
+            alive = reached
+            prev = np.where(reached, first, prev)
+        return pa.table({key_col: pa.array(keys[bounds]).cast(out_schema.field(key_col).type), out_col: pa.array(stage, pa.int64())})
+
+    return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(stages, batch_format="pyarrow")

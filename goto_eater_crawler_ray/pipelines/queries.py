@@ -311,6 +311,40 @@ GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (view -> click -> purchase): the stage each
+    user reached, where every later step must occur STRICTLY after the
+    user's first occurrence of the previous step — see
+    :func:`~goto_eater_crawler_ray.functions.window.funnel_stages`
+    (one coarse hash shuffle, segment-vectorized reduceat passes)."""
+    from ..functions.window import funnel_stages
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_events_top_users(sf_dir: str):
     """Per-event-type top-3 users by total value (groupby + map_groups —
     the window-function shape)."""
@@ -2144,6 +2178,7 @@ QUERIES = {
     "sorted_topn": q_sorted_topn,
     "events_hourly": q_events_hourly,
     "events_rollup": q_events_rollup,
+    "events_funnel": q_events_funnel,
     "events_top_users": q_events_top_users,
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
@@ -2218,6 +2253,7 @@ ORACLES = {
     "sorted_topn": SQL_SORTED_TOPN,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "events_top_users": SQL_EVENTS_TOP_USERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

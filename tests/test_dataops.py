@@ -1391,3 +1391,36 @@ class TestBloomJoin:
         big = rd.from_arrow(pa.table({"k": pa.array(range(100), pa.int64())}))
         with pytest.raises(ValueError, match="max_build_rows"):
             build_bloom(big, "k", max_build_rows=50)
+
+
+class TestFunnelStages:
+    def test_strict_ordering_semantics(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import funnel_stages
+
+        rows = []
+        # user 1: full ordered funnel -> stage 3
+        rows += [(1, 10, "view"), (1, 20, "click"), (1, 30, "purchase")]
+        # user 2: click BEFORE view -> stage 1 (click doesn't follow view)
+        rows += [(2, 10, "click"), (2, 20, "view")]
+        # user 3: click at the SAME ts as first view -> strict > fails -> stage 1
+        rows += [(3, 10, "view"), (3, 10, "click")]
+        # user 4: no view at all -> stage 0
+        rows += [(4, 10, "purchase"), (4, 20, "click")]
+        # user 5: later second view doesn't reset; purchase before click -> stage 2
+        rows += [(5, 10, "view"), (5, 15, "purchase"), (5, 20, "click"), (5, 5, "purchase"), (5, 40, "view")]
+        # user 6: purchase between view and click counts only if after first click
+        rows += [(6, 10, "view"), (6, 20, "click"), (6, 25, "purchase"), (6, 15, "purchase")]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+        out = funnel_stages(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]).to_pandas()
+        got = dict(zip(out["user_id"], out["funnel_stage"]))
+        assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2, 6: 3}
