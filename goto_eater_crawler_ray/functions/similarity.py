@@ -532,11 +532,15 @@ def grouped_centroids(ds, label_col: str = "label", emb_col: str = "embedding", 
 
     def finish(t: pa.Table) -> pa.Table:
         mean = t.column("s").to_numpy(zero_copy_only=False) / t.column("n").to_numpy(zero_copy_only=False)
+        # DuckDB round() is half AWAY from zero; np.round is half-to-even —
+        # a mean landing on an exact .5 centi-unit would hash-mismatch.
+        m = mean * scale
+        rounded = np.sign(m) * np.floor(np.abs(m) + 0.5)
         return pa.table(
             {
                 "label": t.column("label"),
                 "dim": t.column("dim"),
-                "centroid_4dp": pa.array(np.round(mean * scale).astype(np.int64), pa.int64()),
+                "centroid_4dp": pa.array(rounded.astype(np.int64), pa.int64()),
             }
         )
 

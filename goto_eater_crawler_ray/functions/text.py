@@ -608,6 +608,14 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 10, scale: int = 1_000_0
         Sum(f"m_{i}", alias_name=f"df_{i}") for i in range(nq)
     ]
     g = st.aggregate(*aggs)
+    if not g or not g.get("n"):
+        # empty corpus: no docs -> no corpus constants; return an empty
+        # (doc_id, score) dataset rather than dividing by n_docs == 0
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())})
+        )
     n_docs = float(g["n"])
     avgdl = float(g["sumdl"]) / n_docs
     idf = [float(np.log((n_docs - g[f"df_{i}"] + 0.5) / (g[f"df_{i}"] + 0.5) + 1.0)) for i in range(nq)]

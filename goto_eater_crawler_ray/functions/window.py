@@ -251,17 +251,23 @@ def lag_delta_per_key(
 
     Same shape as :func:`rolling_mean_per_key`: one coarse hash shuffle
     (key % n_key_parts), then an in-part lexsort + one vectorized shifted
-    subtraction across all key segments at once."""
+    subtraction across all key segments at once.  Output schema is
+    ``(key, *order_cols, value_col if distinct, out_col)`` — the value
+    column is carried through (deduped against key/order cols) so generic
+    callers don't silently lose it."""
 
     def part_key(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         return batch.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    carry_value = value_col not in (key_col, *order_cols)
 
     def deltas(part: pa.Table) -> pa.Table:
         n = part.num_rows
         out_schema = pa.schema(
             [part.schema.field(key_col)]
             + [part.schema.field(c) for c in order_cols]
+            + ([part.schema.field(value_col)] if carry_value else [])
             + [pa.field(out_col, pa.int64())]
         )
         if n == 0:
@@ -278,6 +284,8 @@ def lag_delta_per_key(
         cols = {key_col: keys, out_col: delta}
         for c, o in zip(order_cols, orders):
             cols[c] = o
+        if carry_value:
+            cols[value_col] = vals
         arrays = [pa.array(cols[f.name]).cast(f.type) for f in out_schema]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 

@@ -246,11 +246,15 @@ def q_events_rollup(sf_dir: str):
     Expressed Ray-Data-first as three groupby aggregates UNIONed (each a
     partial-combined shuffle over the same scan), with rollup levels
     marked by sentinel values ('__all__' / hour -1) plus an unambiguous
-    ``lvl`` marker column (0/1/3 == the SQL twin's
-    ``grouping(a)*2 + grouping(b)``, so real data colliding with a
-    sentinel value can never masquerade as a total).  The two coarser levels
-    re-aggregate the FINE level's tiny output (never the raw table), so
-    the corpus is scanned and shuffled exactly once."""
+    ``lvl`` marker column (0/1/3 == ``grouping(a)*2 + grouping(b)``, so
+    real data colliding with a sentinel value can never masquerade as a
+    total).  The two coarser levels re-aggregate the FINE level's tiny
+    output (never the raw table), so the corpus is scanned and shuffled
+    exactly once — and the fine float sums are scaled to int64
+    centi-units BEFORE the rollup, so the coarser levels are exact
+    integer sums (order-independent; hierarchical float re-addition
+    could flip ``round(sum*100)`` by an ulp at scale).  The SQL twin
+    mirrors the same fine-CTE + integer re-sum shape."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def window(t: pa.Table) -> pa.Table:
@@ -261,6 +265,8 @@ def q_events_rollup(sf_dir: str):
         ds.map_batches(window, batch_format="pyarrow")
         .groupby(["event_type", "hour_epoch"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        # int64 centi-units HERE, so every coarser level is an exact integer sum
+        .map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
         .materialize()  # tiny (types x hours); feeds both coarser levels
     )
     by_type = (
@@ -296,18 +302,26 @@ def q_events_rollup(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    out = fine_sel.union(by_type).union(grand)
-    return out.map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
+    return fine_sel.union(by_type).union(grand)
 
 
 SQL_EVENTS_ROLLUP = """
-SELECT COALESCE(event_type, '__all__') AS event_type,
-       COALESCE(CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT), -1) AS hour_epoch,
-       CAST(grouping(event_type) * 2 + grouping(date_trunc('hour', ts)) AS BIGINT) AS lvl,
-       count(*) AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value
-FROM events
-GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+WITH fine AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_epoch,
+         count(*) AS n_events,
+         CAST(round(sum(value) * 100) AS BIGINT) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_epoch, CAST(0 AS BIGINT) AS lvl, n_events, sum_value FROM fine
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(sum(n_events) AS BIGINT), CAST(sum(sum_value) AS BIGINT)
+FROM fine GROUP BY event_type
+UNION ALL
+SELECT '__all__', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(sum(n_events) AS BIGINT), CAST(sum(sum_value) AS BIGINT)
+FROM fine
 """
 
 
@@ -1670,23 +1684,37 @@ def q_events_zscore(sf_dir: str):
         .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"), Sum("n", alias_name="n"))
         .take_all()
     )  # |event types| rows — bounded category set, broadcast in the closure
-    params = {}
+    # Degenerate groups (n < 2, or zero variance) have no defined z-score;
+    # drop them here and in the SQL twin's WHERE so neither side emits
+    # inf/nan cast to garbage int64 rows.
+    keys, mus, sds = [], [], []
     for r in stats:
         n, s1, s2 = float(r["n"]), float(r["s1"]), float(r["s2"])
-        mu = s1 / n
-        sd = float(np.sqrt((s2 - s1 * s1 / n) / (n - 1.0)))
-        params[r["event_type"]] = (mu, sd)
+        if n < 2.0:
+            continue
+        var = (s2 - s1 * s1 / n) / (n - 1.0)
+        if var <= 0.0:
+            continue
+        keys.append(r["event_type"])
+        mus.append(s1 / n)
+        sds.append(float(np.sqrt(var)))
+    key_arr = pa.array(keys, pa.string())
+    mu_arr = np.asarray(mus, np.float64)
+    sd_arr = np.asarray(sds, np.float64)
 
     def zscore(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        mu = df["event_type"].map(lambda k: params[k][0]).to_numpy()
-        sd = df["event_type"].map(lambda k: params[k][1]).to_numpy()
-        z = (df["value"].to_numpy() - mu) / sd
+        # tiny-table lookup via pc.index_in — no per-row Python
+        idx = pc.index_in(t.column("event_type"), value_set=key_arr).to_numpy(zero_copy_only=False)
+        keep = idx >= 0  # rows of degenerate groups are skipped
+        idx = idx[keep]
+        v = t.column("value").to_numpy(zero_copy_only=False)[keep]
+        z = (v - mu_arr[idx]) / sd_arr[idx]
         zi = np.sign(z * 10_000.0) * np.floor(np.abs(z * 10_000.0) + 0.5)  # DuckDB round: half away from zero
+        mask = pa.array(keep)
         return pa.table(
             {
-                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
-                "event_type": pa.array(df["event_type"], pa.string()),
+                "event_id": pc.filter(t.column("event_id"), mask).cast(pa.int64()),
+                "event_type": pc.filter(t.column("event_type"), mask),
                 "z_4dp": pa.array(zi.astype(np.int64), pa.int64()),
             }
         )
@@ -1703,6 +1731,7 @@ SELECT e.event_id, e.event_type,
        CAST(round(10000 * ((e.value - s.s1 / s.n)
             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1.0)))) AS BIGINT) AS z_4dp
 FROM events e JOIN s USING (event_type)
+WHERE s.n > 1 AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1.0) > 0
 """
 
 
