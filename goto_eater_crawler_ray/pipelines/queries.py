@@ -119,27 +119,40 @@ FROM lineitem WHERE l_quantity > 45
 
 
 def q_top_customers(sf_dir: str):
-    """Top-10 customers by order total — groupby-sum + BROADCAST join of the
-    small customer/nation dims (ray.put once, read in tasks; no shuffle
-    join — SURVEY.md §2.6)."""
-    import ray
-
+    """Top-10 customers by order total — aggregate FIRST, then decorate the
+    10-row result (SURVEY.md §2.6).  The corpus-scaled customer dim is
+    never materialized on the driver: the 10 winning custkeys are
+    broadcast (closure literal, ~80 bytes) into a distributed filter
+    over `customer`, so only ≤10 dim rows ever reach the driver.  The
+    nation dim is a constant-size table (25 rows) and is read the same
+    filtered way for symmetry."""
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     totals = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
+    top = (
+        totals.sort(["total_spent", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(lambda t: _int_scale_col(t, "total_spent", 100), batch_format="pyarrow")
+        .to_pandas()  # 10 rows — the legal kind of driver materialization
+    )
 
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
-    nation = rd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    dim_ref = ray.put(dim.set_index("c_custkey")[["c_name", "n_name"]])
-
-    def enrich(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        df = df.join(d, on="o_custkey")
-        return df.rename(columns={"n_name": "nation_name"})
-
-    out = totals.map_batches(enrich, batch_format="pandas")
-    out = out.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
-    return out.map_batches(lambda t: _int_scale_col(t, "total_spent", 100), batch_format="pyarrow")
+    keys = pa.array(top["o_custkey"].to_numpy(), pa.int64())
+    cust = (
+        rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)), batch_format="pyarrow")
+        .to_pandas()  # ≤10 rows survive the distributed filter
+    )
+    nkeys = pa.array(cust["c_nationkey"].to_numpy(), pa.int64())
+    nation = (
+        rd.read_parquet(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+        .map_batches(lambda t: t.filter(pc.is_in(t["n_nationkey"], value_set=nkeys)), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.rename(columns={"n_name": "nation_name"})
+    out = out.sort_values(["total_spent", "o_custkey"], ascending=[False, True], kind="mergesort")
+    return out[["o_custkey", "total_spent", "n_orders", "c_name", "nation_name"]].reset_index(drop=True)
 
 
 SQL_TOP_CUSTOMERS = """
@@ -413,24 +426,66 @@ FROM events
 
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the streaming-
-    shaped op Ray Data lacks natively: groupby(user) + per-group pandas
-    over ts-sorted rows (ray_guide 'Streaming-shaped workloads')."""
+    shaped op Ray Data lacks natively, in the repo's segment-vectorized
+    window shape (`functions/window.py` pattern): ONE coarse hash
+    shuffle (user_id % n_parts) instead of a per-user group call, then
+    each of the ~n_parts partitions computes every user's sessions with
+    numpy (lexsort + gap mask + cumsum session ids + one `reduceat`
+    pass per aggregate) — no per-user Python at any corpus size."""
+    N_PARTS = 64
+    GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype("int64")
-        out = df.assign(session_id=sid).groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-            session_value=("value", "sum"),
-        )
-        out["session_value"] = np.round(out["session_value"].to_numpy() * 100).astype(np.int64)
-        return out[["user_id", "session_id", "session_start", "n_events", "session_value"]]
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def sessionize(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                pa.field("user_id", part.schema.field("user_id").type),
+                pa.field("session_id", pa.int64()),
+                pa.field("session_start", part.schema.field("ts").type),
+                pa.field("n_events", pa.int64()),
+                pa.field("session_value", pa.int64()),
+            ]
+        )
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = part.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = part.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ts_us, users))
+        u, t_, v = users[order], ts_us[order], vals[order]
+        seg_start = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([False], (t_[1:] - t_[:-1]) > GAP_US))
+        is_new = gap & ~seg_start
+        cum = np.cumsum(is_new)
+        first_idx = np.maximum.accumulate(np.where(seg_start, np.arange(n), 0))
+        sid = cum - cum[first_idx]  # session index within each user segment
+        b = seg_start | is_new  # one row per (user, session)
+        starts = np.flatnonzero(b)
+        n_events = np.diff(np.append(starts, n))
+        sv = np.add.reduceat(v, starts) * 100.0
+        sv_i = (np.sign(sv) * np.floor(np.abs(sv) + 0.5)).astype(np.int64)
+        ts_sorted = pc.take(part.column("ts").combine_chunks(), pa.array(order[starts]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(u[starts]).cast(out_schema.field("user_id").type),
+                pa.array(sid[starts], pa.int64()),
+                ts_sorted,
+                pa.array(n_events, pa.int64()),
+                pa.array(sv_i, pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_key_part")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -490,28 +545,47 @@ GROUP BY c_mktsegment
 
 def q_asof_join(sf_dir: str):
     """As-of join: for each 'error' event, the user's most recent 'click'
-    at or before it — pd.merge_asof inside per-user groups (ray_guide
-    'As-of / range join'); DuckDB twin uses native ASOF JOIN."""
+    at or before it — the repo's coarse-hash window shape (ray_guide
+    'As-of / range join'): ONE shuffle on user_id % n_parts, then a
+    single `pd.merge_asof(..., by="user_id")` per partition (vectorized
+    across ALL users in the partition — no per-user group call); DuckDB
+    twin uses native ASOF JOIN."""
+    N_PARTS = 64
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        err = df[df["event_type"] == "error"].sort_values("ts")
-        clk = df[df["event_type"] == "click"].sort_values("ts")
+    def part_key(t: pa.Table) -> pa.Table:
+        # only error/click rows participate — drop the rest BEFORE the shuffle
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["error", "click"])))
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
+
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        err = df[df["event_type"] == "error"].sort_values(["ts", "event_id"], kind="mergesort")
         if err.empty:
-            return pd.DataFrame({"event_id": [], "user_id": [], "error_ts": [], "last_click_ts": []})
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype=df["user_id"].dtype),
+                    "error_ts": pd.Series([], dtype=df["ts"].dtype),
+                    "last_click_ts": pd.Series([], dtype=df["ts"].dtype),
+                }
+            )
+        clk = df[df["event_type"] == "click"].sort_values("ts", kind="mergesort")
         j = pd.merge_asof(
             err[["event_id", "user_id", "ts"]].rename(columns={"ts": "error_ts"}),
-            clk[["ts"]].rename(columns={"ts": "last_click_ts"}),
+            clk[["user_id", "ts"]].rename(columns={"ts": "last_click_ts"}),
             left_on="error_ts",
             right_on="last_click_ts",
+            by="user_id",
             direction="backward",
         )
-        return j
+        j["event_id"] = j["event_id"].astype("int64")
+        return j[["event_id", "user_id", "error_ts", "last_click_ts"]]
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("event_id"), "event_id", pc.cast(t["event_id"], pa.int64())),
-        batch_format="pyarrow",
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_key_part")
+        .map_groups(asof_part, batch_format="pandas")
     )
 
 
