@@ -1151,6 +1151,52 @@ def q_crawl_documents(sf_dir: str):
     return pads.dataset(os.path.join(out, "documents")).to_table().sort_by("doc_id")
 
 
+def _canonical_table_md5(t: pa.Table) -> str:
+    """Canonical content hash of a (small) table: columns sorted by name,
+    each row rendered as '|'-joined ``str()`` values, rows sorted — the
+    same shape as the driver's value-hash, so a pin here is a pin of
+    exactly what the correctness gate would see."""
+    import hashlib
+
+    cols = sorted(t.column_names)
+    lists = [t.column(c).to_pylist() for c in cols]
+    rows = sorted("|".join(str(v) for v in vals) for vals in zip(*lists))
+    return hashlib.md5("\n".join(rows).encode("utf-8")).hexdigest()
+
+
+def q_crawl_determinism(sf_dir: str):
+    """Determinism PIN for the crawl engine: runs the golden-scale crawl
+    end-to-end and returns the canonical content hashes of its lineage
+    and documents tables as data.  The engine is bit-identical across
+    widths and runs (virtual clocks, never-expiring page store — the
+    reference's cached-rerun determinism, README.md:71-72), so the
+    hashes are CONSTANTS; the oracle twin is the frozen expected pair,
+    which turns the e2e determinism invariant into a hash-checked
+    correctness row.  If engine semantics change intentionally,
+    re-freeze via tools/freeze_crawl_pins.py."""
+    lineage = q_crawl_lineage(sf_dir)
+    documents = q_crawl_documents(sf_dir)
+    return pa.table(
+        {
+            "metric": pa.array(["documents_md5", "lineage_md5"], pa.string()),
+            "value": pa.array(
+                [_canonical_table_md5(documents), _canonical_table_md5(lineage)], pa.string()
+            ),
+        }
+    )
+
+
+# frozen by tools/freeze_crawl_pins.py (golden-scale crawl, any width)
+CRAWL_PIN_DOCUMENTS_MD5 = "d19e7f29ac448495423ed2ee83f19226"
+CRAWL_PIN_LINEAGE_MD5 = "09c90d430c4fb8e610d85acca8dda000"
+
+SQL_CRAWL_DETERMINISM = f"""
+SELECT 'documents_md5' AS metric, '{CRAWL_PIN_DOCUMENTS_MD5}' AS value
+UNION ALL
+SELECT 'lineage_md5', '{CRAWL_PIN_LINEAGE_MD5}'
+"""
+
+
 def q_doc_spans(sf_dir: str):
     """documents -> interleaved span documents (input_hint shape): text
     split into 10-word text spans with media refs every 5th span.
@@ -1349,6 +1395,62 @@ def q_kmeans_clusters(sf_dir: str):
     from ..functions.similarity import kmeans_clusters
 
     return kmeans_clusters(rd.read_parquet(_p(sf_dir, "embeddings")), n_clusters=8)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """K-means ASSIGNMENT against a frozen, offline-trained model (the
+    production curation shape: train once, score the whole corpus) —
+    unlike `kmeans_clusters`, the centroids here are literals
+    (`_kmeans_frozen.py`, trained by `ivf_train_centroids` on the
+    sf0.01 embeddings, k=8 seed=3), which makes the assignment a pure
+    per-row argmax expressible in DuckDB: the oracle twin scores
+    `list_inner_product` against the SAME 8x64 literals.  Argmax of
+    dot(x, c_i) — the l2-normalization of x scales every centroid's
+    score identically, so it is omitted on both sides and the arithmetic
+    is a plain float64 inner product.  Ties (near-impossible with
+    continuous data) break to the lowest cluster id on both sides."""
+    from ..functions.similarity import _as_matrix
+    from ._kmeans_frozen import CENTROIDS
+
+    C = np.asarray(CENTROIDS, np.float64)  # (8, 64) — closure literal, ~4 KB
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+        mat = _as_matrix(t.column("embedding"))
+        lab = (mat @ C.T).argmax(axis=1).astype(np.int64)  # argmax -> lowest index on ties
+        return pa.table({"vec_id": t.column("vec_id"), "cluster": pa.array(lab, pa.int64())})
+
+    return rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def _kmeans_assign_sql() -> str:
+    from ._kmeans_frozen import CENTROIDS
+
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(float(v)) for v in row))
+        for i, row in enumerate(CENTROIDS)
+    )
+    return f"""
+WITH cent(cid, v) AS (
+  SELECT * FROM (VALUES
+    {values}
+  )
+),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]), c.v) AS s
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, CAST(min(cid) FILTER (WHERE s = ms) AS BIGINT) AS cluster
+FROM (SELECT vec_id, cid, s, max(s) OVER (PARTITION BY vec_id) AS ms FROM sims)
+GROUP BY vec_id
+"""
+
+
+SQL_KMEANS_ASSIGN = _kmeans_assign_sql()
 
 
 def q_media_frames(sf_dir: str):
@@ -2322,6 +2424,8 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "tfidf": q_tfidf,
     "kmeans_clusters": q_kmeans_clusters,
+    "kmeans_assign": q_kmeans_assign,
+    "crawl_determinism": q_crawl_determinism,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -2401,6 +2505,8 @@ ORACLES = {
     "doc_shuffle": SQL_DOC_SHUFFLE,
     "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "crawl_determinism": SQL_CRAWL_DETERMINISM,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
