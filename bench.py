@@ -88,6 +88,16 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # per-task wall profile ON for the headline run (must be in the env
+    # BEFORE ray.init so raylet-spawned workers inherit it): the 16k-URL
+    # liny mega-host is in this corpus, so max/median task duration is the
+    # standing skew-mitigation evidence for the salted mega-host split
+    # (SURVEY §4.2) — with salting, no fetch task should be a straggler.
+    prof_dir = f"/dev/shm/bench_prof_cpu{ncpu}"
+    shutil.rmtree(prof_dir, ignore_errors=True)
+    os.makedirs(prof_dir, exist_ok=True)
+    os.environ["CRAWL_TASK_PROF"] = prof_dir
+
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR", log_to_driver=False)  # keep stdout = one JSON line
@@ -133,6 +143,34 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)  # tmpfs hygiene
     pages = totals["pages"]
     log(f"--- crawl: {pages} pages, {totals['waves']} waves, {crawl_sec:.1f}s = {pages / crawl_sec:.0f} pages/s")
+
+    # fetch-task skew from the per-task profile: max/median over tasks
+    # with substantial work (>= half the median rows; tail tasks that
+    # simply got fewer rows are not skew).  Evidence that the salted
+    # mega-host split keeps the 16k-URL host from creating stragglers.
+    task_skew = None
+    task_med = None
+    task_max = None
+    try:
+        import glob as _glob
+
+        recs = []
+        for fp in _glob.glob(os.path.join(prof_dir, "*.jsonl")):
+            with open(fp) as f:
+                recs += [json.loads(line) for line in f if line.strip()]
+        big = [r for r in recs if r["rows_in"] * 2 >= sorted(r2["rows_in"] for r2 in recs)[len(recs) // 2]]
+        if big:
+            secs = sorted(r["sec"] for r in big)
+            task_med = secs[len(secs) // 2]
+            task_max = secs[-1]
+            task_skew = round(task_max / task_med, 2) if task_med else None
+            log(f"--- fetch-task skew: {len(big)}/{len(recs)} full-size tasks, median {task_med:.3f}s, max {task_max:.3f}s, max/median {task_skew}")
+    except Exception as e:  # skew stats are evidence, never a bench failure
+        log(f"--- fetch-task skew: unavailable ({e})")
+    # prof dir removed at the very end of main(): workers spawned with
+    # CRAWL_TASK_PROF in their env keep appending during later crawl-family
+    # queries (crawl_pagerank), and the write path tolerates but shouldn't
+    # hit a missing dir mid-run
 
     # --- frontier admission rate (10^10-frontier machinery smoke) ------
     # measures the seen-set shard fleet's sustained admit throughput on
@@ -180,6 +218,14 @@ def main() -> None:
         "events_rollup",
         "doc_shuffle",
         "bloom_join_revenue",
+        "tfidf",
+        "events_funnel",
+        "events_quantiles_by_type",
+        "crawl_pagerank",
+        "events_sessionize",
+        "asof_join",
+        "kmeans_assign",
+        "top_customers",
     ]
     qtimes = {}
     for name in bench_queries:
@@ -194,6 +240,7 @@ def main() -> None:
         log(f"--- query {name}: {n} rows in {qtimes[name]}s")
 
     ray.shutdown()
+    shutil.rmtree(prof_dir, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -207,6 +254,9 @@ def main() -> None:
                 "crawl_waves": totals["waves"],
                 "crawl_pages_per_sec": round(pages / crawl_sec, 1),
                 "seen_admit_keys_per_sec": admit_rate,
+                "fetch_task_sec_median": task_med,
+                "fetch_task_sec_max": task_max,
+                "fetch_task_skew_max_over_median": task_skew,
                 "fetch_parse_sec": round(totals.get("fetch_parse_sec", crawl_sec), 3),
                 "fetch_parse_pages_per_sec": round(pages / max(totals.get("fetch_parse_sec", crawl_sec), 1e-9), 1),
             }

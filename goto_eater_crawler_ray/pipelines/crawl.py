@@ -219,8 +219,11 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         finally:
             gc.enable()
         if prof_dir:  # per-task wall profile (scaling attribution tool)
-            with open(os.path.join(prof_dir, f"{os.getpid()}.jsonl"), "a") as f:
-                f.write(json.dumps({"rows_in": batch.num_rows, "rows_out": len(out), "sec": round(time.perf_counter() - t0, 4)}) + "\n")
+            try:
+                with open(os.path.join(prof_dir, f"{os.getpid()}.jsonl"), "a") as f:
+                    f.write(json.dumps({"rows_in": batch.num_rows, "rows_out": len(out), "sec": round(time.perf_counter() - t0, 4)}) + "\n")
+            except OSError:
+                pass  # profiling must never break the pipeline (dir may be gone)
         return out
 
     def _fn_body(batch: pa.Table) -> pa.Table:

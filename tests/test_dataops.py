@@ -970,6 +970,24 @@ class TestPageRank:
             assert abs(got[n] - want[n]) < 1e-9, n
         assert abs(sum(got.values()) - 1.0) < 1e-9  # ranks stay a distribution
 
+    def test_distributed_path_matches_local_fast_path(self, ray_session):
+        # max_local_edges=0 forces the dataset-native loop; it must agree
+        # with the gated numpy path (and the reference power iteration)
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import pagerank
+
+        rng = np.random.default_rng(7)
+        edges = list({(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2)) if a != b})
+        edges += [(i, 30) for i in range(4)]  # dangling sink
+        ds = rd.from_items([{"src": s, "dst": t} for s, t in edges])
+        dist = pagerank(ds, n_iter=3, max_local_edges=0).to_pandas()
+        want = self._local(edges, n_iter=3)
+        got = dict(zip(dist["node"], dist["rank"]))
+        assert set(got) == set(want)
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, n
+
 
 class TestReviewRegressions:
     def test_near_dedup_filter_clean_corpus_is_noop(self, ray_session, tmp_path):
