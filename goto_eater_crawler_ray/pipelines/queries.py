@@ -1299,6 +1299,220 @@ FROM spans
 """
 
 
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window chunking with overlap (window 50 words, stride 25)
+    — the standard long-document training-data op: overlapping windows
+    so no boundary context is lost (BERT/stride convention: windows at
+    0, S, 2S, ...; the last window starts at the smallest multiple of S
+    whose window reaches the document end).
+
+    Overlap means chunk word-ranges are NOT a valid Arrow offsets
+    vector (offsets must tile), so unlike ``q_doc_spans`` this builds
+    an explicit flat gather index (repeat/cumsum arithmetic), then one
+    ``pc.take`` + one ``ListArray.from_arrays`` + one ``pc.binary_join``
+    per batch — still no per-row Python.  Oracle: the identical
+    list_slice windows in DuckDB."""
+    W, S = 50, 25
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    empty = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("chunk_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("chunk_text", pa.string()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        flat = wl.flatten()
+        off = wl.offsets.to_numpy().astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        csum = np.concatenate(([0], np.cumsum(keep)))
+        word_off = csum[off]  # per-doc offsets into kept-words
+        flat_kept = flat.filter(pa.array(keep))
+        n_words = np.diff(word_off)
+        n_chunks = np.where(n_words > 0, 1 + np.ceil(np.maximum(n_words - W, 0) / S).astype(np.int64), 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty.empty_table()
+        doc_idx = np.repeat(np.arange(t.num_rows), n_chunks)
+        chunk_off = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_id = np.arange(total) - np.repeat(chunk_off[:-1], n_chunks)
+        starts = chunk_id * S
+        ends = np.minimum(starts + W, n_words[doc_idx])
+        clens = ends - starts
+        # explicit flat gather (windows overlap -> can't reuse offsets)
+        nflat = int(clens.sum())
+        base = word_off[doc_idx] + starts
+        flat_idx = np.repeat(base, clens) + (np.arange(nflat) - np.repeat(np.cumsum(clens) - clens, clens))
+        chunk_words = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(clens))), pa.int32()),
+            pc.take(flat_kept, pa.array(flat_idx)),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), pa.array(doc_idx)).cast(pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "n_tokens": pa.array(clens, pa.int64()),
+                "chunk_text": pc.binary_join(chunk_words, " "),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS w
+  FROM documents
+),
+meta AS (SELECT doc_id, w, len(w) AS n FROM words WHERE len(w) > 0)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(least(i*25 + 50, n) - i*25 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, i*25 + 1, least(i*25 + 50, n)), ' ') AS chunk_text
+FROM meta, LATERAL (SELECT UNNEST(range(CAST(1 + ceil(greatest(n - 50, 0) / 25.0) AS BIGINT))) AS i)
+"""
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Int8-style scalar quantization of the embedding column (per-dim
+    corpus min/max -> 0..255 codes) — the standard ANN-index compression
+    step (4x smaller vectors before IVF/HNSW build).  Two streaming
+    passes: per-dim min/max partials per batch (d rows each) -> one tiny
+    groupby, then the 64-entry scale table rides in the closure while a
+    second pass quantizes every vector.  Oracle: identical
+    ``(x - mn) * 255 / (mx - mn)`` arithmetic over the UNNESTed column in
+    DuckDB, half-away rounding on both sides."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.similarity import _as_matrix
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "mn": pa.array([], pa.float64()), "mx": pa.array([], pa.float64())}
+            )
+        m = _as_matrix(t.column("embedding"))
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = (
+        ds.map_batches(minmax, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .take_all()
+    )  # d rows — broadcast in the closure
+    mm.sort(key=lambda r: r["dim"])
+    mn = np.array([r["mn"] for r in mm])
+    mx = np.array([r["mx"] for r in mm])
+    span = mx - mn
+
+    def quantize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()), "q": pa.array([], pa.int64())}
+            )
+        m = _as_matrix(t.column("embedding"))
+        n, d = m.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (m - mn) * 255.0 / span
+        x = np.where(span == 0, 0.0, x)
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)  # DuckDB round: half away
+        vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)
+),
+mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim)
+SELECT e.vec_id, e.dim,
+       CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                 ELSE round((e.x - mm.mn) * 255.0 / (mm.mx - mm.mn)) END AS BIGINT) AS q
+FROM e JOIN mm USING (dim)
+"""
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window counts — 15-minute windows advancing
+    every 5 minutes, the standard streaming-analytics window Ray Data
+    has no native operator for.  Each event lands in exactly W/S = 3
+    windows: the windows are materialized batch-locally (one tiled
+    numpy subtraction), pre-aggregated inside the batch (np.unique on
+    the (type, window) pair codes), and ONE small groupby-Sum carries
+    per-batch partials — the exchange is O(types x windows), never
+    O(events)."""
+    HOP, NWIN = 300, 3  # 5-min hop, 15-min window = 3 hops
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        sec = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = (sec // HOP) * HOP
+        types = t.column("event_type").combine_chunks()
+        codes, uniq = pd.factorize(types.to_pandas(), sort=False)
+        # window starts for every event x hop offset, then batch-local agg
+        ws = (base[:, None] - HOP * np.arange(NWIN)[None, :]).ravel()
+        tc = np.repeat(codes.astype(np.int64), NWIN)
+        pair = tc * (1 << 40) + (ws - ws.min())  # collision-free pair code
+        upair, counts = np.unique(pair, return_counts=True)
+        ut = upair >> 40
+        uw = (upair & ((1 << 40) - 1)) + ws.min()
+        return pa.table(
+            {
+                "event_type": pa.array(uniq[ut], pa.string()),
+                "window_start": pa.array(uw, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT event_type, ws AS window_start, count(*) AS n_events
+FROM (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - 300 * i AS ws
+  FROM events, LATERAL (SELECT UNNEST(range(3)) AS i)
+)
+GROUP BY event_type, ws
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2426,6 +2640,9 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "kmeans_assign": q_kmeans_assign,
     "crawl_determinism": q_crawl_determinism,
+    "doc_chunks": q_doc_chunks,
+    "embedding_quantize": q_embedding_quantize,
+    "events_hopping": q_events_hopping,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -2507,6 +2724,9 @@ ORACLES = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "crawl_determinism": SQL_CRAWL_DETERMINISM,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "events_hopping": SQL_EVENTS_HOPPING,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

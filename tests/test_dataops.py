@@ -989,6 +989,73 @@ class TestPageRank:
             assert abs(got[n] - want[n]) < 1e-9, n
 
 
+class TestDocChunks:
+    def test_overlap_and_boundaries(self, ray_session, tmp_path):
+        # 60 words -> windows [0:50] and [25:60]; 10 words -> one short
+        # window; empty/whitespace doc -> no chunks
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_chunks
+
+        words60 = " ".join(f"w{i}" for i in range(60))
+        words10 = " ".join(f"v{i}" for i in range(10))
+        pq.write_table(
+            pa.table({"doc_id": [1, 2, 3], "text": [words60, words10, "   "]}),
+            tmp_path / "documents.parquet",
+        )
+        out = q_doc_chunks(str(tmp_path)).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        assert list(out["doc_id"]) == [1, 1, 2]
+        assert list(out["n_tokens"]) == [50, 35, 10]
+        assert out.loc[0, "chunk_text"].split() == [f"w{i}" for i in range(50)]
+        assert out.loc[1, "chunk_text"].split() == [f"w{i}" for i in range(25, 60)]  # overlap [25:50] repeated
+        assert out.loc[2, "chunk_text"].split() == [f"v{i}" for i in range(10)]
+
+
+class TestEmbeddingQuantize:
+    def test_codes_span_0_255_and_roundtrip_error_bounded(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_embedding_quantize
+
+        rng = np.random.default_rng(11)
+        emb = rng.normal(size=(20, 4)).astype(np.float32)
+        emb[:, 3] = 7.0  # constant dim -> code 0 everywhere (span == 0 guard)
+        pq.write_table(
+            pa.table({"vec_id": pa.array(range(20), pa.int64()), "embedding": pa.array(list(emb), pa.list_(pa.float32()))}),
+            tmp_path / "embeddings.parquet",
+        )
+        out = q_embedding_quantize(str(tmp_path)).to_pandas()
+        assert len(out) == 80
+        for d in range(3):
+            col = out[out["dim"] == d]["q"]
+            assert col.min() == 0 and col.max() == 255  # min/max vectors hit the rails
+        assert (out[out["dim"] == 3]["q"] == 0).all()
+        # dequantized values reconstruct within half a step
+        m = emb[:, :3].astype(np.float64)
+        mn, mx = m.min(axis=0), m.max(axis=0)
+        q = out[out["dim"] < 3].sort_values(["vec_id", "dim"])["q"].to_numpy().reshape(20, 3)
+        deq = mn + q * (mx - mn) / 255.0
+        assert np.abs(deq - m).max() <= (mx - mn).max() / 255.0 / 2 + 1e-12
+
+
+class TestEventsHopping:
+    def test_each_event_lands_in_three_windows(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_hopping
+
+        ts = pa.array([1_000_000 * s for s in (0, 100, 299, 300, 899)], pa.timestamp("us"))
+        pq.write_table(
+            pa.table({"ts": ts, "event_type": pa.array(["a", "a", "b", "a", "b"])}),
+            tmp_path / "events.parquet",
+        )
+        out = q_events_hopping(str(tmp_path)).to_pandas()
+        assert out["n_events"].sum() == 15  # 5 events x 3 windows each
+        # window [0, 900) sees every event whose ts < 900
+        w0 = out[(out["window_start"] == 0)].set_index("event_type")["n_events"]
+        assert w0["a"] == 3 and w0["b"] == 2
+
+
 class TestReviewRegressions:
     def test_near_dedup_filter_clean_corpus_is_noop(self, ray_session, tmp_path):
         # zero near-dup pairs must be a no-op, not an empty-schema join crash
