@@ -75,6 +75,65 @@ def hash_split(ds, id_col: str, splits: list[tuple[str, int]], mod: int = 100):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_topk(ds, id_col: str, weight_col: str, k: int, scale: int = 1_000_000_000):
+    """Deterministic weighted sampling WITHOUT replacement, k items —
+    Efraimidis–Spirakis A-Res (the standard distributed weighted
+    reservoir): each row gets priority ``u ** (1/w)`` where ``u`` is a
+    hash-derived uniform in [0,1) (md5 of the key — reproducible across
+    runs, widths and partitionings, like every sampler in this module),
+    and the sample is the global top-k by priority.  The quality- /
+    length-weighted corpus subsample op.
+
+    Shape: priorities are batch-local, a per-batch top-k prune bounds
+    the exchange to O(blocks*k) rows, and one tiny sort+limit finishes —
+    the corpus never shuffles.  SQL twin: the identical
+    ``pow(md5_number_upper(...) % 2^53 / 2^53, 1/w)`` expression with
+    ORDER BY ... LIMIT k; priority emitted as a scaled int so the hash
+    compare is float-exact."""
+    M = float(1 << 53)
+
+    def pri(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        keep = w > 0  # zero/negative weight = never sampled (matches the twin's WHERE)
+        t = t.filter(pa.array(keep))
+        w = w[keep]
+        u = (md5_u64(t.column(id_col)) % np.uint64(1 << 53)).astype(np.float64) / M
+        p = np.power(u, 1.0 / w)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "weight": t.column(weight_col).cast(pa.int64()),
+                "p": pa.array(p, pa.float64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = np.lexsort((t.column(id_col).to_numpy(zero_copy_only=False), -t.column("p").to_numpy()))[:k]
+        return t.take(pa.array(order))
+
+    out = (
+        ds.map_batches(pri, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(["p", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy() * float(scale)
+        pi = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)  # DuckDB round: half away
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "weight": t.column("weight"),
+                "priority_9dp": pa.array(pi, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def stratified_sample(ds, id_col: str, strata_col: str, rates: dict[str, int], default_pct: int = 0, mod: int = 100):
     """Per-stratum deterministic sampling: stratum s keeps rows with
     bucket < rates.get(s, default_pct).  The classic quality-weighted /

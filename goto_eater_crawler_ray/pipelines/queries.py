@@ -1170,17 +1170,26 @@ def q_crawl_determinism(sf_dir: str):
     and documents tables as data.  The engine is bit-identical across
     widths and runs (virtual clocks, never-expiring page store — the
     reference's cached-rerun determinism, README.md:71-72), so the
-    hashes are CONSTANTS; the oracle twin is the frozen expected pair,
+    hashes are CONSTANTS; the oracle twin is the frozen expected set,
     which turns the e2e determinism invariant into a hash-checked
-    correctness row.  If engine semantics change intentionally,
-    re-freeze via tools/freeze_crawl_pins.py."""
+    correctness row.  Also pins the PageRank ranks over the crawl's own
+    link graph (micro-unit ints — the iterative-float op gets its
+    oracle through the same determinism contract).  If engine semantics
+    change intentionally, re-freeze via tools/freeze_crawl_pins.py."""
     lineage = q_crawl_lineage(sf_dir)
     documents = q_crawl_documents(sf_dir)
+    pr = q_crawl_pagerank(sf_dir)
+    pr_t = pr if isinstance(pr, pa.Table) else pa.concat_tables([pa.table(b) for b in pr.iter_batches(batch_format="pyarrow")])
     return pa.table(
         {
-            "metric": pa.array(["documents_md5", "lineage_md5"], pa.string()),
+            "metric": pa.array(["documents_md5", "lineage_md5", "pagerank_md5"], pa.string()),
             "value": pa.array(
-                [_canonical_table_md5(documents), _canonical_table_md5(lineage)], pa.string()
+                [
+                    _canonical_table_md5(documents),
+                    _canonical_table_md5(lineage),
+                    _canonical_table_md5(pr_t),
+                ],
+                pa.string(),
             ),
         }
     )
@@ -1189,11 +1198,14 @@ def q_crawl_determinism(sf_dir: str):
 # frozen by tools/freeze_crawl_pins.py (golden-scale crawl, any width)
 CRAWL_PIN_DOCUMENTS_MD5 = "d19e7f29ac448495423ed2ee83f19226"
 CRAWL_PIN_LINEAGE_MD5 = "09c90d430c4fb8e610d85acca8dda000"
+CRAWL_PIN_PAGERANK_MD5 = "87aaf2103f077d259fa171dc1846e25e"
 
 SQL_CRAWL_DETERMINISM = f"""
 SELECT 'documents_md5' AS metric, '{CRAWL_PIN_DOCUMENTS_MD5}' AS value
 UNION ALL
 SELECT 'lineage_md5', '{CRAWL_PIN_LINEAGE_MD5}'
+UNION ALL
+SELECT 'pagerank_md5', '{CRAWL_PIN_PAGERANK_MD5}'
 """
 
 
@@ -1452,6 +1464,38 @@ SELECT e.vec_id, e.dim,
        CAST(CASE WHEN mm.mx = mm.mn THEN 0
                  ELSE round((e.x - mm.mn) * 255.0 / (mm.mx - mm.mn)) END AS BIGINT) AS q
 FROM e JOIN mm USING (dim)
+"""
+
+
+def q_doc_sample_weighted(sf_dir: str):
+    """Length-weighted deterministic corpus sample (top-50 by A-Res
+    priority, weight = character length) — see
+    :func:`~goto_eater_crawler_ray.functions.sampling.weighted_topk`.
+    Long documents are proportionally more likely in; membership is a
+    pure function of doc_id, reproducible at any width."""
+    from ..functions.sampling import weighted_topk
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_weight(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "w": pc.cast(pc.utf8_length(t.column("text")), pa.int64())}
+        )
+
+    return weighted_topk(ds.map_batches(with_weight, batch_format="pyarrow"), "doc_id", "w", k=50)
+
+
+SQL_DOC_SAMPLE_WEIGHTED = """
+WITH pri AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         pow((md5_number_upper(CAST(doc_id AS VARCHAR)) % 9007199254740992)
+             / 9007199254740992.0,
+             1.0 / CAST(length(text) AS DOUBLE)) AS p
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, weight,
+       CAST(round(p * 1000000000) AS BIGINT) AS priority_9dp
+FROM pri ORDER BY p DESC, doc_id LIMIT 50
 """
 
 
@@ -2643,6 +2687,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "embedding_quantize": q_embedding_quantize,
     "events_hopping": q_events_hopping,
+    "doc_sample_weighted": q_doc_sample_weighted,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -2727,6 +2772,7 @@ ORACLES = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -1056,6 +1056,33 @@ class TestEventsHopping:
         assert w0["a"] == 3 and w0["b"] == 2
 
 
+class TestWeightedTopk:
+    def test_deterministic_and_weight_biased(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.sampling import weighted_topk
+
+        # ids 0..99 weight 1, ids 100..109 weight 10000 — the heavy ids
+        # must dominate the sample, and two runs must agree exactly
+        rows = [{"id": i, "w": 1} for i in range(100)] + [{"id": 100 + i, "w": 10_000} for i in range(10)]
+        out1 = weighted_topk(rd.from_items(rows), "id", "w", k=20).to_pandas()
+        out2 = weighted_topk(rd.from_items(rows), "id", "w", k=20).to_pandas()
+        assert out1.equals(out2)
+        assert len(out1) == 20
+        assert sum(out1["id"] >= 100) == 10  # every heavy id sampled
+        # priorities actually sorted descending with id tiebreak
+        assert list(out1["priority_9dp"]) == sorted(out1["priority_9dp"], reverse=True)
+
+    def test_zero_weight_never_sampled(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.sampling import weighted_topk
+
+        rows = [{"id": i, "w": (0 if i % 2 else 1)} for i in range(40)]
+        out = weighted_topk(rd.from_items(rows), "id", "w", k=40).to_pandas()
+        assert (out["id"] % 2 == 0).all() and len(out) == 20
+
+
 class TestReviewRegressions:
     def test_near_dedup_filter_clean_corpus_is_noop(self, ray_session, tmp_path):
         # zero near-dup pairs must be a no-op, not an empty-schema join crash
