@@ -1499,6 +1499,110 @@ FROM pri ORDER BY p DESC, doc_id LIMIT 50
 """
 
 
+def q_events_bucketize(sf_dir: str):
+    """Equi-depth quartile bucketing of a numeric feature — the standard
+    feature-discretization op (quantile binning for GBDT-style models /
+    balanced sampling strata).  The quartile cuts come from the SAME
+    mergeable fixed-bin histogram sketch `value_quantiles` uses (two
+    tiny passes: min/max/count aggregate, then <=1024 partial bin rows
+    per batch), broadcast in the closure; a stateless third pass assigns
+    bucket = #cuts below the event's bin.  All-integer bin/cut
+    arithmetic mirrored in the SQL twin, so the assignment is
+    hash-exact."""
+    from ray.data.aggregate import Count, Max, Min
+
+    N_BINS = 1024
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
+    stats = ds.aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"), Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    width = (hi - lo) / float(N_BINS)
+
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum(np.floor((v - lo) / width), N_BINS - 1).astype(np.int64)
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column("value").to_numpy(zero_copy_only=False).astype(np.float64))
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(bins, pa.int64()), "c": pa.array(counts, pa.int64())})
+
+    hdf = (
+        ds.map_batches(bin_counts, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("bin")
+    )  # <= 1024 rows: driver-safe by construction
+    cum = hdf["c"].cumsum().to_numpy()
+    bins_sorted = hdf["bin"].to_numpy()
+    cuts = []
+    for pct in (25, 50, 75):
+        rank = (pct * n + 99) // 100  # ceil in pure ints, FP-identity-proof
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        cuts.append(int(bins_sorted[min(idx, len(bins_sorted) - 1)]))
+    cuts_arr = np.array(cuts, np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column("value").to_numpy(zero_copy_only=False).astype(np.float64))
+        bucket = (b[:, None] > cuts_arr[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"), "bucket": pa.array(bucket, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_EVENTS_BUCKETIZE = """
+WITH stats AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+hist AS (
+  SELECT LEAST(CAST(floor((e.value - s.lo) / ((s.hi - s.lo) / 1024.0)) AS BIGINT), 1023) AS bin,
+         count(*) AS c
+  FROM events e, stats s GROUP BY 1),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+cuts AS (
+  SELECT (SELECT min(bin) FROM cum, stats s WHERE cum >= (25 * s.n + 99) // 100) AS c25,
+         (SELECT min(bin) FROM cum, stats s WHERE cum >= (50 * s.n + 99) // 100) AS c50,
+         (SELECT min(bin) FROM cum, stats s WHERE cum >= (75 * s.n + 99) // 100) AS c75)
+SELECT e.event_id,
+       CAST((CASE WHEN b > c.c25 THEN 1 ELSE 0 END)
+          + (CASE WHEN b > c.c50 THEN 1 ELSE 0 END)
+          + (CASE WHEN b > c.c75 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+FROM (SELECT event_id,
+             LEAST(CAST(floor((value - s.lo) / ((s.hi - s.lo) / 1024.0)) AS BIGINT), 1023) AS b
+      FROM events, stats s) e, cuts c
+"""
+
+
+def q_doc_redact(sf_dir: str):
+    """Deny-list term redaction — the PII-scrub / contamination-term
+    removal shape of corpus curation: every deny-listed word is replaced
+    with a ``[REDACTED]`` marker and the per-document replacement count
+    is emitted for audit.  Stateless batch-local pass, zero shuffle; the
+    regex is compiled once per worker by Arrow's RE2 (same engine DuckDB
+    uses, so ``\\b`` word-boundary semantics are identical on both
+    sides)."""
+    PATTERN = r"\b(customer|supplier)\b"
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), pattern=PATTERN)
+        red = pc.replace_substring_regex(t.column("text"), pattern=PATTERN, replacement="[REDACTED]")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_redacted": pc.cast(n, pa.int64()),
+                "redacted_text": red,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOC_REDACT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) AS BIGINT) AS n_redacted,
+       regexp_replace(text, '\\b(customer|supplier)\\b', '[REDACTED]', 'g') AS redacted_text
+FROM documents
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (sliding) window counts — 15-minute windows advancing
     every 5 minutes, the standard streaming-analytics window Ray Data
@@ -2688,6 +2792,8 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "events_hopping": q_events_hopping,
     "doc_sample_weighted": q_doc_sample_weighted,
+    "doc_redact": q_doc_redact,
+    "events_bucketize": q_events_bucketize,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -2773,6 +2879,8 @@ ORACLES = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "events_hopping": SQL_EVENTS_HOPPING,
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
+    "doc_redact": SQL_DOC_REDACT,
+    "events_bucketize": SQL_EVENTS_BUCKETIZE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
