@@ -1083,6 +1083,58 @@ class TestWeightedTopk:
         assert (out["id"] % 2 == 0).all() and len(out) == 20
 
 
+class TestDocRedact:
+    def test_counts_and_replacement(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_redact
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "the customer met a supplier and another customer",
+                        "customers are not redacted (no word boundary match)",
+                        "plain text",
+                    ],
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = q_doc_redact(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_redacted"] == 3
+        assert out.loc[1, "redacted_text"] == "the [REDACTED] met a [REDACTED] and another [REDACTED]"
+        assert out.loc[2, "n_redacted"] == 0  # 'customers' != \bcustomer\b
+        assert out.loc[3, "redacted_text"] == "plain text"
+
+
+class TestEventsBucketize:
+    def test_uniform_values_split_into_equal_quartiles(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_bucketize
+
+        n = 4000
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "value": pa.array([float(i % 1000) for i in range(n)], pa.float64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = q_events_bucketize(str(tmp_path)).to_pandas()
+        counts = out["bucket"].value_counts()
+        assert set(counts.index) == {0, 1, 2, 3}
+        # equi-depth: each quartile within a couple of bins of n/4
+        assert all(abs(c - n / 4) <= n / 100 for c in counts)
+        # monotone: larger values never land in smaller buckets
+        merged = out.assign(value=[float(i % 1000) for i in range(n)]).sort_values("value")
+        assert merged["bucket"].is_monotonic_increasing
+
+
 class TestReviewRegressions:
     def test_near_dedup_filter_clean_corpus_is_noop(self, ray_session, tmp_path):
         # zero near-dup pairs must be a no-op, not an empty-schema join crash
