@@ -226,6 +226,12 @@ def main() -> None:
         "asof_join",
         "kmeans_assign",
         "top_customers",
+        "doc_chunks",
+        "embedding_quantize",
+        "events_hopping",
+        "doc_sample_weighted",
+        "doc_redact",
+        "events_bucketize",
     ]
     qtimes = {}
     for name in bench_queries:
