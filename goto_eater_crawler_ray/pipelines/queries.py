@@ -1467,6 +1467,101 @@ FROM e JOIN mm USING (dim)
 """
 
 
+def q_span_dedup(sf_dir: str):
+    """Span-level exact dedup over the interleaved corpus — dedup at the
+    SPAN granularity (the multimodal-corpus variant of exact dedup:
+    boilerplate text spans repeat across pages even when whole documents
+    differ).  A span is a duplicate unless it is the global-first
+    ``(doc_id, offset)`` occurrence of its text; output is the per-doc
+    audit ``(doc_id, n_spans, n_dup_spans)``.
+
+    Shape: spans flow as (64-bit text key, packed position) rows — the
+    groupby(key) exchange never carries span text; first-wins is a
+    single ``Min`` over the packed position (doc_id·2^20 + offset, the
+    same first-occurrence total order the SQL twin computes); the two
+    per-doc count tables join on corpus-sized partitions."""
+    from ray.data.aggregate import Min
+
+    from ..functions.sampling import md5_u64
+
+    flat = q_doc_spans_flat(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = md5_u64(t.column("text")).astype(np.int64)
+        doc = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        off = t.column("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "packed": pa.array(doc * (1 << 20) + off, pa.int64()),  # assumes < 2^20 spans/doc
+            }
+        )
+
+    k = flat.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table, col: str) -> pa.Table:
+        ids, counts = np.unique(t.column(col).to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n": pa.array(counts, pa.int64())})
+
+    per_doc = (
+        k.map_batches(lambda t: count_partial(t, "doc_id"), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_spans"))
+    )
+    firsts = (
+        k.groupby("key")
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(pc.divide(t.column("packed"), 1 << 20), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: count_partial(t, "doc_id"), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_first"))
+    )
+    n_parts = auto_num_partitions(k.count())
+    joined = per_doc.join(firsts, join_type="left_outer", num_partitions=n_parts, on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nf = pc.coalesce(t.column("n_first"), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_spans": t.column("n_spans"),
+                "n_dup_spans": pc.subtract(t.column("n_spans"), nf),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SPAN_DEDUP = """
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS w
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS off,
+         array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS text
+  FROM words, LATERAL (SELECT UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i)
+),
+k AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5_number_upper(text) AS key,
+         CAST(doc_id AS BIGINT) * 1048576 + off AS packed
+  FROM sp
+),
+firsts AS (SELECT key, min(packed) AS packed FROM k GROUP BY key),
+per_doc AS (SELECT doc_id, count(*) AS n_spans FROM k GROUP BY doc_id),
+first_per_doc AS (SELECT packed // 1048576 AS doc_id, count(*) AS n_first FROM firsts GROUP BY 1)
+SELECT p.doc_id, p.n_spans,
+       CAST(p.n_spans - COALESCE(f.n_first, 0) AS BIGINT) AS n_dup_spans
+FROM per_doc p LEFT JOIN first_per_doc f USING (doc_id)
+"""
+
+
 def q_doc_sample_weighted(sf_dir: str):
     """Length-weighted deterministic corpus sample (top-50 by A-Res
     priority, weight = character length) — see
@@ -2793,6 +2888,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "doc_sample_weighted": q_doc_sample_weighted,
     "doc_redact": q_doc_redact,
+    "span_dedup": q_span_dedup,
     "events_bucketize": q_events_bucketize,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -2880,6 +2976,7 @@ ORACLES = {
     "events_hopping": SQL_EVENTS_HOPPING,
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     "doc_redact": SQL_DOC_REDACT,
+    "span_dedup": SQL_SPAN_DEDUP,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
