@@ -63,6 +63,52 @@ def build_bloom(build_ds, key_col: str, bits_per_key: int = 12, max_build_rows: 
     return bloom.to_bytes()
 
 
+def build_bloom_and_keys(build_ds, key_col: str, bits_per_key: int = 12, max_build_rows: int = 10_000_000):
+    """Like :func:`build_bloom` but also returns the SORTED exact key
+    array (int64).  Under the same ``max_build_rows`` gate that makes the
+    bloom buildable, the exact keys are by construction already driver-
+    collected — broadcasting them (8 B/key) lets probes resolve bloom
+    false positives with a binary-search membership filter instead of a
+    shuffle join (which pays fixed join-operator setup regardless of
+    data size).  Above the gate, shard the bloom AND keep the shuffle
+    join: neither structure may be broadcast then."""
+    n = build_ds.count()
+    if n > max_build_rows:
+        raise ValueError(
+            f"bloom build side has {n} rows > max_build_rows={max_build_rows}; "
+            "shard the bloom by key hash instead of broadcasting one"
+        )
+    bloom = BlockedBloom(capacity=max(n, 1), bits_per_key=bits_per_key)
+    keys = np.empty(0, np.int64)
+    if n:
+        keys = build_ds.select_columns([key_col]).to_pandas()[key_col].to_numpy(dtype=np.int64)
+        bloom.add(int_keys_to_digests(keys))
+    return bloom.to_bytes(), np.sort(keys)
+
+
+class ExactResolve:
+    """Actor-pool stage removing bloom FALSE POSITIVES exactly: the
+    broadcast sorted build keys are fetched once per actor; each batch is
+    one ``searchsorted`` membership test.  Placed after
+    :class:`BloomProbe`, the pair is semantically an exact semi-join."""
+
+    def __init__(self, key_col: str, keys_ref):
+        import ray
+
+        self.key_col = key_col
+        self.keys = ray.get(keys_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t.column(self.key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(self.keys) == 0:
+            return t.filter(pa.array(np.zeros(len(k), bool)))
+        idx = np.searchsorted(self.keys, k)
+        idx[idx >= len(self.keys)] = 0
+        return t.filter(pa.array(self.keys[idx] == k))
+
+
 class BloomProbe:
     """Actor-pool probe stage: the broadcast bloom is fetched and
     deserialized ONCE per actor in ``__init__``; each batch is one

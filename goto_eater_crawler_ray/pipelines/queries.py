@@ -1609,8 +1609,18 @@ def q_events_bucketize(sf_dir: str):
     N_BINS = 1024
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
     stats = ds.aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"), Count(alias_name="n"))
-    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    lo, hi, n = float(stats["lo"] or 0.0), float(stats["hi"] or 0.0), int(stats["n"])
     width = (hi - lo) / float(N_BINS)
+    if n == 0 or width == 0.0:
+        # empty or constant column: one degenerate bucket (the sketch has
+        # no spread to cut; the SQL twin's division would be undefined, so
+        # this edge is guarded here, not oracle-compared)
+        return ds.map_batches(
+            lambda t: pa.table(
+                {"event_id": t.column("event_id"), "bucket": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
 
     def bins_of(v: np.ndarray) -> np.ndarray:
         return np.minimum(np.floor((v - lo) / width), N_BINS - 1).astype(np.int64)
@@ -2427,14 +2437,17 @@ def q_bloom_join_revenue(sf_dir: str):
     """Bloom-filter semi-join reduction (``functions/bloomjoin.py``):
     revenue per high-value order.  The small side (orders >400k) builds a
     broadcast bloom; the corpus-sized lineitem probe drops non-matching
-    rows batch-locally BEFORE any exchange, pre-aggregates revenue per
-    order per batch (combiner), and only then hash-joins the exact small
-    side — so the shuffle carries the ~matching partials, not the whole
-    probe table.  False positives survive the bloom but are removed by
-    the exact join: the result is identical to the plain SQL join."""
+    rows batch-locally BEFORE any exchange, the bounded false positives
+    are removed exactly by a broadcast sorted-key membership stage (the
+    build side is driver-collected under the same gate that makes the
+    bloom buildable, so the exact resolve needs no shuffle join), and
+    per-batch revenue partials feed ONE small groupby — the only
+    exchange carries ~matching partials.  Result identical to the plain
+    SQL join; above the build gate, shard the bloom and use the shuffle
+    join instead (see build_bloom_and_keys)."""
     import ray
 
-    from ..functions.bloomjoin import bloom_filter_probe, build_bloom
+    from ..functions.bloomjoin import ExactResolve, bloom_filter_probe, build_bloom_and_keys
 
     orders_small = (
         rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
@@ -2442,11 +2455,18 @@ def q_bloom_join_revenue(sf_dir: str):
             lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_orderkey"]),
             batch_format="pyarrow",
         )
-        .materialize()  # small by contract; read 4x (two counts, the bloom build, the join)
+        .materialize()  # small by contract
     )
-    bloom_ref = ray.put(build_bloom(orders_small, "o_orderkey"))
+    bloom_bytes, keys = build_bloom_and_keys(orders_small, "o_orderkey")
+    bloom_ref = ray.put(bloom_bytes)
+    keys_ref = ray.put(keys)
     probe = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    pruned = bloom_filter_probe(probe, "l_orderkey", bloom_ref)
+    pruned = bloom_filter_probe(probe, "l_orderkey", bloom_ref).map_batches(
+        ExactResolve,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=("l_orderkey", keys_ref),
+    )
 
     def partial_rev(t: pa.Table) -> pa.Table:
         # per-ROW integer scaling (the filter_revenue formula verbatim):
@@ -2463,9 +2483,7 @@ def q_bloom_join_revenue(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()), "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
 
     partials = pruned.map_batches(partial_rev, batch_format="pyarrow")
-    n_parts = auto_num_partitions(orders_small.count(), cap=64)
-    joined = partials.join(orders_small, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
-    out = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    out = partials.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": pc.cast(t.column("revenue"), pa.int64())})
