@@ -86,31 +86,41 @@ def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles -> stable 64-bit hashes (crc32 pairs; deterministic
-    across processes, unlike builtins.hash)."""
+def _shingle_hashes(text: str, k: int = 3, family: str = "crc32") -> np.ndarray:
+    """Word k-shingles -> stable 64-bit hashes, deterministic across
+    processes (unlike builtins.hash).  Families: ``crc32`` (pair of
+    crc32s, the cheap default) and ``md5`` (first 8 md5 bytes LE — the
+    value DuckDB's ``md5_number_upper`` yields, so md5-family signatures
+    have an EXACT SQL twin)."""
     words = _WS_SPLIT.split(text.strip().lower())
     if len(words) < k:
         shingles = [" ".join(words)]
     else:
         shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        bts = s.encode("utf-8")
-        out[i] = (zlib.crc32(bts) << 32) | zlib.crc32(bts, 0xBEEF)
+    if family == "md5":
+        import hashlib
+
+        for i, s in enumerate(shingles):
+            out[i] = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+    else:
+        for i, s in enumerate(shingles):
+            bts = s.encode("utf-8")
+            out[i] = (zlib.crc32(bts) << 32) | zlib.crc32(bts, 0xBEEF)
     return out
 
 
 class MinHasher:
     """Actor-pool stage: permutation params built once per actor."""
 
-    def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+    def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42, hash_family: str = "crc32"):
         self.a, self.b = _perm_params(n_perm, seed)
         self.n_perm = n_perm
         self.k = shingle_k
+        self.hash_family = hash_family
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)
+        h = _shingle_hashes(text, self.k, family=self.hash_family)
         # vectorized (n_shingles x n_perm) permute + min-reduce
         vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)

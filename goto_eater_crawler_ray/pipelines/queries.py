@@ -1467,6 +1467,81 @@ FROM e JOIN mm USING (dim)
 """
 
 
+def q_minhash_sigs(sf_dir: str):
+    """MinHash SIGNATURES with an exact SQL oracle — the mathematical
+    core of the near-dup family, hash-checked: 8 permutations of the
+    md5-family shingle hash (``_shingle_hashes(family="md5")``, whose
+    64-bit value IS DuckDB's ``md5_number_upper``), flat
+    ``(doc_id, perm, sig)`` rows.  The twin reproduces the permutation
+    arithmetic exactly — uint64 WRAPPING multiply/add via HUGEINT
+    ``% 2^64`` then the Mersenne ``% (2^61 - 1)`` — with the a/b
+    parameters frozen as literals from the same seeded generator the
+    production (crc32-family, 64-perm) LSH pipeline uses.  Sig values
+    are < 2^61 so they fit BIGINT on both sides."""
+    from ..functions.dedup import MinHasher
+
+    N_PERM = 8
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_perm": N_PERM, "hash_family": "md5"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        m = t.column("minhash").combine_chunks()
+        flat = m.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(m)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), pa.array(np.repeat(np.arange(n), N_PERM))),
+                "perm": pa.array(np.tile(np.arange(N_PERM, dtype=np.int64), n), pa.int64()),
+                "sig": pa.array(flat, pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(flatten, batch_format="pyarrow")
+
+
+def _minhash_sigs_sql() -> str:
+    from ..functions.dedup import _perm_params
+
+    a, b = _perm_params(8, seed=42)
+    values = ",\n    ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(8))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i ->
+              array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS s
+  FROM toks
+),
+p(perm, a, b) AS (
+  SELECT * FROM (VALUES
+    {values}
+  )
+),
+vals AS (
+  SELECT sh.doc_id, p.perm,
+         ((CAST(md5_number_upper(sh.s) AS HUGEINT) * p.a) % 18446744073709551616 + p.b)
+         % 18446744073709551616 % 2305843009213693951 AS v
+  FROM sh CROSS JOIN p
+)
+SELECT doc_id, CAST(perm AS BIGINT) AS perm, CAST(min(v) AS BIGINT) AS sig
+FROM vals GROUP BY doc_id, perm
+"""
+
+
+SQL_MINHASH_SIGS = _minhash_sigs_sql()
+
+
 def q_span_dedup(sf_dir: str):
     """Span-level exact dedup over the interleaved corpus — dedup at the
     SPAN granularity (the multimodal-corpus variant of exact dedup:
@@ -2907,6 +2982,7 @@ QUERIES = {
     "doc_sample_weighted": q_doc_sample_weighted,
     "doc_redact": q_doc_redact,
     "span_dedup": q_span_dedup,
+    "minhash_sigs": q_minhash_sigs,
     "events_bucketize": q_events_bucketize,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -2995,6 +3071,7 @@ ORACLES = {
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     "doc_redact": SQL_DOC_REDACT,
     "span_dedup": SQL_SPAN_DEDUP,
+    "minhash_sigs": SQL_MINHASH_SIGS,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
