@@ -349,3 +349,120 @@ def funnel_stages(
         return pa.table({key_col: pa.array(keys[bounds]).cast(out_schema.field(key_col).type), out_col: pa.array(stage, pa.int64())})
 
     return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(stages, batch_format="pyarrow")
+
+
+def percent_rank_per_key(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "pct_rank_6dp",
+    n_bins: int = 4096,
+    n_parts: int = 64,
+    scale: int = 1_000_000,
+):
+    """Distributed ``percent_rank() OVER (PARTITION BY key ORDER BY
+    value)`` — the global-ordering window op, computed WITHOUT a global
+    sort materialization: range-partition by value bin (one tiny global
+    min/max aggregate), collect the bounded per-(key, bin) count table
+    to the driver, exclusive-scan it into per-(key, partition) base
+    ranks, then each partition computes exact min-ranks locally
+    (lexsort + first-of-equal-run) and adds its broadcast base.  Ties
+    can never span partitions (equal values share a bin, bins never
+    split across partitions), so min-rank tie semantics are exact.
+
+    Emits ``round(scale * (rank-1)/(n_key-1))`` as int64 (0 when the
+    key has a single row, matching SQL percent_rank); the division is
+    the same exact-int double division DuckDB evaluates, so the scaled
+    value is bit-identical and the oracle hash-compare exact."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = ds.aggregate(Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi"))
+    lo = float(stats["lo"] or 0.0)
+    hi = float(stats["hi"] or 0.0)
+    width = (hi - lo) / float(n_bins)
+    bins_per_part = -(-n_bins // n_parts)  # ceil
+
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        if width == 0.0:
+            return np.zeros(len(v), np.int64)
+        return np.minimum(np.floor((v - lo) / width), n_bins - 1).astype(np.int64)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_key": pa.array([], pa.string()), "_bin": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({"_key": t.column(key_col).to_pandas(), "_bin": b})
+        g = df.groupby(["_key", "_bin"], as_index=False).size()
+        return pa.table(
+            {
+                "_key": pa.array(g["_key"], pa.string()),
+                "_bin": pa.array(g["_bin"].to_numpy(), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["_key", "_bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )  # bounded: |keys| x occupied bins — category keys, never corpus-sized
+    keys_sorted = sorted(cnt["_key"].unique())
+    key_arr = pa.array(keys_sorted, pa.string())
+    n_keys = len(keys_sorted)
+    ki = pd.Categorical(cnt["_key"], categories=keys_sorted).codes.astype(np.int64)
+    pi = (cnt["_bin"].to_numpy() // bins_per_part).astype(np.int64)
+    # base[k, p] = count of key-k rows in bins strictly below partition p's range
+    per_part = np.zeros((n_keys, n_parts), np.int64)
+    np.add.at(per_part, (ki, pi), cnt["c"].to_numpy())
+    totals = per_part.sum(axis=1)
+    base = np.zeros((n_keys, n_parts + 1), np.int64)
+    base[:, 1:] = np.cumsum(per_part, axis=1)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return t.append_column("_vpart", pa.array((b // bins_per_part).astype(np.int32), pa.int32()))
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                part.schema.field(id_col),
+                part.schema.field(key_col),
+                pa.field(out_col, pa.int64()),
+            ]
+        )
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        pid = int(part.column("_vpart")[0].as_py())
+        # tiny-table code lookup via pc.index_in — no per-row Python
+        kcodes = pc.index_in(part.column(key_col).combine_chunks(), value_set=key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, kcodes))
+        kc, v = kcodes[order], vals[order]
+        seg_start = np.concatenate(([True], kc[1:] != kc[:-1]))
+        run_start = seg_start | np.concatenate(([True], v[1:] != v[:-1]))
+        idx = np.arange(n)
+        seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        run_first = np.maximum.accumulate(np.where(run_start, idx, 0))
+        local_minrank = run_first - seg_first  # 0-based min-rank within (key, partition)
+        grank = base[kc, pid] + local_minrank + 1
+        denom = totals[kc] - 1
+        pr = np.where(denom > 0, (grank - 1) / np.maximum(denom, 1), 0.0) * float(scale)
+        pri = (np.sign(pr) * np.floor(np.abs(pr) + 0.5)).astype(np.int64)  # DuckDB round: half away
+        ids = pc.take(part.column(id_col).combine_chunks(), pa.array(order))
+        keys_out = pc.take(part.column(key_col).combine_chunks(), pa.array(order))
+        return pa.Table.from_arrays([ids, keys_out, pa.array(pri, pa.int64())], schema=out_schema)
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_vpart")
+        .map_groups(rank_part, batch_format="pyarrow")
+    )

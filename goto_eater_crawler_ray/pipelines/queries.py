@@ -1467,6 +1467,26 @@ FROM e JOIN mm USING (dim)
 """
 
 
+def q_events_pct_rank(sf_dir: str):
+    """Global percent_rank of value within event type — the full-ordering
+    window op, computed without materializing a global sort: see
+    :func:`~goto_eater_crawler_ray.functions.window.percent_rank_per_key`
+    (value-range partitions + a bounded per-(key,bin) count table scanned
+    on the driver + exact local min-ranks; ties never span partitions)."""
+    from ..functions.window import percent_rank_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    return percent_rank_per_key(ds, "event_type", "value", "event_id")
+
+
+SQL_EVENTS_PCT_RANK = """
+SELECT event_id, event_type,
+       CAST(round(1000000 * percent_rank() OVER (PARTITION BY event_type ORDER BY value)) AS BIGINT)
+       AS pct_rank_6dp
+FROM events
+"""
+
+
 def q_minhash_sigs(sf_dir: str):
     """MinHash SIGNATURES with an exact SQL oracle — the mathematical
     core of the near-dup family, hash-checked: 8 permutations of the
@@ -2983,6 +3003,7 @@ QUERIES = {
     "doc_redact": q_doc_redact,
     "span_dedup": q_span_dedup,
     "minhash_sigs": q_minhash_sigs,
+    "events_pct_rank": q_events_pct_rank,
     "events_bucketize": q_events_bucketize,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -3072,6 +3093,7 @@ ORACLES = {
     "doc_redact": SQL_DOC_REDACT,
     "span_dedup": SQL_SPAN_DEDUP,
     "minhash_sigs": SQL_MINHASH_SIGS,
+    "events_pct_rank": SQL_EVENTS_PCT_RANK,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
