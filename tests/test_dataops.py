@@ -1135,6 +1135,37 @@ class TestEventsBucketize:
         assert merged["bucket"].is_monotonic_increasing
 
 
+class TestPercentRank:
+    def test_matches_pandas_with_ties_and_single_row_key(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import percent_rank_per_key
+
+        rng = np.random.default_rng(5)
+        vals = np.round(rng.uniform(0, 10, 300), 1)  # coarse grid -> many exact ties
+        keys = rng.choice(["a", "b", "c"], 300).tolist() + ["solo"]
+        vals = np.append(vals, 5.0)
+        rows = [{"id": i, "k": keys[i], "v": float(vals[i])} for i in range(301)]
+        out = (
+            percent_rank_per_key(rd.from_items(rows), "k", "v", "id", n_bins=8, n_parts=4)
+            .to_pandas()
+            .set_index("id")
+        )
+        df = pd.DataFrame(rows)
+        # pandas min-rank percent: (rank_min - 1) / (n - 1), 0 for n == 1
+        def want(g):
+            r = g["v"].rank(method="min")
+            n = len(g)
+            p = (r - 1) / (n - 1) if n > 1 else r * 0.0
+            return pd.Series((np.sign(p * 1e6) * np.floor(np.abs(p * 1e6) + 0.5)).astype(np.int64).to_numpy(), index=g["id"])
+
+        expect = pd.concat([want(g) for _, g in df.groupby("k")])
+        assert len(out) == 301
+        for i, exp in expect.items():
+            assert out.loc[i, "pct_rank_6dp"] == exp, i
+        assert out.loc[300, "pct_rank_6dp"] == 0  # single-row key -> 0
+
+
 class TestReviewRegressions:
     def test_near_dedup_filter_clean_corpus_is_noop(self, ray_session, tmp_path):
         # zero near-dup pairs must be a no-op, not an empty-schema join crash
