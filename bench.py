@@ -232,6 +232,9 @@ def main() -> None:
         "doc_sample_weighted",
         "doc_redact",
         "events_bucketize",
+        "span_dedup",
+        "minhash_sigs",
+        "events_pct_rank",
     ]
     qtimes = {}
     for name in bench_queries:
