@@ -364,16 +364,19 @@ def ivf_train_centroids(emb_ds, n_centroids: int = 16, sample_limit: int = 4096,
     return cent
 
 
-def ivf_ann_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16, n_probe: int = 2, round_dp: int = 4):
+def ivf_ann_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16, n_probe: int = 2, round_dp: int = 4, centroids=None):
     """IVF approximate top-k: assign every corpus vector to its nearest
     trained centroid (one matmul per batch against the broadcast centroid
     matrix), route each query to its ``n_probe`` nearest lists, search
     only inside those lists via groupby co-location, then merge per-query
     candidates with one tiny groupby.  Recall is tested against brute
-    force; raise ``n_probe`` to trade throughput for recall."""
+    force; raise ``n_probe`` to trade throughput for recall.  Pass
+    ``centroids`` (a pre-trained L2-normalized (k, d) matrix) to skip
+    training — the frozen-model production shape, which also makes the
+    whole search a deterministic function expressible in SQL."""
     import ray
 
-    cent = ivf_train_centroids(emb_ds, n_centroids=n_centroids)
+    cent = ivf_train_centroids(emb_ds, n_centroids=n_centroids) if centroids is None else np.asarray(centroids, np.float64)
     cent_ref = ray.put(cent)
 
     q_rows = emb_ds.map_batches(

@@ -1028,6 +1028,71 @@ def q_ivf_ann(sf_dir: str):
     return ivf_ann_topk(emb, query_ids=list(range(10)), k=5, n_centroids=16, n_probe=3)
 
 
+def q_ivf_ann_frozen(sf_dir: str):
+    """IVF ANN against a FROZEN coarse quantizer (`_ivf_frozen.py`, 16
+    centroids trained offline) — the production index shape (train once,
+    search online), which makes the whole approximate search a
+    deterministic function with an exact SQL twin: assignment is argmax
+    over the same 16x64 literals, each query probes its top-3 lists,
+    candidates score by cosine inside probed lists only, top-5 per query
+    with the (score DESC, neighbor_id) tie-break.  The twin reproduces
+    list routing AND ranking, so even the approximation error is
+    hash-checked."""
+    from ..functions.similarity import ivf_ann_topk
+    from ._ivf_frozen import CENTROIDS
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_ann_topk(emb, query_ids=list(range(10)), k=5, n_probe=3, centroids=CENTROIDS)
+
+
+def _ivf_ann_frozen_sql() -> str:
+    from ._ivf_frozen import CENTROIDS
+
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(float(v)) for v in row))
+        for i, row in enumerate(CENTROIDS)
+    )
+    return f"""
+WITH cent(cid, v) AS (
+  SELECT * FROM (VALUES
+    {values}
+  )
+),
+asn AS (  -- corpus vector -> nearest frozen centroid (argmax dot, lowest cid on ties)
+  SELECT vec_id, embedding,
+         (SELECT cid FROM (
+            SELECT c.cid, list_inner_product(CAST(e.embedding AS DOUBLE[]), c.v) AS s
+            FROM cent c) ORDER BY s DESC, cid LIMIT 1) AS list_id
+  FROM embeddings e
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+probes AS (  -- each query's top-3 lists by the same dot ordering
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(CAST(q.qe AS DOUBLE[]), c.v) DESC, c.cid) AS pr
+    FROM q CROSS JOIN cent c)
+  WHERE pr <= 3
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, a.embedding) AS raw_score
+  FROM q JOIN probes p USING (query_id)
+         JOIN asn a ON a.list_id = p.cid AND a.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(raw_score, 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_IVF_ANN_FROZEN = _ivf_ann_frozen_sql()
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary column plumbing; codecs stubbed)
 # ---------------------------------------------------------------------------
@@ -3004,6 +3069,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "minhash_sigs": q_minhash_sigs,
     "events_pct_rank": q_events_pct_rank,
+    "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -3094,6 +3160,7 @@ ORACLES = {
     "span_dedup": SQL_SPAN_DEDUP,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "events_pct_rank": SQL_EVENTS_PCT_RANK,
+    "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
