@@ -1011,12 +1011,57 @@ SELECT n AS vec_id, CAST(LEAST(n, MIN(r)) AS BIGINT) AS group_id FROM reach GROU
 
 
 def q_lsh_ann(sf_dir: str):
-    """Sign-LSH bucketed ANN (approximate; recall vs brute force in tests)."""
+    """Sign-LSH bucketed ANN.  Approximate BY DESIGN but fully
+    deterministic (seeded hyperplanes), so it has an exact SQL twin:
+    the oracle rebuilds the SAME 8 hyperplanes from the same seeded
+    generator as literals, reproduces the sign-bit bucket codes, the
+    same-bucket candidate sets, and the (cosine DESC, neighbor_id)
+    ranking — the approximation error itself is hash-checked.  Recall
+    vs brute force additionally measured in tests."""
     from ..functions.similarity import lsh_ann_topk
 
     emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
     return lsh_ann_topk(emb, query_ids=list(range(10)), dim=dim, k=5)
+
+
+def _lsh_ann_sql() -> str:
+    # the IDENTICAL planes SignLSH(dim=64, n_planes=8, seed=7) builds
+    planes = np.random.default_rng(7).standard_normal((64, 8))
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(j, ", ".join(repr(float(v)) for v in planes[:, j]))
+        for j in range(8)
+    )
+    return f"""
+WITH planes(pid, v) AS (
+  SELECT * FROM (VALUES
+    {values}
+  )
+),
+b AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                               THEN 1 << pid ELSE 0 END) AS BIGINT)
+          FROM planes p) AS bucket
+  FROM embeddings e
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, c.embedding) AS raw_score
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(raw_score, 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_LSH_ANN = _lsh_ann_sql()
 
 
 def q_ivf_ann(sf_dir: str):
@@ -3161,6 +3206,7 @@ ORACLES = {
     "minhash_sigs": SQL_MINHASH_SIGS,
     "events_pct_rank": SQL_EVENTS_PCT_RANK,
     "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
+    "lsh_ann": SQL_LSH_ANN,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
