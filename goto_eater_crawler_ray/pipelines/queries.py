@@ -1672,6 +1672,74 @@ FROM vals GROUP BY doc_id, perm
 SQL_MINHASH_SIGS = _minhash_sigs_sql()
 
 
+def q_simhash_sigs(sf_dir: str):
+    """SimHash SIGNATURES with an exact SQL oracle — the bit-vote core
+    of the simhash family (Charikar 2002), hash-checked like
+    `minhash_sigs`: per doc, each DISTINCT token votes ±1 on all 64 bits
+    of its md5-family hash (``md5_number_upper``-compatible), the sign
+    of each bit's vote total forms the signature, emitted as four
+    16-bit pieces so every value stays BIGINT-safe on both sides.
+    Batch path is the production SimHasher shape: factorize tokens,
+    hash once per distinct batch token, one int8 scatter-add."""
+    from ..functions.sampling import md5_u64
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    BITS = np.arange(64, dtype=np.uint64)
+
+    empty = pa.schema([("doc_id", pa.int64()), ("piece", pa.int64()), ("value", pa.int64())])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty.empty_table()
+        # distinct non-empty tokens per doc (lowered), flat with parents
+        wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(t.column("text")))).combine_chunks()
+        flat = wl.flatten()
+        parents = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        words = flat.filter(pa.array(keep)).to_pandas().to_numpy()
+        parents = parents[keep]
+        pair = pd.DataFrame({"p": parents, "w": words}).drop_duplicates()
+        parents, words = pair["p"].to_numpy(), pair["w"].to_numpy()
+        codes, uniq = pd.factorize(pd.Series(words), sort=False)
+        h_uniq = md5_u64(uniq.to_numpy())
+        contrib = (2 * ((h_uniq[:, None] >> BITS[None, :]) & np.uint64(1)).astype(np.int8) - 1)
+        acc = np.zeros((n, 64), np.int64)
+        np.add.at(acc, parents, contrib[codes])
+        bits = (acc > 0).astype(np.int64)
+        piece_vals = np.zeros((n, 4), np.int64)
+        for p in range(4):
+            piece_vals[:, p] = (bits[:, 16 * p : 16 * (p + 1)] * (1 << np.arange(16, dtype=np.int64))[None, :]).sum(axis=1)
+        doc_ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
+                "piece": pa.array(np.tile(np.arange(4, dtype=np.int64), n), pa.int64()),
+                "value": pa.array(piece_vals.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SIMHASH_SIGS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)) AS ws
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (md5_number_upper(w.t) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w, (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(j // 16 AS BIGINT) AS piece,
+       CAST(sum(CASE WHEN acc > 0 THEN 1 << (j % 16) ELSE 0 END) AS BIGINT) AS value
+FROM bits GROUP BY doc_id, j // 16
+"""
+
+
 def q_span_dedup(sf_dir: str):
     """Span-level exact dedup over the interleaved corpus — dedup at the
     SPAN granularity (the multimodal-corpus variant of exact dedup:
@@ -3113,6 +3181,7 @@ QUERIES = {
     "doc_redact": q_doc_redact,
     "span_dedup": q_span_dedup,
     "minhash_sigs": q_minhash_sigs,
+    "simhash_sigs": q_simhash_sigs,
     "events_pct_rank": q_events_pct_rank,
     "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
@@ -3204,6 +3273,7 @@ ORACLES = {
     "doc_redact": SQL_DOC_REDACT,
     "span_dedup": SQL_SPAN_DEDUP,
     "minhash_sigs": SQL_MINHASH_SIGS,
+    "simhash_sigs": SQL_SIMHASH_SIGS,
     "events_pct_rank": SQL_EVENTS_PCT_RANK,
     "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
     "lsh_ann": SQL_LSH_ANN,
