@@ -1751,8 +1751,11 @@ def q_span_dedup(sf_dir: str):
     Shape: spans flow as (64-bit text key, packed position) rows — the
     groupby(key) exchange never carries span text; first-wins is a
     single ``Min`` over the packed position (doc_id·2^20 + offset, the
-    same first-occurrence total order the SQL twin computes); the two
-    per-doc count tables join on corpus-sized partitions."""
+    same first-occurrence total order the SQL twin computes).  The two
+    per-doc counts (total spans, first-occurrence spans) meet in ONE
+    union+groupby — two-column partials instead of a per-doc hash join
+    (a join here is pure fixed overhead: both sides share the doc_id
+    key and the aggregate is a sum)."""
     from ray.data.aggregate import Min
 
     from ..functions.sampling import md5_u64
@@ -1773,40 +1776,47 @@ def q_span_dedup(sf_dir: str):
 
     k = flat.map_batches(keyed, batch_format="pyarrow").materialize()
 
-    def count_partial(t: pa.Table, col: str) -> pa.Table:
-        ids, counts = np.unique(t.column(col).to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n": pa.array(counts, pa.int64())})
+    def count_partial(docs_np: np.ndarray, col: str) -> pa.Table:
+        ids, counts = np.unique(docs_np, return_counts=True)
+        z = np.zeros(len(ids), np.int64)
+        total = counts if col == "n_spans" else z
+        first = counts if col == "n_first" else z
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_spans": pa.array(total, pa.int64()),
+                "n_first": pa.array(first, pa.int64()),
+            }
+        )
 
-    per_doc = (
-        k.map_batches(lambda t: count_partial(t, "doc_id"), batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_spans"))
+    per_doc = k.map_batches(
+        lambda t: count_partial(t.column("doc_id").to_numpy(zero_copy_only=False), "n_spans"),
+        batch_format="pyarrow",
     )
     firsts = (
         k.groupby("key")
         .aggregate(Min("packed", alias_name="packed"))
         .map_batches(
-            lambda t: pa.table({"doc_id": pc.cast(pc.divide(t.column("packed"), 1 << 20), pa.int64())}),
+            lambda t: count_partial(
+                (t.column("packed").to_numpy(zero_copy_only=False) // (1 << 20)), "n_first"
+            ),
             batch_format="pyarrow",
         )
-        .map_batches(lambda t: count_partial(t, "doc_id"), batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_first"))
     )
-    n_parts = auto_num_partitions(k.count())
-    joined = per_doc.join(firsts, join_type="left_outer", num_partitions=n_parts, on=("doc_id",))
+    out = per_doc.union(firsts).groupby("doc_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"), Sum("n_first", alias_name="n_first")
+    )
 
     def finish(t: pa.Table) -> pa.Table:
-        nf = pc.coalesce(t.column("n_first"), pa.scalar(0, pa.int64()))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_spans": t.column("n_spans"),
-                "n_dup_spans": pc.subtract(t.column("n_spans"), nf),
+                "n_dup_spans": pc.subtract(t.column("n_spans"), t.column("n_first")),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_SPAN_DEDUP = """
