@@ -235,6 +235,9 @@ def main() -> None:
         "span_dedup",
         "minhash_sigs",
         "events_pct_rank",
+        "simhash_sigs",
+        "ivf_ann_frozen",
+        "lsh_ann",
     ]
     qtimes = {}
     for name in bench_queries:
