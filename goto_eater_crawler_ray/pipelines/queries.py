@@ -1877,6 +1877,43 @@ FROM pri ORDER BY p DESC, doc_id LIMIT 50
 """
 
 
+def q_events_users_by_type(sf_dir: str):
+    """EXACT distinct users per event type — count-distinct as a
+    two-level aggregate (the exact counterpart of the HLL sketch in
+    `approx_distinct_users`): batch-local (type, user) dedup partials,
+    one groupby(type, user) distinct exchange, then a tiny per-type
+    count.  The exchange carries distinct pairs, never the event
+    stream."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pandas(), "user_id": t.column("user_id").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.table(
+            {"event_type": pa.array(df["event_type"], pa.string()), "user_id": pa.array(df["user_id"].to_numpy(), pa.int64())}
+        )
+
+    distinct = ds.map_batches(pairs, batch_format="pyarrow").groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+
+    def per_type(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas()})
+        g = df.groupby("event_type", as_index=False).size()
+        return pa.table({"event_type": pa.array(g["event_type"], pa.string()), "n": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    return (
+        distinct.map_batches(per_type, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_USERS_BY_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_bucketize(sf_dir: str):
     """Equi-depth quartile bucketing of a numeric feature — the standard
     feature-discretization op (quantile binning for GBDT-style models /
@@ -3195,6 +3232,7 @@ QUERIES = {
     "events_pct_rank": q_events_pct_rank,
     "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
+    "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -3288,6 +3326,7 @@ ORACLES = {
     "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
     "lsh_ann": SQL_LSH_ANN,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
+    "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.
