@@ -151,6 +151,7 @@ def main() -> None:
     task_skew = None
     task_med = None
     task_max = None
+    task_rows_skew = None
     try:
         import glob as _glob
 
@@ -164,7 +165,21 @@ def main() -> None:
             task_med = secs[len(secs) // 2]
             task_max = secs[-1]
             task_skew = round(task_max / task_med, 2) if task_med else None
-            log(f"--- fetch-task skew: {len(big)}/{len(recs)} full-size tasks, median {task_med:.3f}s, max {task_max:.3f}s, max/median {task_skew}")
+            # per-page-normalized skew separates DATA skew (what salting
+            # fixes: one task owning a mega-host's pages) from host noise
+            # (a throttled worker is slow per page on whatever rows it got)
+            per_page = sorted(r["sec"] / max(r["rows_in"], 1) for r in big)
+            rows_sorted = sorted(r["rows_in"] for r in big)
+            rows_skew = round(rows_sorted[-1] / max(rows_sorted[len(rows_sorted) // 2], 1), 2)
+            pp_skew = round(per_page[-1] / per_page[len(per_page) // 2], 2) if per_page[len(per_page) // 2] else None
+            log(
+                f"--- fetch-task skew: {len(big)}/{len(recs)} full-size tasks, median {task_med:.3f}s, "
+                f"max {task_max:.3f}s, max/median {task_skew}; rows max/median {rows_skew} "
+                f"(data skew — salting evidence); per-page max/median {pp_skew} (host noise)"
+            )
+            task_rows_skew = rows_skew
+        else:
+            task_rows_skew = None
     except Exception as e:  # skew stats are evidence, never a bench failure
         log(f"--- fetch-task skew: unavailable ({e})")
     # prof dir removed at the very end of main(): workers spawned with
@@ -269,6 +284,7 @@ def main() -> None:
                 "fetch_task_sec_median": task_med,
                 "fetch_task_sec_max": task_max,
                 "fetch_task_skew_max_over_median": task_skew,
+                "fetch_task_rows_skew_max_over_median": task_rows_skew,
                 "fetch_parse_sec": round(totals.get("fetch_parse_sec", crawl_sec), 3),
                 "fetch_parse_pages_per_sec": round(pages / max(totals.get("fetch_parse_sec", crawl_sec), 1e-9), 1),
             }
