@@ -39,7 +39,15 @@ def run_scaling() -> None:
     # cleanest co-located sample), with every phase's raw number reported.
     phases = []
     for ncpu in (8, 32, 32, 8):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HOSTS="24576", GRAFT_BENCH_MESH="16000")
+        # crawl-only phases: skipping the ~40-query loop keeps adjacent
+        # legs ~2 min closer in time, which matters on a drifting host
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HOSTS="24576",
+            GRAFT_BENCH_MESH="16000",
+            GRAFT_SKIP_QUERIES="1",
+        )
         log(f"--- scaling phase {len(phases) + 1}/4: num_cpus={ncpu}")
         r = subprocess.run([sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True)
         rec = json.loads(r.stdout.strip().splitlines()[-1])
@@ -255,6 +263,8 @@ def main() -> None:
         "lsh_ann",
     ]
     qtimes = {}
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        bench_queries = []
     for name in bench_queries:
         t0 = time.time()
         res = QUERIES[name](sf_dir)
