@@ -270,6 +270,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify_exact: bool = False,
     verify_exact_max_docs: int = 1_000_000,
+    hash_family: str = "crc32",
 ):
     """Full MinHash-LSH near-dup pipeline: signatures -> bands -> buckets
     -> bucket-locally verified pairs (est_jaccard >= threshold) -> one
@@ -285,7 +286,12 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Max
 
     rows_per_band = n_perm // n_bands
-    sigs = docs_ds.map_batches(MinHasher, fn_constructor_kwargs={"n_perm": n_perm}, batch_format="pyarrow", concurrency=(1, 4))
+    sigs = docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_perm": n_perm, "hash_family": hash_family},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
     bands = sigs.map_batches(explode_bands(n_bands, rows_per_band), batch_format="pyarrow")
     cand = bands.groupby("bucket_part").map_groups(bucket_verified_pairs(threshold), batch_format="pyarrow")
     # cross-band dedup: est_jaccard is identical wherever the pair was

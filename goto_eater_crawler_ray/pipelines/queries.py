@@ -904,6 +904,171 @@ def q_dedup_groups(sf_dir: str):
     return connected_components_distributed(pairs)
 
 
+# ---------------------------------------------------------------------------
+# md5-family LSH dedup: the FULL near-dup pipeline, hash-checked.
+#
+# The production default hash family is crc32 (cheap, but DuckDB can't
+# compute it); `minhash_sigs` proved the signature CORE is SQL-exact under
+# the md5 family (md5_number_upper == first 8 md5 bytes LE).  These
+# variants run the IDENTICAL pipeline code — MinHasher -> explode_bands ->
+# bucket_verified_pairs -> pair dedup -> connected components -> anti-join
+# — over md5-family signatures, so every downstream stage of the LSH
+# machinery gets an exact DuckDB twin too.  The only semantic difference
+# vs the SQL twin is the 64-bit band-hash bucketing (a band-hash collision
+# between docs whose band values differ could admit a spurious candidate
+# that then passes est_jaccard verification — probability ~2^-64, the same
+# accepted risk the banding design itself carries).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pairs_md5_ds(sf_dir: str):
+    from ..functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]),
+        threshold=0.5,
+        hash_family="md5",
+    )
+
+
+def q_minhash_pairs_md5(sf_dir: str):
+    """MinHash-LSH near-dup pairs under the md5 hash family — ORACLE-pinned:
+    the DuckDB twin recomputes the 64-perm signatures (the `minhash_sigs`
+    CTE), forms the same 8 bands, joins docs on exact band equality, and
+    verifies est_jaccard = (#agreeing perms)/64 >= 0.5.  k/64 is exactly
+    representable in 6 decimal digits (10^6/64 is an integer), so the
+    float column hash-compares exactly.  This converts the LSH candidate
+    machinery (explode_bands, bucket_verified_pairs, cross-band pair
+    dedup) from rows-only to hash-checked."""
+    return _minhash_pairs_md5_ds(sf_dir)
+
+
+def q_dedup_groups_md5(sf_dir: str):
+    """Near-dup GROUPS under the md5 hash family — the full
+    pairs -> distributed-connected-components path ORACLE-pinned against a
+    DuckDB recursive-CTE transitive closure over the same pair set (the
+    trick `embedding_dup_groups` uses, now over the LSH pair generator
+    instead of bounded cosine pairs)."""
+    from ..functions.dedup import connected_components_distributed
+
+    return connected_components_distributed(_minhash_pairs_md5_ds(sf_dir))
+
+
+def q_near_dedup_md5(sf_dir: str):
+    """END-TO-END near-dup curation (LSH pairs -> connected components ->
+    keep each group's min doc_id -> anti-join losers out of the corpus)
+    under the md5 hash family — the whole curation op hash-checked,
+    including the surviving rows' text."""
+    from ..functions.dedup import connected_components_distributed
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pairs = _minhash_pairs_md5_ds(sf_dir)
+    groups = connected_components_distributed(pairs)
+
+    loser_schema = pa.schema([("loser_id", pa.int64()), ("is_dup", pa.int8())])
+
+    def losers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), t.column("group_id")))
+        return pa.table(
+            {
+                "loser_id": t.column("doc_id").cast(pa.int64()),
+                "is_dup": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            },
+            schema=loser_schema,
+        )
+
+    losers_ds = groups.map_batches(losers, batch_format="pyarrow")
+    if losers_ds.count() == 0:
+        return docs
+    n_parts = auto_num_partitions(docs.count(), cap=64)
+    return _null_anti_join(docs, losers_ds, n_parts, on="doc_id", right_on="loser_id", marker="is_dup")
+
+
+def _minhash_pairs_md5_cte() -> str:
+    """Shared CTE prefix: documents -> 64-perm md5-family signatures ->
+    bands -> exact-band-equality candidates -> verified pairs.  Reuses the
+    `minhash_sigs` arithmetic (HUGEINT % 2^64 wrapping, Mersenne mod) with
+    the SAME seeded permutation parameters the production MinHasher
+    builds."""
+    from ..functions.dedup import _perm_params
+
+    a, b = _perm_params(64, seed=42)
+    values = ",\n    ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    return f"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i ->
+              array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS s
+  FROM toks
+),
+p(perm, a, b) AS (
+  SELECT * FROM (VALUES
+    {values}
+  )
+),
+vals AS (
+  SELECT sh.doc_id, p.perm,
+         ((CAST(md5_number_upper(sh.s) AS HUGEINT) * p.a) % 18446744073709551616 + p.b)
+         % 18446744073709551616 % 2305843009213693951 AS v
+  FROM sh CROSS JOIN p
+),
+sigs AS (SELECT doc_id, perm, CAST(min(v) AS BIGINT) AS sig FROM vals GROUP BY doc_id, perm),
+bands AS (
+  SELECT doc_id, perm // 8 AS band, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS bkey
+  FROM sigs GROUP BY doc_id, perm // 8
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+              JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) >= 32
+)"""
+
+
+SQL_MINHASH_PAIRS_MD5 = f"""
+WITH {_minhash_pairs_md5_cte()}
+SELECT doc_a, doc_b, est_jaccard FROM pairs
+"""
+
+
+_SQL_DEDUP_CLOSURE = """
+edges AS (SELECT doc_a AS n, doc_b AS p FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, r) AS (
+  SELECT n, p FROM edges
+  UNION
+  SELECT e.n, r.r FROM edges e JOIN reach r ON r.n = e.p
+),
+groups AS (
+  SELECT n AS doc_id, CAST(LEAST(n, MIN(r)) AS BIGINT) AS group_id FROM reach GROUP BY n
+)"""
+
+
+SQL_DEDUP_GROUPS_MD5 = f"""
+WITH RECURSIVE {_minhash_pairs_md5_cte()},
+{_SQL_DEDUP_CLOSURE.strip()}
+SELECT doc_id, group_id FROM groups
+"""
+
+
+SQL_NEAR_DEDUP_MD5 = f"""
+WITH RECURSIVE {_minhash_pairs_md5_cte()},
+{_SQL_DEDUP_CLOSURE.strip()}
+SELECT d.doc_id, d.text, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM groups WHERE doc_id != group_id)
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate count(distinct user_id) over events — mergeable
     per-batch sketches, one tiny reduce. Returned alongside the exact count
@@ -1737,6 +1902,86 @@ bits AS (
 SELECT doc_id, CAST(j // 16 AS BIGINT) AS piece,
        CAST(sum(CASE WHEN acc > 0 THEN 1 << (j % 16) ELSE 0 END) AS BIGINT) AS value
 FROM bits GROUP BY doc_id, j // 16
+"""
+
+
+def q_simhash_groups_md5(sf_dir: str):
+    """Exact-simhash collision groups (hamming-0 near-dups) under the md5
+    hash family — `simhash_dup_groups`'s groupby-Min/Count machinery
+    ORACLE-pinned: the DuckDB twin recomputes the 64-bit signature from
+    the `simhash_sigs` bit-vote CTE, assembles the four BIGINT-safe
+    16-bit pieces into one HUGEINT, wraps to two's-complement int64
+    (matching the batch path's uint64 -> int64 bit reinterpretation), and
+    groups by the assembled value."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.sampling import md5_u64
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    BITS = np.arange(64, dtype=np.uint64)
+    empty = pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty.empty_table()
+        # same distinct-token bit-vote core as q_simhash_sigs, assembled
+        # to one int64 instead of four 16-bit pieces
+        wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(t.column("text")))).combine_chunks()
+        flat = wl.flatten()
+        parents = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        words = flat.filter(pa.array(keep)).to_pandas().to_numpy()
+        parents = parents[keep]
+        pair = pd.DataFrame({"p": parents, "w": words}).drop_duplicates()
+        parents, words = pair["p"].to_numpy(), pair["w"].to_numpy()
+        codes, uniq = pd.factorize(pd.Series(words), sort=False)
+        h_uniq = md5_u64(uniq.to_numpy())
+        contrib = 2 * ((h_uniq[:, None] >> BITS[None, :]) & np.uint64(1)).astype(np.int8) - 1
+        acc = np.zeros((n, 64), np.int64)
+        np.add.at(acc, parents, contrib[codes])
+        sims = ((acc > 0).astype(np.uint64) << BITS[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "simhash": pa.array(sims.view(np.int64), pa.int64()),
+            }
+        )
+
+    grouped = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("simhash")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_docs"))
+    )
+    return grouped.filter(lambda r: r["n_docs"] > 1)
+
+
+SQL_SIMHASH_GROUPS_MD5 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)) AS ws
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (md5_number_upper(w.t) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w, (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j
+),
+pieces AS (
+  SELECT doc_id, j // 16 AS piece,
+         sum(CASE WHEN acc > 0 THEN 1 << (j % 16) ELSE 0 END) AS value
+  FROM bits GROUP BY doc_id, j // 16
+),
+vals AS (
+  SELECT doc_id,
+         sum(CAST(value AS HUGEINT) * CASE piece WHEN 0 THEN 1 WHEN 1 THEN 65536
+             WHEN 2 THEN 4294967296 ELSE 281474976710656 END) AS h
+  FROM pieces GROUP BY doc_id
+)
+SELECT CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS simhash,
+       min(doc_id) AS keep_id, count(*) AS n_docs
+FROM vals GROUP BY h HAVING count(*) > 1
 """
 
 
@@ -3229,6 +3474,10 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "minhash_sigs": q_minhash_sigs,
     "simhash_sigs": q_simhash_sigs,
+    "minhash_pairs_md5": q_minhash_pairs_md5,
+    "dedup_groups_md5": q_dedup_groups_md5,
+    "near_dedup_md5": q_near_dedup_md5,
+    "simhash_groups_md5": q_simhash_groups_md5,
     "events_pct_rank": q_events_pct_rank,
     "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
@@ -3322,6 +3571,10 @@ ORACLES = {
     "span_dedup": SQL_SPAN_DEDUP,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "simhash_sigs": SQL_SIMHASH_SIGS,
+    "minhash_pairs_md5": SQL_MINHASH_PAIRS_MD5,
+    "dedup_groups_md5": SQL_DEDUP_GROUPS_MD5,
+    "near_dedup_md5": SQL_NEAR_DEDUP_MD5,
+    "simhash_groups_md5": SQL_SIMHASH_GROUPS_MD5,
     "events_pct_rank": SQL_EVENTS_PCT_RANK,
     "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
     "lsh_ann": SQL_LSH_ANN,
