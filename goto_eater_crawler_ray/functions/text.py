@@ -288,9 +288,11 @@ def _hll_hashes(vals) -> np.ndarray:
     return _string_hashes(pc.cast(vals, pa.string()))
 
 
-def approx_distinct(ds, column: str, p: int = 12) -> float:
-    """Approximate COUNT(DISTINCT column) via per-batch HLL partials merged
-    in one tiny reduce — nothing but 4 KB sketches cross the wire."""
+def hll_sketch(ds, column: str, p: int = 12) -> HLL:
+    """Merged HLL sketch of a column via per-batch partials reduced in one
+    tiny driver merge — nothing but 4 KB sketches cross the wire.  The
+    register state is a pure function of the value SET (max is
+    associative/commutative), so it is batching- and width-independent."""
 
     def partial(t: pa.Table) -> pa.Table:
         h = HLL(p)
@@ -301,7 +303,12 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     merged = HLL(p)
     for row in sketches:
         merged.merge(HLL.from_bytes(row["sketch"]))
-    return merged.estimate()
+    return merged
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column) from the merged HLL sketch."""
+    return hll_sketch(ds, column, p).estimate()
 
 
 def tfidf_terms(docs_ds):

@@ -1071,22 +1071,104 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM groups WHERE doc_id != group_id)
 
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate count(distinct user_id) over events — mergeable
-    per-batch sketches, one tiny reduce. Returned alongside the exact count
-    so the test/judge can read the error directly. Non-SQL (approximate)."""
+    per-batch sketches, one tiny reduce, returned alongside the exact count
+    so the error is readable directly.  NOW ORACLE-pinned: the sketch is
+    deterministic (splitmix64 over the value set), so the DuckDB twin
+    replays the identical hash (UBIGINT xor/shift + 32-bit-split wrapping
+    multiplies), register indexing, rank, and estimator — including the
+    small-range linear-counting correction, whose ``m*ln(m/zeros)`` is
+    bit-equal across numpy and DuckDB on this libm.  Rounding is the
+    repo's half-away idiom to match SQL round()."""
     from ray.data.aggregate import Count
 
-    from ..functions.text import approx_distinct
+    from ..functions.text import hll_sketch
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
-    est = approx_distinct(ds, "user_id")
+    est = hll_sketch(ds, "user_id").estimate()
     exact = ds.groupby("user_id").aggregate(Count(alias_name="n")).count()
+    rel = abs(est - exact) / max(exact, 1)
     return pa.table(
         {
-            "hll_estimate": pa.array([round(est, 1)], pa.float64()),
+            "hll_estimate": pa.array([np.floor(est * 10.0 + 0.5) / 10.0], pa.float64()),
             "exact_distinct": pa.array([exact], pa.int64()),
-            "rel_error": pa.array([round(abs(est - exact) / max(exact, 1), 4)], pa.float64()),
+            "rel_error": pa.array([np.floor(rel * 10_000.0 + 0.5) / 10_000.0], pa.float64()),
         }
     )
+
+
+def q_hll_registers(sf_dir: str):
+    """The HLL sketch's REGISTER STATE as a hash-checked row set — the
+    integer-exact core of the approx-distinct family (the analogue of
+    `minhash_sigs` for HLL): every non-zero register's (index, max rank)
+    over events.user_id.  The DuckDB twin recomputes splitmix64 with
+    UBIGINT bitwise ops (multiplies split at 32 bits so the HUGEINT
+    intermediate never overflows INT128), takes the top-12-bit register
+    index, and derives rank = leading-zeros+1 positionally via bin().
+    All integers — no float estimator in the compare at all."""
+    from ..functions.text import hll_sketch
+
+    merged = hll_sketch(rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"]), "user_id")
+    nz = np.flatnonzero(merged.registers)
+    return pa.table(
+        {
+            "reg": pa.array(nz.astype(np.int64), pa.int64()),
+            "max_rank": pa.array(merged.registers[nz].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _hll_sql(select: str) -> str:
+    """Shared splitmix64 + register CTE prefix for the HLL twins."""
+    from ..functions.text import _HLL_SEED
+
+    m64 = 18446744073709551616
+
+    def mulwrap(x: str, c: int) -> str:
+        # (x * c) mod 2^64 via 32-bit split: each HUGEINT product < 2^96
+        return (
+            f"CAST(((CAST(({x}) & 4294967295 AS HUGEINT) * {c}) % {m64} + "
+            f"((CAST(({x}) >> 32 AS HUGEINT) * {c}) % 4294967296) * 4294967296) % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH d AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS v FROM events),
+s0 AS (SELECT xor(v, CAST({int(_HLL_SEED)} AS UBIGINT)) AS x FROM d),
+s1 AS (SELECT xor(x, x >> 30) AS x FROM s0),
+s2 AS (SELECT {mulwrap('x', 0xBF58476D1CE4E5B9)} AS x FROM s1),
+s3 AS (SELECT xor(x, x >> 27) AS x FROM s2),
+s4 AS (SELECT {mulwrap('x', 0x94D049BB133111EB)} AS x FROM s3),
+h AS (SELECT xor(x, x >> 31) AS x FROM s4),
+rr AS (
+  SELECT CAST(x >> 52 AS BIGINT) AS reg,
+         CAST(65 - length(ltrim(bin(CAST((CAST(x AS HUGEINT) * 4096) % {m64} AS UBIGINT) | 4095), '0')) AS BIGINT) AS rank
+  FROM h
+),
+regs AS (SELECT reg, max(rank) AS max_rank FROM rr GROUP BY reg)
+{select}
+"""
+
+
+SQL_HLL_REGISTERS = _hll_sql("SELECT reg, max_rank FROM regs")
+
+
+SQL_APPROX_DISTINCT_USERS = _hll_sql(
+    """,
+est AS (
+  SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+         (sum(power(2.0, -max_rank)) + (4096 - count(*))) AS e_raw,
+         4096 - count(*) AS zeros
+  FROM regs
+),
+fin AS (
+  SELECT CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros) ELSE e_raw END AS e
+  FROM est
+)
+SELECT round(e, 1) AS hll_estimate,
+       (SELECT count(*) FROM d) AS exact_distinct,
+       round(abs(e - (SELECT count(*) FROM d)) / greatest((SELECT count(*) FROM d), 1), 4) AS rel_error
+FROM fin"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3446,6 +3528,7 @@ QUERIES = {
     "langid": q_langid,
     "dedup_groups": q_dedup_groups,
     "approx_distinct_users": q_approx_distinct_users,
+    "hll_registers": q_hll_registers,
     "ann_topk": q_ann_topk,
     "cosine_dups": q_cosine_dups,
     "embedding_dup_groups": q_embedding_dup_groups,
@@ -3575,6 +3658,8 @@ ORACLES = {
     "dedup_groups_md5": SQL_DEDUP_GROUPS_MD5,
     "near_dedup_md5": SQL_NEAR_DEDUP_MD5,
     "simhash_groups_md5": SQL_SIMHASH_GROUPS_MD5,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "hll_registers": SQL_HLL_REGISTERS,
     "events_pct_rank": SQL_EVENTS_PCT_RANK,
     "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
     "lsh_ann": SQL_LSH_ANN,
