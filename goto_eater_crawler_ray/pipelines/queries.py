@@ -2540,6 +2540,52 @@ def q_kmeans_assign(sf_dir: str):
     )
 
 
+def q_pca_project_frozen(sf_dir: str):
+    """PCA projection against a frozen, offline-fitted projector (the
+    production shape: fit the component once, project the whole corpus) —
+    unlike `embedding_pca` (which solves the eigenproblem in-pipeline and
+    is rows-only), MEAN/PC1/C0 here are literals (`_pca_frozen.py`, fitted
+    on the sf0.01 embeddings), making the projection the pure affine map
+    ``x . PC1 - C0`` that DuckDB evaluates with `list_inner_product`
+    against the SAME 64 literals.  Both sides emit the 4-dp scaled-int
+    half-away rounding; the cross-engine float dot differs by <=1 ulp
+    (measured 1.7e-16), far inside the rounding guard band."""
+    from ..functions.similarity import _as_matrix
+    from ._pca_frozen import C0, PC1
+
+    w = np.asarray(PC1, np.float64)  # (64,) closure literal
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "pc1_proj_4dp": pa.array([], pa.int64())})
+        proj = _as_matrix(t.column("embedding")).astype(np.float64, copy=False) @ w - C0
+        m = proj * 10_000.0
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "pc1_proj_4dp": pa.array((np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+def _pca_project_frozen_sql() -> str:
+    from ._pca_frozen import C0, PC1
+
+    wlit = ", ".join(repr(float(v)) for v in PC1)
+    return f"""
+SELECT vec_id,
+       CAST(round((list_inner_product(CAST(embedding AS DOUBLE[]), [{wlit}]) - {C0!r}) * 10000) AS BIGINT) AS pc1_proj_4dp
+FROM embeddings
+"""
+
+
+SQL_PCA_PROJECT_FROZEN = _pca_project_frozen_sql()
+
+
 def _kmeans_assign_sql() -> str:
     from ._kmeans_frozen import CENTROIDS
 
@@ -3548,6 +3594,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "kmeans_clusters": q_kmeans_clusters,
     "kmeans_assign": q_kmeans_assign,
+    "pca_project_frozen": q_pca_project_frozen,
     "crawl_determinism": q_crawl_determinism,
     "doc_chunks": q_doc_chunks,
     "embedding_quantize": q_embedding_quantize,
@@ -3645,6 +3692,7 @@ ORACLES = {
     "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "pca_project_frozen": SQL_PCA_PROJECT_FROZEN,
     "crawl_determinism": SQL_CRAWL_DETERMINISM,
     "doc_chunks": SQL_DOC_CHUNKS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
