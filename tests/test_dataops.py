@@ -1619,3 +1619,78 @@ class TestFunnelStages:
         out = funnel_stages(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]).to_pandas()
         got = dict(zip(out["user_id"], out["funnel_stage"]))
         assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2, 6: 3}
+
+
+class TestMd5FamilyDedup:
+    """The md5-family variants run the identical LSH machinery as the crc32
+    production default (only the shingle hash differs), so the planted-dup
+    recall contract must hold under both families; the md5 family is the
+    one the DuckDB oracle twins replay (queries.minhash_pairs_md5 et al.)."""
+
+    def test_md5_lsh_finds_planted_pairs(self, planted_docs):
+        from goto_eater_crawler_ray.functions.dedup import minhash_lsh_pairs
+
+        ds, _ = planted_docs
+        pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4, hash_family="md5").to_pandas()
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        for j in range(10):
+            assert (j, 100 + j) in found, f"exact dup pair ({j},{100+j}) missed under md5 family"
+        near_found = sum((10 + j, 110 + j) in found for j in range(10))
+        assert near_found >= 7, f"only {near_found}/10 near-dup pairs found under md5 family"
+
+    def test_md5_signature_matches_duckdb_hash(self):
+        """The md5 shingle hash IS DuckDB's md5_number_upper (first 8 md5
+        bytes, little-endian) — the contract every *_md5 oracle rests on."""
+        import duckdb
+
+        from goto_eater_crawler_ray.functions.dedup import _shingle_hashes
+
+        text = "alpha beta gamma delta"
+        py = _shingle_hashes(text, k=3, family="md5")
+        con = duckdb.connect()
+        sql = con.sql(
+            "SELECT md5_number_upper('alpha beta gamma'), md5_number_upper('beta gamma delta')"
+        ).fetchone()
+        assert [int(v) for v in py] == [int(sql[0]), int(sql[1])]
+
+
+class TestHLLRegisters:
+    def test_register_state_batching_independent(self, ray_session):
+        """The merged register table is a pure function of the value SET —
+        identical across block counts (max is associative/commutative).
+        This is what makes `hll_registers` a stable oracle row set."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import hll_sketch
+
+        vals = pa.table({"v": pa.array(np.arange(0, 5000, dtype=np.int64) % 1700, pa.int64())})
+        one = hll_sketch(rd.from_arrow(vals).repartition(1), "v")
+        many = hll_sketch(rd.from_arrow(vals).repartition(16), "v")
+        assert np.array_equal(one.registers, many.registers)
+        assert one.estimate() == many.estimate()
+
+
+class TestFrozenPca:
+    def test_projection_matches_numpy_affine(self, ray_session, tmp_path):
+        """q_pca_project_frozen is the pure affine map x.PC1 - C0 against
+        the frozen literals — verify against a direct numpy evaluation on
+        a synthetic embeddings table (any d=64 data; the model is frozen,
+        not refit)."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines._pca_frozen import C0, PC1
+        from goto_eater_crawler_ray.pipelines.queries import q_pca_project_frozen
+
+        rng = np.random.default_rng(11)
+        emb = rng.normal(size=(40, 64))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = q_pca_project_frozen(str(tmp_path)).to_pandas().sort_values("vec_id")
+        m = (emb @ np.asarray(PC1) - C0) * 10_000.0
+        want = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        assert np.array_equal(out["pc1_proj_4dp"].to_numpy(), want)
