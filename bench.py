@@ -261,6 +261,11 @@ def main() -> None:
         "simhash_sigs",
         "ivf_ann_frozen",
         "lsh_ann",
+        "minhash_pairs_md5",
+        "near_dedup_md5",
+        "simhash_groups_md5",
+        "hll_registers",
+        "pca_project_frozen",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):
