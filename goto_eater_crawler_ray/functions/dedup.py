@@ -126,8 +126,46 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch path, bit-identical to per-doc :meth:`signature` (min over
+        a multiset equals min over its distinct values, and every shingle's
+        hash is value-deterministic): build the batch's shingles flat,
+        factorize so each DISTINCT shingle is hashed ONCE (near-dup corpora
+        repeat shingles heavily — this is where the md5 family's per-value
+        digest cost goes from O(shingles) to O(distinct)), then one
+        (shingles x n_perm) wrapping permute and a per-doc segment min via
+        ``np.minimum.reduceat`` — no per-doc Python reduction."""
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.n_perm), np.uint64)
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "minhash": pa.array([], pa.list_(pa.uint64(), self.n_perm)),
+                }
+            )
+        flat: list[str] = []
+        offsets = np.empty(len(texts) + 1, np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(texts):
+            words = _WS_SPLIT.split(t.strip().lower())
+            if len(words) < self.k:
+                flat.append(" ".join(words))  # always >=1 shingle per doc
+            else:
+                flat.extend(" ".join(words[j : j + self.k]) for j in range(len(words) - self.k + 1))
+            offsets[i + 1] = len(flat)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        h_uniq = np.empty(len(uniq), dtype=np.uint64)
+        if self.hash_family == "md5":
+            import hashlib
+
+            for i, s in enumerate(uniq):
+                h_uniq[i] = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+        else:
+            for i, s in enumerate(uniq):
+                bts = s.encode("utf-8")
+                h_uniq[i] = (zlib.crc32(bts) << 32) | zlib.crc32(bts, 0xBEEF)
+        with np.errstate(over="ignore"):
+            vals = (h_uniq[codes][:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        sigs = np.minimum.reduceat(vals, offsets[:-1], axis=0)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -589,6 +627,38 @@ def connected_components(pairs_ds, max_rounds: int = 25, max_driver_edges: int =
         warnings.warn(f"connected_components: not converged after {max_rounds} rounds", stacklevel=2)
     out = pd.DataFrame({"doc_id": nodes, "group_id": label})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def connected_components_gated(pairs_ds, max_local_edges: int = 262_144, max_rounds: int = 25):
+    """Size-gated component resolution — the same idiom as
+    ``graph.pagerank``'s small-graph fast path: candidate-pair graphs are
+    usually TINY relative to the corpus (pairs come out of LSH buckets),
+    so below the gate the edge list (materialized once anyway to count
+    it) resolves driver-side in vectorized numpy rounds — saving the
+    2-joins-per-round exchange cost that dominates wall time on small
+    graphs — while anything larger takes the Dataset-native label
+    propagation.  Both paths produce identical (doc_id, group_id) rows
+    (pinned by the driver/distributed equivalence tests); the gate bounds
+    driver memory at ~16 B/edge."""
+    import ray.data as rd
+
+    mat = pairs_ds.materialize() if hasattr(pairs_ds, "materialize") else pairs_ds
+    n_edges = mat.count() if hasattr(mat, "count") else len(mat)
+    if n_edges == 0:
+        # an empty Dataset loses its schema through to_pandas — return the
+        # contract schema directly (clean corpus == zero groups)
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())}))
+    if n_edges <= max_local_edges:
+        pdf = connected_components(mat, max_rounds=max_rounds, max_driver_edges=max_local_edges)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
+                    "group_id": pa.array(pdf["group_id"].to_numpy(), pa.int64()),
+                }
+            )
+        )
+    return connected_components_distributed(mat, max_rounds=max_rounds)
 
 
 def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partitions: int | None = None):

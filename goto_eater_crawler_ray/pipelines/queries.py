@@ -958,12 +958,16 @@ def q_near_dedup_md5(sf_dir: str):
     """END-TO-END near-dup curation (LSH pairs -> connected components ->
     keep each group's min doc_id -> anti-join losers out of the corpus)
     under the md5 hash family — the whole curation op hash-checked,
-    including the surviving rows' text."""
-    from ..functions.dedup import connected_components_distributed
+    including the surviving rows' text.  Components resolve through the
+    size-gated path (`connected_components_gated`): LSH pair graphs are
+    corpus-tiny, so below the gate the driver's vectorized numpy rounds
+    replace the 2-joins-per-round exchange (the distributed path stays
+    oracle-pinned via `dedup_groups_md5`)."""
+    from ..functions.dedup import connected_components_gated
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     pairs = _minhash_pairs_md5_ds(sf_dir)
-    groups = connected_components_distributed(pairs)
+    groups = connected_components_gated(pairs)
 
     loser_schema = pa.schema([("loser_id", pa.int64()), ("is_dup", pa.int8())])
 
@@ -3514,12 +3518,13 @@ def q_near_dedup_filter(sf_dir: str):
     connected components -> keep only each group's minimum doc_id ->
     anti-join the losers out of the corpus.  The op a real training-data
     pipeline runs (dedup_filter's exact twin is oracle-green; this one is
-    probabilistic -> rows-only + planted-dup pytest)."""
-    from ..functions.dedup import connected_components_distributed, minhash_lsh_pairs
+    probabilistic -> rows-only + planted-dup pytest).  Components resolve
+    through the size-gated path — see `near_dedup_md5`."""
+    from ..functions.dedup import connected_components_gated, minhash_lsh_pairs
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     pairs = minhash_lsh_pairs(docs.select_columns(["doc_id", "text"]), threshold=0.5)
-    groups = connected_components_distributed(pairs)
+    groups = connected_components_gated(pairs)
 
     loser_schema = pa.schema([("loser_id", pa.int64()), ("is_dup", pa.int8())])
 

@@ -1694,3 +1694,26 @@ class TestFrozenPca:
         m = (emb @ np.asarray(PC1) - C0) * 10_000.0
         want = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
         assert np.array_equal(out["pc1_proj_4dp"].to_numpy(), want)
+
+
+class TestGatedComponents:
+    def test_gated_matches_distributed_and_forced_path(self, planted_docs):
+        """connected_components_gated returns the same (doc_id, group_id)
+        rows whichever side of the gate executes (max_local_edges=0 forces
+        the distributed path)."""
+        from goto_eater_crawler_ray.functions.dedup import (
+            connected_components_gated,
+            minhash_lsh_pairs,
+        )
+
+        ds, _ = planted_docs
+        pairs = minhash_lsh_pairs(ds, n_perm=64, n_bands=16, threshold=0.4).materialize()
+        fast = connected_components_gated(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        dist = (
+            connected_components_gated(pairs, max_local_edges=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert fast.equals(dist)
+        assert len(fast) > 0
