@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -132,6 +133,63 @@ def weighted_topk(ds, id_col: str, weight_col: str, k: int, scale: int = 1_000_0
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sample_topk_per_group(ds, key_col: str, id_col: str, k: int):
+    """Deterministic fixed-k sample PER GROUP — the 'k examples per class'
+    sampler (eval-set construction, per-source corpus capping): each row's
+    priority is the md5 hash of its id (reproducible across runs, widths
+    and partitionings, like every sampler in this module), and each group
+    keeps its k smallest-priority rows, ranked.
+
+    Shape: priorities are batch-local and a vectorized per-(batch, key)
+    top-k prune runs BEFORE the exchange, so the shuffle carries
+    O(blocks * groups * k) rows, never the corpus; the final per-group
+    top-k is one groupby over the pruned rows (groups = the bounded
+    category set).  SQL twin: ``row_number() OVER (PARTITION BY key ORDER
+    BY md5_number_upper(CAST(id AS VARCHAR)), id) <= k``."""
+
+    out_schema = pa.schema([(key_col, pa.string()), (id_col, pa.int64()), ("rk", pa.int64())])
+
+    def pri_prune(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.schema([(key_col, pa.string()), (id_col, pa.int64()), ("_pri", pa.uint64())]).empty_table()
+        h = md5_u64(t.column(id_col))
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(t.column(key_col).to_pandas(), sort=False)
+        order = np.lexsort((ids, h, codes))
+        sk = codes[order]
+        seg_start = np.concatenate(([True], sk[1:] != sk[:-1]))
+        pos = np.arange(n)
+        rank_in_seg = pos - np.maximum.accumulate(np.where(seg_start, pos, 0))
+        keep_idx = order[rank_in_seg < k]
+        kept = t.take(pa.array(keep_idx))
+        return pa.table(
+            {
+                key_col: kept.column(key_col).cast(pa.string()),
+                id_col: kept.column(id_col).cast(pa.int64()),
+                "_pri": pa.array(h[keep_idx], pa.uint64()),
+            }
+        )
+
+    def group_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        h = part.column("_pri").to_numpy(zero_copy_only=False)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        kept = part.take(pa.array(order))
+        return pa.table(
+            {
+                key_col: kept.column(key_col),
+                id_col: kept.column(id_col),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(pri_prune, batch_format="pyarrow").groupby(key_col).map_groups(group_topk, batch_format="pyarrow")
 
 
 def stratified_sample(ds, id_col: str, strata_col: str, rates: dict[str, int], default_pct: int = 0, mod: int = 100):

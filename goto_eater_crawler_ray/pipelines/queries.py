@@ -2176,6 +2176,32 @@ FROM per_doc p LEFT JOIN first_per_doc f USING (doc_id)
 """
 
 
+def q_events_sample_per_type(sf_dir: str):
+    """Deterministic fixed-k sample PER GROUP (3 events per event_type,
+    chosen by md5-of-id priority) — the 'k examples per class' sampler
+    eval-set construction and per-source corpus capping use; see
+    :func:`~goto_eater_crawler_ray.functions.sampling.sample_topk_per_group`.
+    ORACLE: the DuckDB twin is the identical priority order as a
+    ``row_number() OVER (PARTITION BY ... ORDER BY md5_number_upper(...))``
+    window."""
+    from ..functions.sampling import sample_topk_per_group
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "event_id"])
+    return sample_topk_per_group(ds, "event_type", "event_id", k=3)
+
+
+SQL_EVENTS_SAMPLE_PER_TYPE = """
+SELECT event_type, event_id, rk FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
 def q_doc_sample_weighted(sf_dir: str):
     """Length-weighted deterministic corpus sample (top-50 by A-Res
     priority, weight = character length) — see
@@ -3605,6 +3631,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "events_hopping": q_events_hopping,
     "doc_sample_weighted": q_doc_sample_weighted,
+    "events_sample_per_type": q_events_sample_per_type,
     "doc_redact": q_doc_redact,
     "span_dedup": q_span_dedup,
     "minhash_sigs": q_minhash_sigs,
@@ -3703,6 +3730,7 @@ ORACLES = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "events_hopping": SQL_EVENTS_HOPPING,
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
+    "events_sample_per_type": SQL_EVENTS_SAMPLE_PER_TYPE,
     "doc_redact": SQL_DOC_REDACT,
     "span_dedup": SQL_SPAN_DEDUP,
     "minhash_sigs": SQL_MINHASH_SIGS,

@@ -1717,3 +1717,43 @@ class TestGatedComponents:
         )
         assert fast.equals(dist)
         assert len(fast) > 0
+
+
+class TestSampleTopkPerGroup:
+    def test_partition_stable_and_matches_reference(self, ray_session):
+        """Membership is a pure function of (key, id): identical output at
+        1 and 16 input blocks, and equal to a direct pandas evaluation of
+        the same md5-priority window."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.sampling import md5_u64, sample_topk_per_group
+
+        rng = np.random.default_rng(23)
+        ids = np.arange(400, dtype=np.int64)
+        keys = rng.choice(["a", "b", "c"], size=400)
+        t = pa.table({"k": pa.array(keys), "id": pa.array(ids, pa.int64())})
+        ref = (
+            pd.DataFrame({"k": keys, "id": ids, "h": md5_u64(ids)})
+            .sort_values(["k", "h", "id"])
+            .groupby("k")
+            .head(3)
+        )
+        ref["rk"] = ref.groupby("k").cumcount() + 1
+        ref = ref[["k", "id", "rk"]].reset_index(drop=True)
+        for parts in (1, 16):
+            out = (
+                sample_topk_per_group(rd.from_arrow(t).repartition(parts), "k", "id", k=3)
+                .to_pandas()
+                .sort_values(["k", "rk"])
+                .reset_index(drop=True)
+            )
+            assert out.rename(columns={"k": "k", "id": "id"}).equals(ref), parts
+
+    def test_group_smaller_than_k_keeps_all(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.sampling import sample_topk_per_group
+
+        t = pa.table({"k": pa.array(["x", "x", "y"]), "id": pa.array([1, 2, 3], pa.int64())})
+        out = sample_topk_per_group(rd.from_arrow(t), "k", "id", k=5).to_pandas()
+        assert len(out) == 3 and set(out[out["k"] == "x"]["rk"]) == {1, 2}
