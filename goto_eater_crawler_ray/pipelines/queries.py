@@ -2071,6 +2071,69 @@ FROM vals GROUP BY h HAVING count(*) > 1
 """
 
 
+def q_span_reassemble(sf_dir: str):
+    """Render each interleaved span document back to one training-ready
+    string — text spans verbatim, media spans as ``<media_ref>``
+    placeholders, joined in offset order (the doc-to-tokenizer-input
+    step of a multimodal pipeline; the inverse of the chunker).
+
+    Shape: ONE coarse hash shuffle by doc_id % 64, then per partition a
+    single lexsort + ``ListArray.from_arrays`` + ``pc.binary_join`` —
+    order-aware string aggregation with no per-doc Python call (the
+    same one-ListArray-per-batch idiom as the flagship span builder).
+    ORACLE: ``string_agg(..., ' ' ORDER BY offset)`` over the shared
+    span-chunking CTE."""
+    flat = q_doc_spans_flat(sf_dir)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        return t.append_column("_part", pc.cast(pc.bit_wise_and(ids, 63), pa.int32()))
+
+    out_schema = pa.schema([("doc_id", pa.string()), ("rendered", pa.string())])
+
+    def render(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        ids = part.column("doc_id").to_pandas().to_numpy()
+        offs = part.column("offset").to_numpy(zero_copy_only=False)
+        kinds = part.column("kind").to_pandas().to_numpy()
+        texts = part.column("text").to_pandas().to_numpy()
+        refs = part.column("media_ref").to_pandas().to_numpy()
+        order = np.lexsort((offs, ids))
+        ids, kinds, texts, refs = ids[order], kinds[order], texts[order], refs[order]
+        pieces = np.where(kinds == "image", "<" + refs + ">", texts)
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        offsets = np.append(starts, n).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), pa.array(pieces, pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.string()),
+                "rendered": pc.binary_join(lists, " "),
+            },
+            schema=out_schema,
+        )
+
+    return flat.map_batches(part_key, batch_format="pyarrow").groupby("_part").map_groups(render, batch_format="pyarrow")
+
+
+def _span_reassemble_sql() -> str:
+    # share the span-chunking CTE with SQL_DOC_SPANS_FLAT: flat spans ->
+    # order-aware string_agg per doc
+    flat_body = SQL_DOC_SPANS_FLAT.strip()
+    return f"""
+WITH flat AS (
+{flat_body}
+)
+SELECT doc_id,
+       string_agg(CASE WHEN kind = 'image' THEN '<' || media_ref || '>' ELSE text END, ' ' ORDER BY "offset") AS rendered
+FROM flat GROUP BY doc_id
+"""
+
+
+SQL_SPAN_REASSEMBLE = _span_reassemble_sql()
+
+
 def q_span_dedup(sf_dir: str):
     """Span-level exact dedup over the interleaved corpus — dedup at the
     SPAN granularity (the multimodal-corpus variant of exact dedup:
@@ -3634,6 +3697,7 @@ QUERIES = {
     "events_sample_per_type": q_events_sample_per_type,
     "doc_redact": q_doc_redact,
     "span_dedup": q_span_dedup,
+    "span_reassemble": q_span_reassemble,
     "minhash_sigs": q_minhash_sigs,
     "simhash_sigs": q_simhash_sigs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
@@ -3733,6 +3797,7 @@ ORACLES = {
     "events_sample_per_type": SQL_EVENTS_SAMPLE_PER_TYPE,
     "doc_redact": SQL_DOC_REDACT,
     "span_dedup": SQL_SPAN_DEDUP,
+    "span_reassemble": SQL_SPAN_REASSEMBLE,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "simhash_sigs": SQL_SIMHASH_SIGS,
     "minhash_pairs_md5": SQL_MINHASH_PAIRS_MD5,

@@ -1757,3 +1757,30 @@ class TestSampleTopkPerGroup:
         t = pa.table({"k": pa.array(["x", "x", "y"]), "id": pa.array([1, 2, 3], pa.int64())})
         out = sample_topk_per_group(rd.from_arrow(t), "k", "id", k=5).to_pandas()
         assert len(out) == 3 and set(out[out["k"] == "x"]["rk"]) == {1, 2}
+
+
+class TestSpanReassemble:
+    def test_order_placeholders_and_partition_stability(self, ray_session, tmp_path):
+        """Rendered docs join spans in offset order with media placeholders;
+        for a short pure-text doc the render reproduces the
+        whitespace-normalized text; output is identical across widths."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_span_reassemble
+
+        texts = {
+            0: "  alpha   beta\tgamma  ",  # 3 words -> one text span
+            1: " ".join(f"w{i}" for i in range(45)),  # 5 spans -> offset 4 is an image
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_span_reassemble(str(tmp_path)).to_pandas().set_index("doc_id")["rendered"]
+        assert out["0"] == "alpha beta gamma"
+        words = texts[1].split()
+        want = " ".join(words[:40]) + " <media://1/4>"
+        assert out["1"] == want
