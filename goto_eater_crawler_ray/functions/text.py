@@ -654,6 +654,84 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 10, scale: int = 1_000_0
     )
 
 
+def bigram_pmi(docs_ds, min_count: int = 5, n_top: int = 50, scale: int = 1_000_000):
+    """Collocation extraction by pointwise mutual information —
+    ``pmi(w1,w2) = ln(N·c12 / (c1·c2))`` over adjacent-word bigrams
+    (Church & Hanks 1990, public), the standard phrase-mining /
+    tokenizer-merge-candidate op.  N is the total bigram count, c12 the
+    bigram count, c1/c2 the corpus unigram counts.
+
+    Shape: unigram and bigram counts are combined batch-locally before
+    their (single) groupby exchanges; bigrams below ``min_count`` are
+    dropped BEFORE decoration, so the two distributed hash joins against
+    the unigram table carry only the frequent-bigram set (vocab-bounded,
+    never the token stream); ln scoring is a stateless pass with N as a
+    closure scalar (the legal kind), and the final sort+limit runs over
+    the already-small scored set.  All counts are exact integers and the
+    ln argument is one integer-ratio division, so the SQL twin is
+    float-exact under the 6-dp scaled-int emission (numpy and DuckDB ln
+    are bit-equal on this libm — measured for the HLL correction)."""
+    from ray.data.aggregate import Sum
+
+    def uni_partials(t: pa.Table) -> pa.Table:
+        _, toks = _split_tokens(t)
+        vc = pd.Series(toks.to_pandas().to_numpy()).value_counts()
+        return pa.table({"w": pa.array(vc.index, pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())})
+
+    def bi_partials(t: pa.Table) -> pa.Table:
+        parents, toks = _split_tokens(t)
+        words = toks.to_pandas().to_numpy()
+        if len(words) < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()), "c12": pa.array([], pa.int64())}
+            )
+        same = parents[1:] == parents[:-1]
+        vc = pd.DataFrame({"w1": words[:-1][same], "w2": words[1:][same]}).groupby(["w1", "w2"], sort=False).size()
+        idx = vc.index
+        return pa.table(
+            {
+                "w1": pa.array(idx.get_level_values(0), pa.string()),
+                "w2": pa.array(idx.get_level_values(1), pa.string()),
+                "c12": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    uni = docs_ds.map_batches(uni_partials, batch_format="pyarrow").groupby("w").aggregate(Sum("c", alias_name="c"))
+    bi = (
+        docs_ds.map_batches(bi_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c12", alias_name="c12"))
+        .materialize()  # read twice: the N scalar and the frequent set
+    )
+    n_total = int(bi.aggregate(Sum("c12"))["sum(c12)"] or 0)
+    if n_total == 0:
+        return bi  # empty corpus: empty (w1, w2, c12) set, schema-stable enough for callers
+
+    freq = bi.filter(expr=f"c12 >= {int(min_count)}")
+    n_parts = max(2, min(64, freq.count() // 100_000 + 2))
+    u1 = uni.map_batches(lambda t: pa.table({"u1w": t.column("w"), "c1": t.column("c")}), batch_format="pyarrow")
+    u2 = uni.map_batches(lambda t: pa.table({"u2w": t.column("w"), "c2": t.column("c")}), batch_format="pyarrow")
+    j = freq.join(u1, join_type="inner", num_partitions=n_parts, on=("w1",), right_on=("u1w",)).join(
+        u2, join_type="inner", num_partitions=n_parts, on=("w2",), right_on=("u2w",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False)
+        pmi = np.log((n_total * c12).astype(np.float64) / (c1 * c2)) * float(scale)
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "c12": t.column("c12"),
+                "pmi_6dp": pa.array((np.sign(pmi) * np.floor(np.abs(pmi) + 0.5)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow").sort(["pmi_6dp", "w1", "w2"], descending=[True, False, False]).limit(n_top)
+
+
 def top_ngrams(docs_ds, n_top: int = 20):
     """Corpus-wide top-N bigram counts — the classic corpus-statistics op
     (n-gram frequency tables for LM smoothing / contamination checks).

@@ -3039,6 +3039,42 @@ GROUP BY bigram ORDER BY c DESC, bigram LIMIT 20
 """
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation extraction — top-50 adjacent-word bigrams by PMI
+    (c12 >= 5), see :func:`~goto_eater_crawler_ray.functions.text.bigram_pmi`.
+    ORACLE: the twin reproduces the identical integer counts, the same
+    one-division ln argument and the 6-dp scaled-int rounding, with ties
+    broken (pmi, w1, w2) on both sides."""
+    from ..functions.text import bigram_pmi
+
+    return bigram_pmi(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), min_count=5, n_top=50)
+
+
+SQL_BIGRAM_PMI = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+bi AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c12
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(c12) AS n FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         CAST(round(ln(CAST(t.n * b.c12 AS DOUBLE) / (u1.c * u2.c)) * 1000000) AS BIGINT) AS pmi_6dp
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.c12 >= 5
+)
+SELECT w1, w2, c12, pmi_6dp FROM scored ORDER BY pmi_6dp DESC, w1, w2 LIMIT 50
+"""
+
+
 def q_tokenize_flat(sf_dir: str):
     """Tokenization to hash-vocab token IDs — the actual artifact an LLM
     pipeline ships (not just counts): one row per (doc, position) with
@@ -3718,6 +3754,7 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "top_bigrams": q_top_bigrams,
+    "bigram_pmi": q_bigram_pmi,
     "decontaminate": q_decontaminate,
     "tokenize_flat": q_tokenize_flat,
     "events_zscore": q_events_zscore,
@@ -3778,6 +3815,7 @@ ORACLES = {
     "langid": SQL_LANGID,
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     "decontaminate": SQL_DECONTAMINATE,
     "tokenize_flat": SQL_TOKENIZE_FLAT,
     "events_zscore": SQL_EVENTS_ZSCORE,

@@ -1784,3 +1784,30 @@ class TestSpanReassemble:
         words = texts[1].split()
         want = " ".join(words[:40]) + " <media://1/4>"
         assert out["1"] == want
+
+
+class TestBigramPmi:
+    def test_matches_hand_computation(self, ray_session):
+        """Tiny corpus where counts are hand-checkable: PMI ordering and
+        the scaled-int values match a direct formula evaluation."""
+        import math
+
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.text import bigram_pmi
+
+        # bigrams: ab=5, ba=5, cc=3, bc=1, ac=1 (N=15); unigrams a=b=c=6
+        docs = ["a b a b a b c", "b a b a b a c", "c c c c"]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(docs, pa.string())})
+        )
+        out = bigram_pmi(ds, min_count=3, n_top=10).to_pandas()
+        n_total = 15
+        rows = {(r.w1, r.w2): (r.c12, r.pmi_6dp) for r in out.itertuples()}
+        uni = {"a": 6, "b": 6, "c": 6}
+        assert rows[("a", "b")][0] == 5 and rows[("b", "a")][0] == 5 and rows[("c", "c")][0] == 3
+        assert ("b", "c") not in rows  # below min_count
+        for (w1, w2), (c12, pmi_i) in rows.items():
+            pmi = math.log((n_total * c12) / (uni[w1] * uni[w2]))
+            want = int(math.copysign(math.floor(abs(pmi) * 1e6 + 0.5), pmi))
+            assert pmi_i == want, (w1, w2)
