@@ -2873,6 +2873,48 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
 """
 
 
+def q_customer_orders_left(sf_dir: str):
+    """LEFT OUTER join enrichment — every customer decorated with order
+    count and total spend, zero-order customers KEPT with coalesced 0s
+    (the report shape inner joins silently drop).  Aggregate-first: the
+    order side shrinks to one row per customer BEFORE the join, so the
+    exchange carries totals, not the order stream; nulls from the outer
+    side are coalesced in a stateless pass."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    totals = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent"))
+        .map_batches(lambda t: _int_scale_col(t, "total_spent", 100), batch_format="pyarrow")
+    )
+    n_parts = auto_num_partitions(cust.count(), cap=64)
+    j = cust.join(totals, join_type="left_outer", num_partitions=n_parts, on=("c_custkey",), right_on=("o_custkey",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_name": t.column("c_name"),
+                "n_orders": pc.fill_null(t.column("n_orders"), 0).cast(pa.int64()),
+                "total_spent": pc.fill_null(t.column("total_spent"), 0).cast(pa.int64()),
+            }
+        )
+
+    return j.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDERS_LEFT = """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(t.n_orders, 0) AS n_orders,
+       COALESCE(t.total_spent, 0) AS total_spent
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_spent
+  FROM orders GROUP BY 1
+) t ON t.o_custkey = c.c_custkey
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # closed set, mirrored in SQL
 
 
@@ -3749,6 +3791,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "quality_filter": q_quality_filter,
     "anti_join_customers": q_anti_join_customers,
+    "customer_orders_left": q_customer_orders_left,
     "events_pivot": q_events_pivot,
     "events_time_delta": q_events_time_delta,
     "doc_pack": q_doc_pack,
@@ -3809,6 +3852,7 @@ ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "quality_filter": SQL_QUALITY_FILTER,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "customer_orders_left": SQL_CUSTOMER_ORDERS_LEFT,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_time_delta": SQL_EVENTS_TIME_DELTA,
     "doc_pack": SQL_DOC_PACK,
