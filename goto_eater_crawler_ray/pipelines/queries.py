@@ -2394,6 +2394,88 @@ def q_events_bucketize(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def q_events_clip(sf_dir: str):
+    """Winsorization — clip the value column at the corpus's approximate
+    p05/p95 (outlier clamping before feature scaling, the standard
+    robust-preprocessing op).  The cut VALUES come from the same
+    mergeable fixed-bin histogram sketch `events_bucketize` uses (two
+    tiny passes), converted to bin left-edges with the one shared
+    ``lo + bin*width`` expression on both sides; the clip itself is a
+    stateless third pass, emitted as 4-dp scaled ints so the one
+    float multiply-add is ulp-safe under the hash compare."""
+    from ray.data.aggregate import Count, Max, Min
+
+    N_BINS = 1024
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
+    stats = ds.aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"), Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"] or 0.0), float(stats["hi"] or 0.0), int(stats["n"])
+    width = (hi - lo) / float(N_BINS)
+
+    def emit(t: pa.Table, clipped: np.ndarray) -> pa.Table:
+        m = clipped * 10_000.0
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "clipped_4dp": pa.array((np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    if n == 0 or width == 0.0:
+        # constant/empty column: nothing to clip (guarded here, as in bucketize)
+        return ds.map_batches(
+            lambda t: emit(t, t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)),
+            batch_format="pyarrow",
+        )
+
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum(np.floor((v - lo) / width), N_BINS - 1).astype(np.int64)
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column("value").to_numpy(zero_copy_only=False).astype(np.float64))
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(bins, pa.int64()), "c": pa.array(counts, pa.int64())})
+
+    hdf = (
+        ds.map_batches(bin_counts, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("bin")
+    )  # <= 1024 rows: driver-safe by construction
+    cum = hdf["c"].cumsum().to_numpy()
+    bins_sorted = hdf["bin"].to_numpy()
+    cut_edges = []
+    for pct in (5, 95):
+        rank = (pct * n + 99) // 100  # ceil in pure ints (bucketize idiom)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        cut_bin = float(bins_sorted[min(idx, len(bins_sorted) - 1)])
+        cut_edges.append(lo + cut_bin * width)  # the ONE shared float expression
+    lo_cut, hi_cut = cut_edges
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        return emit(t, np.minimum(np.maximum(v, lo_cut), hi_cut))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+SQL_EVENTS_CLIP = """
+WITH stats AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+hist AS (
+  SELECT LEAST(CAST(floor((e.value - s.lo) / ((s.hi - s.lo) / 1024.0)) AS BIGINT), 1023) AS bin,
+         count(*) AS c
+  FROM events e, stats s GROUP BY 1),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+cuts AS (
+  SELECT s.lo + (SELECT min(bin) FROM cum, stats s2 WHERE cum >= (5 * s2.n + 99) // 100) * ((s.hi - s.lo) / 1024.0) AS lo_cut,
+         s.lo + (SELECT min(bin) FROM cum, stats s2 WHERE cum >= (95 * s2.n + 99) // 100) * ((s.hi - s.lo) / 1024.0) AS hi_cut
+  FROM stats s)
+SELECT e.event_id,
+       CAST(round(LEAST(GREATEST(e.value, c.lo_cut), c.hi_cut) * 10000) AS BIGINT) AS clipped_4dp
+FROM events e, cuts c
+"""
+
+
 SQL_EVENTS_BUCKETIZE = """
 WITH stats AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
 hist AS (
@@ -3785,6 +3867,7 @@ QUERIES = {
     "events_pct_rank": q_events_pct_rank,
     "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
+    "events_clip": q_events_clip,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -3892,6 +3975,7 @@ ORACLES = {
     "ivf_ann_frozen": SQL_IVF_ANN_FROZEN,
     "lsh_ann": SQL_LSH_ANN,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
+    "events_clip": SQL_EVENTS_CLIP,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

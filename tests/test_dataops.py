@@ -1811,3 +1811,47 @@ class TestBigramPmi:
             pmi = math.log((n_total * c12) / (uni[w1] * uni[w2]))
             want = int(math.copysign(math.floor(abs(pmi) * 1e6 + 0.5), pmi))
             assert pmi_i == want, (w1, w2)
+
+
+class TestEventsClip:
+    def test_clip_matches_sketch_reference(self, ray_session, tmp_path):
+        """Full-equality check against a numpy re-derivation of the same
+        fixed-bin-histogram cuts: outliers clamp to the p05/p95 bin edges,
+        values between the cuts pass through the same 4-dp rounding."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_clip
+
+        rng = np.random.default_rng(5)
+        v = np.concatenate([rng.uniform(10, 20, 960), np.full(20, -1e4), np.full(20, 1e4)])
+        t = pa.table({"event_id": pa.array(np.arange(len(v)), pa.int64()), "value": pa.array(v, pa.float64())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_clip(str(tmp_path)).to_pandas().set_index("event_id").sort_index()["clipped_4dp"].to_numpy()
+
+        # reference: same sketch, same single float expression for the cuts
+        n, n_bins = len(v), 1024
+        lo, hi = v.min(), v.max()
+        width = (hi - lo) / n_bins
+        b = np.minimum(np.floor((v - lo) / width), n_bins - 1).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        cum = np.cumsum(counts)
+        cuts = []
+        for pct in (5, 95):
+            rank = (pct * n + 99) // 100
+            cuts.append(lo + float(bins[np.searchsorted(cum, rank, side="left")]) * width)
+        clipped = np.minimum(np.maximum(v, cuts[0]), cuts[1])
+        m = clipped * 1e4
+        want = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        assert np.array_equal(out, want)
+        # and the clamp actually fired on the planted outliers
+        assert out[960] > -1e8 and out[-1] < 1e8
+
+    def test_constant_column_noop(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_clip
+
+        t = pa.table({"event_id": pa.array([0, 1], pa.int64()), "value": pa.array([7.5, 7.5], pa.float64())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_clip(str(tmp_path)).to_pandas()
+        assert set(out["clipped_4dp"]) == {75000}
