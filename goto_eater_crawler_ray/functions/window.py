@@ -466,3 +466,237 @@ def percent_rank_per_key(
         .groupby("_vpart")
         .map_groups(rank_part, batch_format="pyarrow")
     )
+
+
+def _last_per_group_indices(t: pa.Table, key_cols: list[str], order_cols: list[str]) -> np.ndarray:
+    """Row indices of the LAST row per composite key under ascending
+    ``order_cols`` order.  String keys are dictionary-encoded to int
+    codes (grouping needs equality, not lexicographic order); order
+    columns must be naturally ordered (ints / timestamps)."""
+    import pyarrow.compute as pc
+
+    kcs = []
+    for c in key_cols:
+        col = t.column(c).combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.dictionary_encode(col).indices
+        kcs.append(col.to_numpy(zero_copy_only=False))
+    ocs = [t.column(c).combine_chunks().to_numpy(zero_copy_only=False) for c in order_cols]
+    order = np.lexsort(tuple(reversed(ocs)) + tuple(reversed(kcs)))
+    n = len(order)
+    seg_start = np.zeros(n, bool)
+    seg_start[0] = True
+    for k in kcs:
+        sk = k[order]
+        seg_start[1:] |= sk[1:] != sk[:-1]
+    seg_end = np.concatenate((seg_start[1:], [True]))  # last row of each key segment
+    return order[seg_end]
+
+
+def latest_per_key(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    part_col: str,
+    n_key_parts: int = 64,
+):
+    """Latest-state compaction (CDC upsert semantics): per composite key,
+    keep the single row that is LAST in ascending ``order_cols`` order —
+    ``row_number() OVER (PARTITION BY keys ORDER BY order DESC) = 1``.
+    The classic changelog→snapshot materialization the reference's
+    cached-rerun store implies (latest fetch wins per URL).
+
+    Scale shape: a per-batch PRE-PRUNE keeps only the batch-local winner
+    per key before the shuffle (the partial-aggregate trick — the
+    exchange carries at most |distinct keys in batch| rows per input
+    batch, not the changelog), then one coarse hash shuffle on
+    ``part_col`` (must be an integer member of ``key_cols``; a partition
+    holds complete part_col groups, hence complete composite-key groups)
+    and a segment-vectorized final pick.  No per-key Python calls."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_key_part", pa.array([], pa.int32()))
+        idx = _last_per_group_indices(batch, key_cols, order_cols)
+        out = batch.take(pa.array(np.sort(idx)))
+        k = out.column(part_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return out.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    def compact(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_key_part"])
+        if part.num_rows == 0:
+            return part
+        idx = _last_per_group_indices(part, key_cols, order_cols)
+        return part.take(pa.array(np.sort(idx)))
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow").groupby("_key_part").map_groups(compact, batch_format="pyarrow")
+    )
+
+
+def cumsum_per_key(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_c",
+    scale: int = 100,
+    n_key_parts: int = 64,
+):
+    """Running total per key — ``SUM(round(value*scale)::BIGINT) OVER
+    (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``.
+    Values are scaled to int64 (half-away, the DuckDB round) BEFORE the
+    scan so the running sums are exact integers (order-independent —
+    no float re-association drift at any corpus size).  Same shape as
+    :func:`rolling_mean_per_key`: one coarse hash shuffle on the int
+    key, then one global ``np.cumsum`` per partition with segment-start
+    offsets subtracted (no per-key Python calls)."""
+    import pyarrow.compute as pc
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    def scan(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [part.schema.field(key_col)]
+            + [part.schema.field(c) for c in order_cols]
+            + [pa.field(out_col, pa.int64())]
+        )
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        orders = [part.column(c).combine_chunks().to_numpy(zero_copy_only=False) for c in order_cols]
+        m = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64) * float(scale)
+        v = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        order = np.lexsort(tuple(reversed(orders)) + (keys,))
+        k, v = keys[order], v[order]
+        idx = np.arange(n)
+        seg_start = np.concatenate(([True], k[1:] != k[:-1]))
+        seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        cs = np.cumsum(v)
+        run = cs - (cs[seg_first] - v[seg_first])  # within-segment inclusive scan
+        take = pa.array(order)
+        arrays = [pc.take(part.column(key_col).combine_chunks(), take)]
+        for c in order_cols:
+            arrays.append(pc.take(part.column(c).combine_chunks(), take))
+        arrays.append(pa.array(run, pa.int64()))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(scan, batch_format="pyarrow")
+
+
+def ntile_per_key(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 4,
+    out_col: str = "tile",
+    n_bins: int = 4096,
+    n_parts: int = 64,
+):
+    """Distributed ``ntile(k) OVER (PARTITION BY key ORDER BY value,
+    id)`` — equal-frequency binning per key without a global sort
+    materialization.  Same machinery as :func:`percent_rank_per_key`
+    (value-range partitions + a bounded per-(key, bin) count table
+    scanned on the driver into per-partition base offsets), except the
+    local pass computes the UNIQUE row_number (tie-broken by ``id_col``;
+    equal values share a bin so an order-by-(value, id) row_number never
+    splits across partitions), then the exact SQL NTILE size formula:
+    the first ``n % k`` tiles get ``n//k + 1`` rows, the rest ``n//k``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = ds.aggregate(Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi"))
+    lo = float(stats["lo"] or 0.0)
+    hi = float(stats["hi"] or 0.0)
+    width = (hi - lo) / float(n_bins)
+    bins_per_part = -(-n_bins // n_parts)  # ceil
+
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        if width == 0.0:
+            return np.zeros(len(v), np.int64)
+        return np.minimum(np.floor((v - lo) / width), n_bins - 1).astype(np.int64)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_key": pa.array([], pa.string()), "_bin": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({"_key": t.column(key_col).to_pandas(), "_bin": b})
+        g = df.groupby(["_key", "_bin"], as_index=False).size()
+        return pa.table(
+            {
+                "_key": pa.array(g["_key"], pa.string()),
+                "_bin": pa.array(g["_bin"].to_numpy(), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["_key", "_bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )  # bounded: |keys| x occupied bins — category keys, never corpus-sized
+    keys_sorted = sorted(cnt["_key"].unique())
+    key_arr = pa.array(keys_sorted, pa.string())
+    n_keys = len(keys_sorted)
+    ki = pd.Categorical(cnt["_key"], categories=keys_sorted).codes.astype(np.int64)
+    pi = (cnt["_bin"].to_numpy() // bins_per_part).astype(np.int64)
+    per_part = np.zeros((n_keys, n_parts), np.int64)
+    np.add.at(per_part, (ki, pi), cnt["c"].to_numpy())
+    totals = per_part.sum(axis=1)
+    base = np.zeros((n_keys, n_parts + 1), np.int64)
+    base[:, 1:] = np.cumsum(per_part, axis=1)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return t.append_column("_vpart", pa.array((b // bins_per_part).astype(np.int32), pa.int32()))
+
+    def tile_part(part: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [part.schema.field(id_col), part.schema.field(key_col), pa.field(out_col, pa.int64())]
+        )
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        pid = int(part.column("_vpart")[0].as_py())
+        kcodes = pc.index_in(part.column(key_col).combine_chunks(), value_set=key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vals, kcodes))
+        kc = kcodes[order]
+        idx = np.arange(n)
+        seg_start = np.concatenate(([True], kc[1:] != kc[:-1]))
+        seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        rn = base[kc, pid] + (idx - seg_first) + 1  # exact global row_number
+        nn = totals[kc]
+        q, r = nn // k, nn % k
+        cut = r * (q + 1)
+        tile = np.where(
+            rn <= cut,
+            (rn + q) // (q + 1),
+            r + (rn - cut + np.maximum(q, 1) - 1) // np.maximum(q, 1),
+        )
+        take = pa.array(order)
+        return pa.Table.from_arrays(
+            [
+                pc.take(part.column(id_col).combine_chunks(), take),
+                pc.take(part.column(key_col).combine_chunks(), take),
+                pa.array(tile.astype(np.int64), pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_vpart")
+        .map_groups(tile_part, batch_format="pyarrow")
+    )

@@ -2476,6 +2476,123 @@ FROM events e, cuts c
 """
 
 
+def q_events_dedup_latest(sf_dir: str):
+    """Latest-state compaction (CDC upsert semantics): per (user, type)
+    keep the most recent event — the changelog→snapshot materialization
+    (the reference's cached-rerun store implies the same latest-fetch-
+    wins-per-URL rule, README.md:71-72).  Shape:
+    :func:`~goto_eater_crawler_ray.functions.window.latest_per_key` —
+    per-batch pre-prune, one coarse hash shuffle, segment-vectorized
+    final pick."""
+    from ..functions.window import latest_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+    out = latest_per_key(ds, key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"], part_col="user_id")
+
+    def emit(t: pa.Table) -> pa.Table:
+        m = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "last_ts": t.column("ts"),
+                "value_c": pa.array((np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return out.map_batches(emit, batch_format="pyarrow")
+
+
+SQL_EVENTS_DEDUP_LATEST = """
+SELECT user_id, event_type, event_id, ts AS last_ts,
+       CAST(round(value * 100) AS BIGINT) AS value_c
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_events_cumsum(sf_dir: str):
+    """Per-user running total over time — the cumulative window scan
+    (`SUM ... ROWS UNBOUNDED PRECEDING`).  Values scaled to exact int64
+    centi-units BEFORE the scan so the running sums are order-exact at
+    any corpus size; one coarse hash shuffle + one `np.cumsum` per
+    partition (:func:`~goto_eater_crawler_ray.functions.window.cumsum_per_key`)."""
+    from ..functions.window import cumsum_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    return cumsum_per_key(ds, key_col="user_id", order_cols=["ts", "event_id"], value_col="value")
+
+
+SQL_EVENTS_CUMSUM = """
+SELECT user_id, ts, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM events
+"""
+
+
+def q_events_ntile(sf_dir: str):
+    """Equal-frequency quartiles of value within each event type —
+    ``ntile(4)`` with a deterministic (value, event_id) order, computed
+    WITHOUT a global sort via the percent-rank machinery's value-range
+    partitions + broadcast base offsets
+    (:func:`~goto_eater_crawler_ray.functions.window.ntile_per_key`)."""
+    from ..functions.window import ntile_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    return ntile_per_key(ds, key_col="event_type", value_col="value", id_col="event_id", k=4)
+
+
+SQL_EVENTS_NTILE = """
+SELECT event_id, event_type,
+       ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+FROM events
+"""
+
+
+def q_users_csv_by_type(sf_dir: str):
+    """Collect op (``string_agg`` / array_agg shape): the sorted distinct
+    user list per event type as one CSV string — the vocab-collect /
+    membership-manifest op.  Distinct pairs are reduced batch-locally
+    then via one (type, user) groupby BEFORE the collect, so the final
+    per-type group holds only distinct members; event_type is a bounded
+    category set (the documented boundedness assumption of any collect)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+    def collect(part: pa.Table) -> pa.Table:
+        users = np.sort(part.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array([part.column("event_type")[0].as_py()], pa.string()),
+                "users_csv": pa.array([",".join(map(str, users))], pa.string()),
+                "n_users": pa.array([len(users)], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("event_type").map_groups(collect, batch_format="pyarrow")
+
+
+SQL_USERS_CSV_BY_TYPE = """
+SELECT event_type,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS users_csv,
+       count(*) AS n_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type
+"""
+
+
 SQL_EVENTS_BUCKETIZE = """
 WITH stats AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
 hist AS (
@@ -3868,6 +3985,10 @@ QUERIES = {
     "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
     "events_clip": q_events_clip,
+    "events_dedup_latest": q_events_dedup_latest,
+    "events_cumsum": q_events_cumsum,
+    "events_ntile": q_events_ntile,
+    "users_csv_by_type": q_users_csv_by_type,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -3976,6 +4097,10 @@ ORACLES = {
     "lsh_ann": SQL_LSH_ANN,
     "events_bucketize": SQL_EVENTS_BUCKETIZE,
     "events_clip": SQL_EVENTS_CLIP,
+    "events_dedup_latest": SQL_EVENTS_DEDUP_LATEST,
+    "events_cumsum": SQL_EVENTS_CUMSUM,
+    "events_ntile": SQL_EVENTS_NTILE,
+    "users_csv_by_type": SQL_USERS_CSV_BY_TYPE,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -1855,3 +1855,99 @@ class TestEventsClip:
         pq.write_table(t, tmp_path / "events.parquet")
         out = q_events_clip(str(tmp_path)).to_pandas()
         assert set(out["clipped_4dp"]) == {75000}
+
+
+class TestLatestPerKey:
+    def test_latest_row_per_composite_key(self, ray_session, tmp_path):
+        """CDC compaction: the survivor per (user, type) is the max-(ts,id)
+        row, verified against a pandas groupby-idxmax reference."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_dedup_latest
+
+        rng = np.random.default_rng(11)
+        n = 2000
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    np.datetime64("2024-01-01") + rng.integers(0, 10**6, n).astype("timedelta64[s]")
+                ),
+                "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+                "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+                "value": pa.array(rng.uniform(-5, 5, n), pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = (
+            q_events_dedup_latest(str(tmp_path))
+            .to_pandas()
+            .sort_values(["user_id", "event_type"])
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas().sort_values(["ts", "event_id"])
+        want = df.groupby(["user_id", "event_type"], as_index=False).last()
+        assert len(got) == len(want)
+        assert np.array_equal(got["event_id"].to_numpy(), want["event_id"].to_numpy())
+        m = want["value"].to_numpy() * 100.0
+        assert np.array_equal(got["value_c"].to_numpy(), (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64))
+
+
+class TestCumsumPerKey:
+    def test_running_total_matches_pandas(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_cumsum
+
+        rng = np.random.default_rng(12)
+        n = 3000
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    np.datetime64("2024-01-01") + rng.integers(0, 10**5, n).astype("timedelta64[s]")
+                ),
+                "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+                "value": pa.array(rng.uniform(-9, 9, n), pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_events_cumsum(str(tmp_path)).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        df = t.to_pandas()
+        m = df["value"].to_numpy() * 100.0
+        df["v"] = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        want = df.groupby("user_id")["v"].cumsum().to_numpy()
+        assert np.array_equal(got["running_c"].to_numpy(), want)
+
+
+class TestNtilePerKey:
+    def test_ntile_sizes_and_order(self, ray_session, tmp_path):
+        """SQL NTILE contract: per key, tiles 1..k; the first n%k tiles
+        hold n//k+1 rows, the rest n//k; tile is monotone in (value, id)."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_ntile
+
+        rng = np.random.default_rng(13)
+        n = 1003  # deliberately not divisible by 4
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "event_type": pa.array(rng.choice(["x", "y"], n)),
+                # heavy ties: only 7 distinct values, exercising the tie-break
+                "value": pa.array(rng.integers(0, 7, n).astype(np.float64), pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_events_ntile(str(tmp_path)).to_pandas()
+        df = t.to_pandas().merge(got, on=["event_id", "event_type"])
+        for key, g in df.groupby("event_type"):
+            g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+            nn, k = len(g), 4
+            q, r = divmod(nn, k)
+            sizes = g.groupby("tile").size()
+            assert list(sizes.index) == [1, 2, 3, 4]
+            for tile, size in sizes.items():
+                assert size == q + (1 if tile <= r else 0), (key, tile)
+            assert (np.diff(g["tile"].to_numpy()) >= 0).all()  # monotone in sort order
