@@ -3114,6 +3114,227 @@ FROM customer c LEFT JOIN (
 """
 
 
+def q_purchase_error_full(sf_dir: str):
+    """FULL OUTER join reconciliation — per-user purchase totals vs
+    per-user error totals, keeping users present on EITHER side (the
+    audit shape: "who bought but never errored, who errored but never
+    bought").  Both sides aggregate FIRST (exact int64 centi-units per
+    row, so the sums are order-independent), then one
+    ``Dataset.join(full_outer)`` over the shrunken totals; nulls from
+    either outer side coalesce in a stateless pass.
+
+    Each side does its OWN pruned scan (two scans, like the twin's two
+    CTEs): Ray's hash-shuffle join mis-plans a diamond DAG where both
+    join sequences alias one upstream Dataset object (the aggregator
+    sees blocks without the key column and the Arrow join fails)."""
+    N_JOIN_PARTS = 16
+
+    def side(event_type: str, alias: str):
+        ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+        def pick(t: pa.Table, et=event_type) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            m = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+            return pa.table(
+                {
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "v_c": pa.array((np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64), pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(pick, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Count(alias_name=f"n_{alias}"), Sum("v_c", alias_name=f"v_{alias}_c"))
+            # scrub the hash aggregate's ZERO-COLUMN empty-partition blocks
+            # (key domain < partition count): they bypass map_batches (the
+            # fn is never called on empty blocks) and poison the Arrow
+            # join ("no match for key field user_id"); repartition
+            # coalesces them away and matches the join's partitioning
+            .repartition(N_JOIN_PARTS)
+        )
+
+    p = side("purchase", "purchase")
+    e = side("error", "error")
+    j = p.join(
+        e,
+        join_type="full_outer",
+        num_partitions=N_JOIN_PARTS,
+        on=("user_id",),
+        right_on=("user_id",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        names = t.schema.names
+        ul = t.column("user_id_l" if "user_id_l" in names else "user_id")
+        ur = t.column("user_id_r") if "user_id_r" in names else ul
+        return pa.table(
+            {
+                "user_id": pc.coalesce(ul, ur).cast(pa.int64()),
+                "n_purchase": pc.fill_null(t.column("n_purchase"), 0).cast(pa.int64()),
+                "v_purchase_c": pc.fill_null(t.column("v_purchase_c"), 0).cast(pa.int64()),
+                "n_error": pc.fill_null(t.column("n_error"), 0).cast(pa.int64()),
+                "v_error_c": pc.fill_null(t.column("v_error_c"), 0).cast(pa.int64()),
+            }
+        )
+
+    return j.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_PURCHASE_ERROR_FULL = """
+WITH p AS (
+  SELECT user_id, count(*) AS n_purchase,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v_purchase_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+e AS (
+  SELECT user_id, count(*) AS n_error,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v_error_c
+  FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       COALESCE(p.n_purchase, 0) AS n_purchase,
+       CAST(COALESCE(p.v_purchase_c, 0) AS BIGINT) AS v_purchase_c,
+       COALESCE(e.n_error, 0) AS n_error,
+       CAST(COALESCE(e.v_error_c, 0) AS BIGINT) AS v_error_c
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+"""
+
+
+def q_sparse_cosine_pairs(sf_dir: str):
+    """Sparse similarity JOIN: cosine over term-count vectors via the
+    inverted-index self-join (term -> docs -> pair partial dots), the
+    text-side near-dup shape that needs no embeddings.  Exactness: tf
+    vectors and norms are batch-local integers (a doc lives in one
+    row); partial dot products are exact int64 and combine through one
+    (doc1, doc2) groupby; the ONLY float math is the final
+    ``1e6·dot/(sqrt(s1)·sqrt(s2))`` scalar, written identically in the
+    SQL twin.  Scale: terms with df > n_docs/10 are dropped inside the
+    term-group pass (the standard common-term prune — they dominate
+    pair-explosion cost and carry no discriminative signal; norms stay
+    full-vector so the estimate only shrinks), and each doc's norm
+    rides WITH its tf rows so no corpus-sized norm join exists."""
+    SCALE = 1_000_000
+    MIN_SIM_6DP = 100_000  # report pairs with cosine >= 0.1 (rounded)
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()  # one scalar to the driver
+    df_cap = max(2, n_docs // 10)
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()), ("s", pa.int64())])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        from ..functions.text import _split_tokens
+
+        # terms are word BIGRAMS (shingles): unigram vocab is tiny and
+        # uniformly common, bigrams carry the discriminative signal —
+        # the same reason the MinHash family shingles before hashing
+        parents, toks = _split_tokens(t)
+        words = toks.to_pandas().to_numpy()
+        if len(words) < 2:
+            return tf_schema.empty_table()
+        same = parents[1:] == parents[:-1]  # bigrams never cross documents
+        grams = np.char.add(np.char.add(words[:-1].astype(str), " "), words[1:].astype(str))[same]
+        gparents = parents[:-1][same]
+        if len(grams) == 0:
+            return tf_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), pa.array(gparents)).to_numpy(
+                    zero_copy_only=False
+                ),
+                "term": grams,
+            }
+        )
+        g = df.groupby(["doc_id", "term"], as_index=False, sort=False).size().rename(columns={"size": "tf"})
+        s = g.assign(t2=g["tf"] ** 2).groupby("doc_id")["t2"].sum()
+        g["s"] = s.loc[g["doc_id"]].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"], pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("doc1", pa.int64()), ("doc2", pa.int64()), ("s1", pa.int64()), ("s2", pa.int64()), ("p", pa.int64())]
+    )
+
+    def pair_dots(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2 or n > df_cap:  # common-term prune, mirrored in the twin's HAVING
+            return pair_schema.empty_table()
+        order = pc.sort_indices(g.column("doc_id"))
+        d = g.column("doc_id").take(order).to_numpy(zero_copy_only=False)
+        tfv = g.column("tf").take(order).to_numpy(zero_copy_only=False)
+        s = g.column("s").take(order).to_numpy(zero_copy_only=False)
+        ii, jj = np.triu_indices(n, k=1)  # doc ids unique per term; sorted, so d[ii] < d[jj]
+        return pa.Table.from_arrays(
+            [
+                pa.array(d[ii], pa.int64()),
+                pa.array(d[jj], pa.int64()),
+                pa.array(s[ii], pa.int64()),
+                pa.array(s[jj], pa.int64()),
+                pa.array(tfv[ii] * tfv[jj], pa.int64()),
+            ],
+            schema=pair_schema,
+        )
+
+    dots = (
+        ds.map_batches(tf_batch, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(pair_dots, batch_format="pyarrow")
+        .groupby(["doc1", "doc2", "s1", "s2"])
+        .aggregate(Sum("p", alias_name="dot"))
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        dot = t.column("dot").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        sim = (float(SCALE) * dot) / (np.sqrt(s1) * np.sqrt(s2))  # the ONE float expression, as in SQL
+        sim_i = (np.sign(sim) * np.floor(np.abs(sim) + 0.5)).astype(np.int64)
+        keep = sim_i >= MIN_SIM_6DP
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc1": pc.filter(t.column("doc1"), mask).cast(pa.int64()),
+                "doc2": pc.filter(t.column("doc2"), mask).cast(pa.int64()),
+                "cos_6dp": pa.array(sim_i[keep], pa.int64()),
+            }
+        )
+
+    return dots.map_batches(emit, batch_format="pyarrow")
+
+
+SQL_SPARSE_COSINE_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS term
+  FROM toks, unnest(range(1, len(ws))) AS t(i)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY doc_id, term),
+norm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS s FROM tf GROUP BY doc_id),
+rare AS (
+  SELECT term FROM tf GROUP BY term
+  HAVING count(*) BETWEEN 2 AND greatest(2, (SELECT count(*) FROM documents) // 10)),
+dots AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN rare USING (term) JOIN tf b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sims AS (
+  SELECT doc1, doc2,
+         CAST(round(1000000 * dot / (sqrt(CAST(n1.s AS DOUBLE)) * sqrt(CAST(n2.s AS DOUBLE)))) AS BIGINT) AS cos_6dp
+  FROM dots JOIN norm n1 ON doc1 = n1.doc_id JOIN norm n2 ON doc2 = n2.doc_id)
+SELECT doc1, doc2, cos_6dp FROM sims WHERE cos_6dp >= 100000
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # closed set, mirrored in SQL
 
 
@@ -3989,6 +4210,8 @@ QUERIES = {
     "events_cumsum": q_events_cumsum,
     "events_ntile": q_events_ntile,
     "users_csv_by_type": q_users_csv_by_type,
+    "purchase_error_full": q_purchase_error_full,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4101,6 +4324,8 @@ ORACLES = {
     "events_cumsum": SQL_EVENTS_CUMSUM,
     "events_ntile": SQL_EVENTS_NTILE,
     "users_csv_by_type": SQL_USERS_CSV_BY_TYPE,
+    "purchase_error_full": SQL_PURCHASE_ERROR_FULL,
+    "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -1951,3 +1951,55 @@ class TestNtilePerKey:
             for tile, size in sizes.items():
                 assert size == q + (1 if tile <= r else 0), (key, tile)
             assert (np.diff(g["tile"].to_numpy()) >= 0).all()  # monotone in sort order
+
+
+class TestPurchaseErrorFull:
+    def test_full_outer_keeps_one_sided_users(self, ray_session, tmp_path):
+        """Users with only purchases and users with only errors both
+        survive, with the missing side coalesced to zero."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_purchase_error_full
+
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+                "event_type": pa.array(["purchase", "error", "purchase", "error", "error", "view"]),
+                "value": pa.array([10.005, 2.0, 3.5, 1.25, 0.75, 9.9], pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_purchase_error_full(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+        assert sorted(got.index) == [1, 2, 3]  # user 4 (view only) on neither side
+        assert got.loc[2, "n_purchase"] == 1 and got.loc[2, "n_error"] == 0 and got.loc[2, "v_error_c"] == 0
+        assert got.loc[3, "n_purchase"] == 0 and got.loc[3, "v_purchase_c"] == 0 and got.loc[3, "n_error"] == 2
+        assert got.loc[3, "v_error_c"] == 125 + 75
+        assert got.loc[1, "v_purchase_c"] == 1001  # round(10.005*100) half-away = 1001
+        assert got.loc[1, "v_error_c"] == 200
+
+
+class TestSparseCosinePairs:
+    def test_identical_and_partial_overlap(self, ray_session, tmp_path):
+        """Identical docs score exactly 1e6; a known partial bigram
+        overlap matches the closed-form cosine; disjoint docs are absent."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_sparse_cosine_pairs
+
+        # df cap at 4 docs is max(2, 4//10) = 2: only bigrams shared by
+        # exactly two docs contribute to dots (norms stay full-vector)
+        texts = [
+            "a b c d",  # doc0: bigrams {a b, b c, c d}, each df=2
+            "a b c d",  # doc1: identical to doc0
+            "p q r s",  # doc2: bigrams {p q, q r, r s}
+            "p q x y",  # doc3: shares only "p q" (df=2) with doc2
+        ]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = q_sparse_cosine_pairs(str(tmp_path)).to_pandas()
+        sims = {(r.doc1, r.doc2): r.cos_6dp for r in got.itertuples()}
+        assert sims[(0, 1)] == 1_000_000  # identical docs: every gram survives the cap
+        # dot=1 shared bigram, norms sqrt(3)*sqrt(3): cos = 1/3
+        want = int(np.floor(1e6 * 1.0 / (np.sqrt(3.0) * np.sqrt(3.0)) + 0.5))
+        assert sims[(2, 3)] == want
+        assert (0, 2) not in sims and (1, 3) not in sims  # disjoint docs never pair
