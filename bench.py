@@ -266,6 +266,12 @@ def main() -> None:
         "simhash_groups_md5",
         "hll_registers",
         "pca_project_frozen",
+        "sparse_cosine_pairs",
+        "events_dedup_latest",
+        "events_ntile",
+        "events_cumsum",
+        "events_clip",
+        "purchase_error_full",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -3218,7 +3218,12 @@ def q_sparse_cosine_pairs(sf_dir: str):
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     n_docs = ds.count()  # one scalar to the driver
-    df_cap = max(2, n_docs // 10)
+    # ABSOLUTE ceiling on top of the relative prune: per-term pair work is
+    # C(df, 2), so a relative-only cap (n/10) grows the worst term's group
+    # QUADRATICALLY with the corpus; clamping df at a constant bounds the
+    # whole exchange at vocab * C(100, 2) rows — linear in vocab, corpus-
+    # size-independent (the prefix-filtering discipline of similarity joins)
+    df_cap = max(2, min(n_docs // 10, 100))
 
     tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()), ("s", pa.int64())])
 
@@ -3321,7 +3326,8 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY doc_id, term),
 norm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS s FROM tf GROUP BY doc_id),
 rare AS (
   SELECT term FROM tf GROUP BY term
-  HAVING count(*) BETWEEN 2 AND greatest(2, (SELECT count(*) FROM documents) // 10)),
+  HAVING count(*) BETWEEN 2
+     AND greatest(2, least((SELECT count(*) FROM documents) // 10, 100))),
 dots AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
   FROM tf a JOIN rare USING (term) JOIN tf b USING (term)
