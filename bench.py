@@ -272,6 +272,9 @@ def main() -> None:
         "events_cumsum",
         "events_clip",
         "purchase_error_full",
+        "events_dense_rank",
+        "revenue_by_nation",
+        "events_minmax",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

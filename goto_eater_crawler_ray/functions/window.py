@@ -700,3 +700,150 @@ def ntile_per_key(
         .groupby("_vpart")
         .map_groups(tile_part, batch_format="pyarrow")
     )
+
+
+def dense_rank_per_key(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "drank",
+    n_bins: int = 4096,
+    n_parts: int = 64,
+):
+    """Distributed ``dense_rank() OVER (PARTITION BY key ORDER BY
+    value)`` — three exchanges, none a global sort:
+
+    1. distinct (key, value) pairs (batch-local dedup partials → one
+       groupby — the combiner trick, so the exchange carries distinct
+       pairs, not rows);
+    2. the percent_rank machinery over the DISTINCT pairs: bounded
+       per-(key, bin) count table → broadcast base offsets → local
+       sorted position; row_number over distinct values IS the dense
+       rank (ties collapsed by construction, and equal values share a
+       bin so a rank never splits across partitions);
+    3. one hash join of the input rows back to their (key, value) rank.
+
+    Returns (id_col, key_col, out_col)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    stats = ds.aggregate(Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi"))
+    lo = float(stats["lo"] or 0.0)
+    hi = float(stats["hi"] or 0.0)
+    width = (hi - lo) / float(n_bins)
+    bins_per_part = -(-n_bins // n_parts)  # ceil
+
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        if width == 0.0:
+            return np.zeros(len(v), np.int64)
+        return np.minimum(np.floor((v - lo) / width), n_bins - 1).astype(np.int64)
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: t.column(key_col).to_pandas(),
+                value_col: t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_key": pa.array([], pa.string()), "_bin": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({"_key": t.column(key_col).to_pandas(), "_bin": b})
+        g = df.groupby(["_key", "_bin"], as_index=False).size()
+        return pa.table(
+            {
+                "_key": pa.array(g["_key"], pa.string()),
+                "_bin": pa.array(g["_bin"].to_numpy(), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    # the distinct dataset is consumed by BOTH the count pass and the rank
+    # pass — materialize once so neither branch recomputes the dedup
+    # exchange (and Ray's diamond-DAG join hazard never sees live aliasing)
+    distinct = distinct.materialize()
+    cnt = (
+        distinct.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["_key", "_bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )  # bounded: |keys| x occupied bins
+    keys_sorted = sorted(cnt["_key"].unique())
+    key_arr = pa.array(keys_sorted, pa.string())
+    n_keys = len(keys_sorted)
+    ki = pd.Categorical(cnt["_key"], categories=keys_sorted).codes.astype(np.int64)
+    pi = (cnt["_bin"].to_numpy() // bins_per_part).astype(np.int64)
+    per_part = np.zeros((n_keys, n_parts), np.int64)
+    np.add.at(per_part, (ki, pi), cnt["c"].to_numpy())
+    base = np.zeros((n_keys, n_parts + 1), np.int64)
+    base[:, 1:] = np.cumsum(per_part, axis=1)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return t.append_column("_vpart", pa.array((b // bins_per_part).astype(np.int32), pa.int32()))
+
+    rank_schema = pa.schema([(key_col, pa.string()), ("_rv", pa.float64()), (out_col, pa.int64())])
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return rank_schema.empty_table()
+        pid = int(part.column("_vpart")[0].as_py())
+        kcodes = pc.index_in(part.column(key_col).combine_chunks(), value_set=key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, kcodes))
+        kc = kcodes[order]
+        idx = np.arange(n)
+        seg_start = np.concatenate(([True], kc[1:] != kc[:-1]))
+        seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        rn = base[kc, pid] + (idx - seg_first) + 1  # row_number over DISTINCT values == dense rank
+        return pa.Table.from_arrays(
+            [
+                pc.take(part.column(key_col).combine_chunks(), pa.array(order)).cast(pa.string()),
+                pa.array(vals[order], pa.float64()),
+                pa.array(rn, pa.int64()),
+            ],
+            schema=rank_schema,
+        )
+
+    ranks = (
+        distinct.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_vpart")
+        .map_groups(rank_part, batch_format="pyarrow")
+        .repartition(max(2, n_parts // 4))  # scrub empty-partition blocks before the join
+    )
+
+    def left_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                key_col: t.column(key_col).cast(pa.string()),
+                "_lv": t.column(value_col).cast(pa.float64()),
+            }
+        )
+
+    left = ds.map_batches(left_prep, batch_format="pyarrow")
+    joined = left.join(
+        ranks,
+        join_type="inner",  # every (key, value) exists in the rank table by construction
+        num_partitions=max(2, n_parts // 4),
+        on=(key_col, "_lv"),
+        right_on=(key_col, "_rv"),
+    )
+    return joined.select_columns([id_col, key_col, out_col])

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -32,6 +33,11 @@ def _p(sf_dir: str, table: str) -> str:
 def _round_col(t: pa.Table, name: str, dp: int) -> pa.Table:
     i = t.column_names.index(name)
     return t.set_column(i, name, pc.round(t.column(name), ndigits=dp))
+
+
+def _half_away(m: np.ndarray) -> np.ndarray:
+    """DuckDB ``round()``: half AWAY from zero (np.round is half-to-even)."""
+    return (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
 
 
 def _int_scale_col(t: pa.Table, name: str, scale: int) -> pa.Table:
@@ -3114,6 +3120,165 @@ FROM customer c LEFT JOIN (
 """
 
 
+def q_events_minmax(sf_dir: str):
+    """Per-group min-max normalization (the [0,1] feature scaler that
+    complements z-score): one tiny Min/Max-per-type aggregate broadcast
+    into a stateless second pass via ``pc.index_in``; degenerate groups
+    (hi == lo) are dropped on both sides.  The twin evaluates the
+    IDENTICAL ``(value - lo) / (hi - lo)`` expression."""
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    stats = ds.groupby("event_type").aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi")).take_all()
+    keys, los, his = [], [], []
+    for r in stats:
+        if float(r["hi"]) > float(r["lo"]):
+            keys.append(r["event_type"])
+            los.append(float(r["lo"]))
+            his.append(float(r["hi"]))
+    key_arr = pa.array(keys, pa.string())
+    lo_arr, hi_arr = np.asarray(los, np.float64), np.asarray(his, np.float64)
+
+    def norm(t: pa.Table) -> pa.Table:
+        # fill_null(-1): a dropped (degenerate) group gives index_in a NULL,
+        # which to_numpy would surface as float NaN, not an int index
+        idx = (
+            pc.fill_null(pc.index_in(t.column("event_type"), value_set=key_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = idx >= 0
+        idx = idx[keep]
+        v = t.column("value").to_numpy(zero_copy_only=False)[keep]
+        m = 1_000_000.0 * (v - lo_arr[idx]) / (hi_arr[idx] - lo_arr[idx])
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "event_id": pc.filter(t.column("event_id"), mask).cast(pa.int64()),
+                "event_type": pc.filter(t.column("event_type"), mask),
+                "mm_6dp": pa.array((np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_EVENTS_MINMAX = """
+WITH s AS (SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY 1)
+SELECT event_id, e.event_type,
+       CAST(round(1000000 * (e.value - s.lo) / (s.hi - s.lo)) AS BIGINT) AS mm_6dp
+FROM events e JOIN s USING (event_type)
+WHERE s.hi > s.lo
+"""
+
+
+def q_events_dense_rank(sf_dir: str):
+    """Distributed ``dense_rank()`` within event type — ties collapse to
+    one rank, computed WITHOUT a global sort: distinct (key, value)
+    pairs (combiner + one groupby), row_number over the distinct values
+    via the percent-rank value-range machinery, then one hash join back
+    to the rows (:func:`~goto_eater_crawler_ray.functions.window.dense_rank_per_key`)."""
+    from ..functions.window import dense_rank_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    return dense_rank_per_key(ds, key_col="event_type", value_col="value", id_col="event_id")
+
+
+SQL_EVENTS_DENSE_RANK = """
+SELECT event_id, event_type,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS drank
+FROM events
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-flavored 4-table chain: lineitem revenue → orders (date
+    window) → customer → nation.  Aggregate-first at every step — line
+    revenue collapses to per-ORDER totals before the first join, order
+    revenue to per-CUSTOMER totals before the second — so each exchange
+    carries totals, not the fact stream; the 25-row nation dim resolves
+    via a broadcast ``pc.index_in`` lookup, never a shuffle.  Revenue is
+    exact int64 centi-units from the one shared float expression
+    ``round(extendedprice * (1 - discount) * 100)``."""
+    lr = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "rev_c": pa.array(
+                        _half_away(
+                            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+                            * 100.0
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .repartition(8)  # scrub empty-partition blocks before the join
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1998-01-01", "us"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cr = (
+        lr.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .repartition(8)
+    )
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    by_nation = (
+        cr.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+        .groupby("c_nationkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_custs"))
+        .repartition(2)
+    )
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])  # 25 rows: constant dim
+
+    def name_lookup(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("c_nationkey").cast(pa.int64()), value_set=nation.column("n_nationkey").combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                "nation_name": pc.take(nation.column("n_name").combine_chunks(), idx),
+                "revenue_c": t.column("revenue_c").cast(pa.int64()),
+                "n_custs": t.column("n_custs").cast(pa.int64()),
+            }
+        )
+
+    return by_nation.map_batches(name_lookup, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = """
+WITH lr AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+cr AS (
+  SELECT o_custkey, sum(rev_c) AS rev_c
+  FROM lr JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+SELECT n_name AS nation_name,
+       CAST(sum(cr.rev_c) AS BIGINT) AS revenue_c,
+       count(*) AS n_custs
+FROM cr JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
 def q_purchase_error_full(sf_dir: str):
     """FULL OUTER join reconciliation — per-user purchase totals vs
     per-user error totals, keeping users present on EITHER side (the
@@ -3637,7 +3802,13 @@ def q_events_zscore(sf_dir: str):
 
     def zscore(t: pa.Table) -> pa.Table:
         # tiny-table lookup via pc.index_in — no per-row Python
-        idx = pc.index_in(t.column("event_type"), value_set=key_arr).to_numpy(zero_copy_only=False)
+        # fill_null(-1): rows of dropped degenerate groups give index_in a
+        # NULL, which to_numpy would surface as float NaN, not an int index
+        idx = (
+            pc.fill_null(pc.index_in(t.column("event_type"), value_set=key_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         keep = idx >= 0  # rows of degenerate groups are skipped
         idx = idx[keep]
         v = t.column("value").to_numpy(zero_copy_only=False)[keep]
@@ -4218,6 +4389,9 @@ QUERIES = {
     "users_csv_by_type": q_users_csv_by_type,
     "purchase_error_full": q_purchase_error_full,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
+    "events_minmax": q_events_minmax,
+    "events_dense_rank": q_events_dense_rank,
+    "revenue_by_nation": q_revenue_by_nation,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4332,6 +4506,9 @@ ORACLES = {
     "users_csv_by_type": SQL_USERS_CSV_BY_TYPE,
     "purchase_error_full": SQL_PURCHASE_ERROR_FULL,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
+    "events_minmax": SQL_EVENTS_MINMAX,
+    "events_dense_rank": SQL_EVENTS_DENSE_RANK,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -2003,3 +2003,98 @@ class TestSparseCosinePairs:
         want = int(np.floor(1e6 * 1.0 / (np.sqrt(3.0) * np.sqrt(3.0)) + 0.5))
         assert sims[(2, 3)] == want
         assert (0, 2) not in sims and (1, 3) not in sims  # disjoint docs never pair
+
+
+class TestEventsMinmax:
+    def test_scaling_and_degenerate_group_drop(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_minmax
+
+        t = pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "c", "c", "a"]),
+                "value": pa.array([0.0, 5.0, 10.0, 7.0, 7.0, 2.5], pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_events_minmax(str(tmp_path)).to_pandas().set_index("event_id")["mm_6dp"]
+        assert sorted(got.index) == [0, 1, 2, 5]  # constant group 'c' dropped
+        assert got[0] == 0 and got[1] == 500_000 and got[2] == 1_000_000 and got[5] == 250_000
+
+
+class TestEventsDenseRank:
+    def test_matches_pandas_dense_rank(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_dense_rank
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "event_type": pa.array(rng.choice(["x", "y", "z"], n)),
+                # only 11 distinct values: heavy tie collapse
+                "value": pa.array(rng.integers(0, 11, n).astype(np.float64), pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_events_dense_rank(str(tmp_path)).to_pandas().set_index("event_id")["drank"].sort_index()
+        df = t.to_pandas()
+        want = df.groupby("event_type")["value"].rank(method="dense").astype(np.int64)
+        assert np.array_equal(got.to_numpy(), want.to_numpy())
+
+
+class TestRevenueByNation:
+    def test_chain_join_hand_computed(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_revenue_by_nation
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                    "l_extendedprice": pa.array([100.0, 50.0, 200.0, 80.0], pa.float64()),
+                    "l_discount": pa.array([0.1, 0.0, 0.25, 0.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_custkey": pa.array([10, 10, 20], pa.int64()),
+                    # order 3 falls OUTSIDE the 1996-1998 window
+                    "o_orderdate": pa.array(
+                        [np.datetime64("1996-06-01", "us"), np.datetime64("1997-01-01", "us"), np.datetime64("1999-01-01", "us")]
+                    ),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([10, 20], pa.int64()),
+                    "c_nationkey": pa.array([0, 1], pa.int64()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int64()),
+                    "n_name": pa.array(["ALPHA", "BETA"]),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        got = q_revenue_by_nation(str(tmp_path)).to_pandas().set_index("nation_name")
+        # cust 10: order1 (90+50)=140.00 -> 14000c, order2 150.00 -> 15000c
+        assert got.loc["ALPHA", "revenue_c"] == 29000 and got.loc["ALPHA", "n_custs"] == 1
+        assert "BETA" not in got.index  # its only order is outside the window
