@@ -3120,6 +3120,124 @@ FROM customer c LEFT JOIN (
 """
 
 
+def q_orders_priority_share(sf_dir: str):
+    """Ratio-to-report: each order priority's share of total revenue —
+    the percentage-of-total window op (``sum(x) / sum(x) OVER ()``),
+    computed as one partial-combined groupby over exact centi-unit
+    ints; the share division is the ONE float expression, written
+    identically in the twin over the same exact integers."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "rev_c": pa.array(
+                    _half_away(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
+                ),
+            }
+        )
+
+    g = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .to_pandas()  # bounded: one row per priority level
+    )
+    total = float(g["revenue_c"].sum())
+    share = 1_000_000.0 * (g["revenue_c"].to_numpy(np.float64) / total)
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": g["o_orderpriority"],
+            "revenue_c": g["revenue_c"].astype(np.int64),
+            "share_6dp": _half_away(share),
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_ORDERS_PRIORITY_SHARE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority,
+       CAST(revenue_c AS BIGINT) AS revenue_c,
+       CAST(round(1000000 * (revenue_c / (SELECT sum(revenue_c) FROM g))) AS BIGINT) AS share_6dp
+FROM g
+"""
+
+
+def q_events_first_last(sf_dir: str):
+    """User-journey endpoints: the FIRST and LAST event (by ts,
+    tie-broken by event_id) per user — the arg_min/arg_max family.
+    Same shape as latest_per_key: a per-batch pre-prune keeps only each
+    batch's candidate endpoint rows (≤2 per user per batch) before ONE
+    coarse hash shuffle; the final pass is a segment-vectorized sort."""
+    N_PARTS = 64
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+
+    def _end_indices(t: pa.Table):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        su = u[order]
+        seg_start = np.concatenate(([True], su[1:] != su[:-1]))
+        seg_end = np.concatenate((seg_start[1:], [True]))
+        return order, seg_start, seg_end
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_key_part", pa.array([], pa.int32()))
+        order, seg_start, seg_end = _end_indices(t)
+        keep = np.sort(np.unique(np.concatenate((order[seg_start], order[seg_end]))))
+        out = t.take(pa.array(keep))
+        k = out.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return out.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("first_type", pa.string()),
+            ("first_ts", pa.timestamp("us")),
+            ("last_type", pa.string()),
+            ("last_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def ends(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_key_part"])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        order, seg_start, seg_end = _end_indices(part)
+        first_i, last_i = pa.array(order[seg_start]), pa.array(order[seg_end])
+        et = part.column("event_type").combine_chunks()
+        ts = part.column("ts").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                pc.take(part.column("user_id").combine_chunks(), first_i).cast(pa.int64()),
+                pc.take(et, first_i),
+                pc.take(ts, first_i).cast(pa.timestamp("us")),
+                pc.take(et, last_i),
+                pc.take(ts, last_i).cast(pa.timestamp("us")),
+            ],
+            schema=out_schema,
+        )
+
+    return ds.map_batches(prune, batch_format="pyarrow").groupby("_key_part").map_groups(ends, batch_format="pyarrow")
+
+
+SQL_EVENTS_FIRST_LAST = """
+SELECT user_id,
+       first(event_type ORDER BY ts, event_id) AS first_type,
+       first(ts ORDER BY ts, event_id) AS first_ts,
+       last(event_type ORDER BY ts, event_id) AS last_type,
+       last(ts ORDER BY ts, event_id) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_minmax(sf_dir: str):
     """Per-group min-max normalization (the [0,1] feature scaler that
     complements z-score): one tiny Min/Max-per-type aggregate broadcast
@@ -4392,6 +4510,8 @@ QUERIES = {
     "events_minmax": q_events_minmax,
     "events_dense_rank": q_events_dense_rank,
     "revenue_by_nation": q_revenue_by_nation,
+    "orders_priority_share": q_orders_priority_share,
+    "events_first_last": q_events_first_last,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4509,6 +4629,8 @@ ORACLES = {
     "events_minmax": SQL_EVENTS_MINMAX,
     "events_dense_rank": SQL_EVENTS_DENSE_RANK,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "orders_priority_share": SQL_ORDERS_PRIORITY_SHARE,
+    "events_first_last": SQL_EVENTS_FIRST_LAST,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -2098,3 +2098,49 @@ class TestRevenueByNation:
         # cust 10: order1 (90+50)=140.00 -> 14000c, order2 150.00 -> 15000c
         assert got.loc["ALPHA", "revenue_c"] == 29000 and got.loc["ALPHA", "n_custs"] == 1
         assert "BETA" not in got.index  # its only order is outside the window
+
+
+class TestOrdersPriorityShare:
+    def test_shares_sum_and_values(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_orders_priority_share
+
+        t = pa.table(
+            {
+                "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH", "3-LOW"]),
+                "o_totalprice": pa.array([10.0, 30.0, 40.0, 20.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "orders.parquet")
+        got = q_orders_priority_share(str(tmp_path)).set_index("o_orderpriority")
+        assert got.loc["1-URGENT", "revenue_c"] == 4000 and got.loc["1-URGENT", "share_6dp"] == 400_000
+        assert got.loc["2-HIGH", "share_6dp"] == 400_000 and got.loc["3-LOW", "share_6dp"] == 200_000
+        assert got["share_6dp"].sum() == 1_000_000
+
+
+class TestEventsFirstLast:
+    def test_endpoints_match_pandas(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_first_last
+
+        rng = np.random.default_rng(19)
+        n = 2500
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(np.datetime64("2024-01-01") + rng.integers(0, 10**6, n).astype("timedelta64[s]")),
+                "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+                "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_events_first_last(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+        df = t.to_pandas().sort_values(["ts", "event_id"])
+        first = df.groupby("user_id").first()
+        last = df.groupby("user_id").last()
+        assert list(got["first_type"]) == list(first["event_type"])
+        assert list(got["last_type"]) == list(last["event_type"])
+        assert list(got["first_ts"]) == list(first["ts"])
+        assert list(got["last_ts"]) == list(last["ts"])
