@@ -65,3 +65,69 @@ def read_table(uri: str) -> pa.Table:
     import pyarrow.dataset as pads
 
     return pads.dataset(uri).to_table()
+
+
+def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
+    """RESUMABLE partitioned sink: one hive-style directory per distinct
+    ``partition_col`` value, each stamped with a ``_SUCCESS`` marker
+    when its data is fully written.  A re-run after a crash prunes the
+    finished keys BEFORE any write work (distributed filter — the
+    skipped partitions' rows never leave the scan), writes only the
+    missing partitions, and stamps them.  This is the failed-run
+    recovery contract BASELINE.md's 100-TB story requires: output is
+    never one giant file, and a retry costs only the unfinished share.
+
+    ``partition_col`` must be a bounded-cardinality key (shard id, key
+    range, category) — the directory-per-value layout is the point.
+    Returns (written_keys, skipped_keys), both sorted lists of strings.
+    """
+    import inspect
+
+    import pyarrow.compute as pc
+    import ray.data as rd  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = f"{partition_col}="
+    finished = {
+        d[len(prefix):]
+        for d in os.listdir(out_dir)
+        if d.startswith(prefix) and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+    }
+    # a partition dir WITHOUT _SUCCESS is a torn write from a killed run:
+    # clear it so the re-write starts clean (idempotent overwrite per key)
+    import shutil
+
+    for d in list(os.listdir(out_dir)):
+        if d.startswith(prefix) and d[len(prefix):] not in finished:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    if finished:
+        fin = pa.array(sorted(finished), pa.string())
+
+        def drop_finished(t: pa.Table) -> pa.Table:
+            keys = pc.cast(t[partition_col], pa.string())
+            return t.filter(pc.invert(pc.is_in(keys, value_set=fin)))
+
+        ds = ds.map_batches(drop_finished, batch_format="pyarrow")
+
+    writer = ds.write_parquet
+    if "partition_cols" in inspect.signature(writer).parameters:
+        writer(out_dir, partition_cols=[partition_col])
+    else:  # per-group fallback for Ray versions without hive partitioning
+        def write_group(df):
+            val = str(df[partition_col].iloc[0])
+            path = os.path.join(out_dir, f"{partition_col}={val}")
+            os.makedirs(path, exist_ok=True)
+            df.to_parquet(os.path.join(path, "part-0.parquet"), index=False)
+            return df.head(0)
+
+        ds.groupby(partition_col).map_groups(write_group).materialize()
+
+    written = set()
+    for d in os.listdir(out_dir):
+        if d.startswith(prefix):
+            val = d[len(prefix):]
+            if val not in finished:
+                open(os.path.join(out_dir, d, "_SUCCESS"), "w").close()
+                written.add(val)
+    return sorted(written), sorted(finished)
