@@ -3318,6 +3318,10 @@ def q_revenue_by_nation(sf_dir: str):
     via a broadcast ``pc.index_in`` lookup, never a shuffle.  Revenue is
     exact int64 centi-units from the one shared float expression
     ``round(extendedprice * (1 - discount) * 100)``."""
+    # join/shuffle width sized to the fact table from parquet METADATA
+    # (no scan, no ray pass) so the same code is 2-way at test scale and
+    # 64-way against a 100x corpus
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
     lr = (
         rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
         .map_batches(
@@ -3338,7 +3342,7 @@ def q_revenue_by_nation(sf_dir: str):
         )
         .groupby("l_orderkey")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
-        .repartition(8)  # scrub empty-partition blocks before the join
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
     )
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         lambda t: t.filter(
@@ -3350,14 +3354,14 @@ def q_revenue_by_nation(sf_dir: str):
         batch_format="pyarrow",
     )
     cr = (
-        lr.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+        lr.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
         .groupby("o_custkey")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
-        .repartition(8)
+        .repartition(n_parts)
     )
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     by_nation = (
-        cr.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+        cr.join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",))
         .groupby("c_nationkey")
         .aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_custs"))
         .repartition(2)
