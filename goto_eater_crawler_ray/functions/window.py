@@ -847,3 +847,118 @@ def dense_rank_per_key(
         right_on=(key_col, "_rv"),
     )
     return joined.select_columns([id_col, key_col, out_col])
+
+
+def exact_order_stats_per_key(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    quarters: tuple = (1, 2, 3),
+    out_col: str = "value",
+    n_bins: int = 4096,
+    n_parts: int = 64,
+):
+    """EXACT per-key order statistics (p25/p50/p75 as lower order stats,
+    ``rank_q = floor((n-1)·q/4) + 1``) — no global sort, no sketch
+    approximation: the same value-range machinery as
+    :func:`percent_rank_per_key` assigns every row its exact global
+    row_number (ordered by value, tie-broken by ``id_col``; ties share
+    a bin so numbering never splits across partitions), and each
+    partition emits only its rows whose row_number hits one of the
+    key's target ranks.  The exchange carries the full table once; the
+    result is |keys| × |quarters| rows.  All rank arithmetic is integer
+    (q/4 as ``(n-1)*q // 4``), mirrored verbatim in the SQL twin."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = ds.aggregate(Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi"))
+    lo = float(stats["lo"] or 0.0)
+    hi = float(stats["hi"] or 0.0)
+    width = (hi - lo) / float(n_bins)
+    bins_per_part = -(-n_bins // n_parts)
+
+    def bins_of(v: np.ndarray) -> np.ndarray:
+        if width == 0.0:
+            return np.zeros(len(v), np.int64)
+        return np.minimum(np.floor((v - lo) / width), n_bins - 1).astype(np.int64)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_key": pa.array([], pa.string()), "_bin": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({"_key": t.column(key_col).to_pandas(), "_bin": b})
+        g = df.groupby(["_key", "_bin"], as_index=False).size()
+        return pa.table(
+            {
+                "_key": pa.array(g["_key"], pa.string()),
+                "_bin": pa.array(g["_bin"].to_numpy(), pa.int64()),
+                "c": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["_key", "_bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    keys_sorted = sorted(cnt["_key"].unique())
+    key_arr = pa.array(keys_sorted, pa.string())
+    n_keys = len(keys_sorted)
+    ki = pd.Categorical(cnt["_key"], categories=keys_sorted).codes.astype(np.int64)
+    pi = (cnt["_bin"].to_numpy() // bins_per_part).astype(np.int64)
+    per_part = np.zeros((n_keys, n_parts), np.int64)
+    np.add.at(per_part, (ki, pi), cnt["c"].to_numpy())
+    totals = per_part.sum(axis=1)
+    base = np.zeros((n_keys, n_parts + 1), np.int64)
+    base[:, 1:] = np.cumsum(per_part, axis=1)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        b = bins_of(t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return t.append_column("_vpart", pa.array((b // bins_per_part).astype(np.int32), pa.int32()))
+
+    out_schema = pa.schema([(key_col, pa.string()), ("quarter", pa.int64()), (out_col, pa.float64())])
+
+    def pick_part(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        pid = int(part.column("_vpart")[0].as_py())
+        kcodes = pc.index_in(part.column(key_col).combine_chunks(), value_set=key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vals, kcodes))
+        kc = kcodes[order]
+        idx = np.arange(n)
+        seg_start = np.concatenate(([True], kc[1:] != kc[:-1]))
+        seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        rn = base[kc, pid] + (idx - seg_first) + 1
+        nn = totals[kc]
+        keys_out, quarters_out, vals_out = [], [], []
+        sv = vals[order]
+        for q in quarters:
+            target = ((nn - 1) * q) // 4 + 1  # exact integer rank arithmetic
+            hit = rn == target
+            keys_out.append(pc.take(part.column(key_col).combine_chunks(), pa.array(order[hit])))
+            quarters_out.append(np.full(int(hit.sum()), q, np.int64))
+            vals_out.append(sv[hit])
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in keys_out]).cast(pa.string()),
+                pa.array(np.concatenate(quarters_out), pa.int64()),
+                pa.array(np.concatenate(vals_out), pa.float64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_vpart")
+        .map_groups(pick_part, batch_format="pyarrow")
+    )

@@ -3120,6 +3120,34 @@ FROM customer c LEFT JOIN (
 """
 
 
+def q_events_exact_quartiles(sf_dir: str):
+    """EXACT per-type quartiles (order statistics, not a sketch): the
+    value at rank ``floor((n-1)·q/4)+1`` for q in 1..3, computed with
+    no global sort via the value-range rank machinery
+    (:func:`~goto_eater_crawler_ray.functions.window.exact_order_stats_per_key`).
+    Complements `events_quantiles_by_type` (mergeable sketch, approx):
+    this is the exact path, same single-exchange cost."""
+    from ..functions.window import exact_order_stats_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    out = exact_order_stats_per_key(ds, key_col="event_type", value_col="value", id_col="event_id")
+    return out.map_batches(lambda t: _int_scale_col(t, "value", 10_000), batch_format="pyarrow").rename_columns(
+        {"value": "value_4dp"}
+    )
+
+
+SQL_EVENTS_EXACT_QUARTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, q.quarter, CAST(round(value * 10000) AS BIGINT) AS value_4dp
+FROM r, (VALUES (1), (2), (3)) AS q(quarter)
+WHERE rn = ((n - 1) * q.quarter) // 4 + 1
+"""
+
+
 def q_orders_priority_share(sf_dir: str):
     """Ratio-to-report: each order priority's share of total revenue —
     the percentage-of-total window op (``sum(x) / sum(x) OVER ()``),
@@ -4516,6 +4544,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "orders_priority_share": q_orders_priority_share,
     "events_first_last": q_events_first_last,
+    "events_exact_quartiles": q_events_exact_quartiles,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4635,6 +4664,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "orders_priority_share": SQL_ORDERS_PRIORITY_SHARE,
     "events_first_last": SQL_EVENTS_FIRST_LAST,
+    "events_exact_quartiles": SQL_EVENTS_EXACT_QUARTILES,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -2144,3 +2144,33 @@ class TestEventsFirstLast:
         assert list(got["last_type"]) == list(last["event_type"])
         assert list(got["first_ts"]) == list(first["ts"])
         assert list(got["last_ts"]) == list(last["ts"])
+
+
+class TestEventsExactQuartiles:
+    def test_matches_numpy_order_stats(self, ray_session, tmp_path):
+        """Exact lower order statistics at ranks floor((n-1)q/4)+1 — with
+        heavy ties and a non-divisible n, vs a plain numpy sort."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_exact_quartiles
+
+        rng = np.random.default_rng(23)
+        n = 1007
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "event_type": pa.array(rng.choice(["u", "w"], n)),
+                "value": pa.array(np.round(rng.uniform(0, 3, n), 1), pa.float64()),  # many ties
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q_events_exact_quartiles(str(tmp_path)).to_pandas()
+        df = t.to_pandas()
+        for key, g in df.groupby("event_type"):
+            sv = np.sort(g["value"].to_numpy())
+            nn = len(sv)
+            for q in (1, 2, 3):
+                want = sv[((nn - 1) * q) // 4]  # 0-based
+                row = got[(got.event_type == key) & (got.quarter == q)]
+                assert len(row) == 1
+                assert row["value_4dp"].iloc[0] == int(np.floor(want * 10_000 + 0.5)), (key, q)
