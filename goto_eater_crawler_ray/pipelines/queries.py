@@ -3148,6 +3148,87 @@ WHERE rn = ((n - 1) * q.quarter) // 4 + 1
 """
 
 
+def q_events_mad_outliers(sf_dir: str):
+    """Robust outlier detection: rows with ``|x - median| > 3·MAD``
+    within their event type — median and MAD are EXACT order statistics
+    (two passes of the value-range rank machinery; MAD = exact median
+    of |x - med|), so unlike a z-score the flag is immune to the
+    outliers it hunts.  Both medians are exact input values and every
+    float expression (`abs(x - med)`, `3*mad`) is written identically
+    in the twin, so the comparison is bit-deterministic on both sides."""
+    from ..functions.window import exact_order_stats_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def _broadcast(rows, val_col):
+        keys = pa.array([r["event_type"] for r in rows], pa.string())
+        vals = np.asarray([float(r[val_col]) for r in rows], np.float64)
+        return keys, vals
+
+    med_rows = exact_order_stats_per_key(
+        ds, key_col="event_type", value_col="value", id_col="event_id", quarters=(2,)
+    ).take_all()  # |event types| rows
+    med_keys, med_vals = _broadcast(med_rows, "value")
+
+    def with_dev(t: pa.Table) -> pa.Table:
+        idx = (
+            pc.fill_null(pc.index_in(t.column("event_type"), value_set=med_keys), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = np.abs(v - med_vals[idx])
+        return t.append_column("dv", pa.array(dv, pa.float64()))
+
+    dev = ds.map_batches(with_dev, batch_format="pyarrow")
+    mad_rows = exact_order_stats_per_key(
+        dev, key_col="event_type", value_col="dv", id_col="event_id", quarters=(2,)
+    ).take_all()
+    mad_keys, mad_vals = _broadcast(mad_rows, "value")
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = (
+            pc.fill_null(pc.index_in(t.column("event_type"), value_set=mad_keys), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = t.column("dv").to_numpy(zero_copy_only=False) > 3.0 * mad_vals[idx]
+        mask = pa.array(keep)
+        m = t.column("value").to_numpy(zero_copy_only=False)[keep] * 10_000.0
+        return pa.table(
+            {
+                "event_id": pc.filter(t.column("event_id"), mask).cast(pa.int64()),
+                "event_type": pc.filter(t.column("event_type"), mask),
+                "value_4dp": pa.array(_half_away(m), pa.int64()),
+            }
+        )
+
+    return dev.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (SELECT event_type, value AS med FROM r1 WHERE rn = ((n - 1) * 2) // 4 + 1),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - med.med) AS dv
+  FROM events e JOIN med USING (event_type)),
+r2 AS (
+  SELECT event_type, dv,
+         row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+mad AS (SELECT event_type, dv AS mad FROM r2 WHERE rn = ((n - 1) * 2) // 4 + 1)
+SELECT d.event_id, d.event_type,
+       CAST(round(d.value * 10000) AS BIGINT) AS value_4dp
+FROM d JOIN mad USING (event_type)
+WHERE d.dv > 3 * mad.mad
+"""
+
+
 def q_orders_priority_share(sf_dir: str):
     """Ratio-to-report: each order priority's share of total revenue —
     the percentage-of-total window op (``sum(x) / sum(x) OVER ()``),
@@ -4545,6 +4626,7 @@ QUERIES = {
     "orders_priority_share": q_orders_priority_share,
     "events_first_last": q_events_first_last,
     "events_exact_quartiles": q_events_exact_quartiles,
+    "events_mad_outliers": q_events_mad_outliers,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4665,6 +4747,7 @@ ORACLES = {
     "orders_priority_share": SQL_ORDERS_PRIORITY_SHARE,
     "events_first_last": SQL_EVENTS_FIRST_LAST,
     "events_exact_quartiles": SQL_EVENTS_EXACT_QUARTILES,
+    "events_mad_outliers": SQL_EVENTS_MAD_OUTLIERS,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

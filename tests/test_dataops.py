@@ -2174,3 +2174,36 @@ class TestEventsExactQuartiles:
                 row = got[(got.event_type == key) & (got.quarter == q)]
                 assert len(row) == 1
                 assert row["value_4dp"].iloc[0] == int(np.floor(want * 10_000 + 0.5)), (key, q)
+
+
+class TestEventsMadOutliers:
+    def test_planted_outliers_flagged_robustly(self, ray_session, tmp_path):
+        """A tight cluster plus extreme outliers: MAD flags exactly the
+        planted points (a z-score would be dragged by them); flags match
+        a numpy exact-median reference."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_mad_outliers
+
+        rng = np.random.default_rng(29)
+        base = rng.uniform(9.5, 10.5, 500)
+        out = np.array([100.0, -80.0, 55.0])
+        v = np.concatenate([base, out])
+        n = len(v)
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "event_type": pa.array(["k"] * n),
+                "value": pa.array(v, pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = set(q_events_mad_outliers(str(tmp_path)).to_pandas()["event_id"])
+
+        sv = np.sort(v)
+        med = sv[(n - 1) * 2 // 4]
+        dv = np.abs(v - med)
+        mad = np.sort(dv)[(n - 1) * 2 // 4]
+        want = set(np.flatnonzero(dv > 3 * mad))
+        assert got == want
+        assert {500, 501, 502} <= got  # all planted outliers flagged
