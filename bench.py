@@ -275,6 +275,9 @@ def main() -> None:
         "events_dense_rank",
         "revenue_by_nation",
         "events_minmax",
+        "events_exact_quartiles",
+        "events_mad_outliers",
+        "events_first_last",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -344,6 +344,87 @@ FROM fine
 """
 
 
+def q_events_cube(sf_dir: str):
+    """Full CUBE over (event_type, hour) — all FOUR grouping sets, i.e.
+    ROLLUP (`q_events_rollup`) plus the by-hour marginal.  Same shape:
+    the corpus is scanned and shuffled exactly ONCE into the fine level
+    (int64 centi-units there), and every coarser level re-aggregates the
+    tiny fine output with exact integer sums; `lvl` =
+    ``grouping(event_type)*2 + grouping(hour)`` disambiguates sentinel
+    collisions."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.divide(pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64()), 3_600_000_000), pa.int64())
+        return pa.table({"event_type": t["event_type"], "hour_epoch": hour, "value": t["value"]})
+
+    fine = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(lambda t: _int_scale_col(t, "sum_value", 100), batch_format="pyarrow")
+        .materialize()  # tiny (types x hours); feeds all three coarser levels
+    )
+
+    def _lvl_cols(t: pa.Table, et, hour, lvl: int) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "event_type": t.column("event_type") if et is None else pa.array([et] * n, pa.string()),
+                "hour_epoch": t.column("hour_epoch") if hour is None else pa.array([hour] * n, pa.int64()),
+                "lvl": pa.array(np.full(n, lvl), pa.int64()),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "sum_value": t.column("sum_value").cast(pa.int64()),
+            }
+        )
+
+    by_type = (
+        fine.repartition(1)
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(lambda t: _lvl_cols(t, None, -1, 1), batch_format="pyarrow")
+    )
+    by_hour = (
+        fine.repartition(1)
+        .groupby("hour_epoch")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(lambda t: _lvl_cols(t, "__all__", None, 2), batch_format="pyarrow")
+    )
+    grand = (
+        fine.repartition(1)
+        .groupby(None)
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(lambda t: _lvl_cols(t, "__all__", -1, 3), batch_format="pyarrow")
+    )
+    fine_sel = fine.map_batches(lambda t: _lvl_cols(t, None, None, 0), batch_format="pyarrow")
+    return fine_sel.union(by_type).union(by_hour).union(grand)
+
+
+SQL_EVENTS_CUBE = """
+WITH fine AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_epoch,
+         count(*) AS n_events,
+         CAST(round(sum(value) * 100) AS BIGINT) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_epoch, CAST(0 AS BIGINT) AS lvl,
+       CAST(n_events AS BIGINT) AS n_events, CAST(sum_value AS BIGINT) AS sum_value FROM fine
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(sum(n_events) AS BIGINT), CAST(sum(sum_value) AS BIGINT)
+FROM fine GROUP BY event_type
+UNION ALL
+SELECT '__all__', hour_epoch, CAST(2 AS BIGINT),
+       CAST(sum(n_events) AS BIGINT), CAST(sum(sum_value) AS BIGINT)
+FROM fine GROUP BY hour_epoch
+UNION ALL
+SELECT '__all__', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(sum(n_events) AS BIGINT), CAST(sum(sum_value) AS BIGINT)
+FROM fine
+"""
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel analysis (view -> click -> purchase): the stage each
     user reached, where every later step must occur STRICTLY after the
@@ -4627,6 +4708,7 @@ QUERIES = {
     "events_first_last": q_events_first_last,
     "events_exact_quartiles": q_events_exact_quartiles,
     "events_mad_outliers": q_events_mad_outliers,
+    "events_cube": q_events_cube,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4748,6 +4830,7 @@ ORACLES = {
     "events_first_last": SQL_EVENTS_FIRST_LAST,
     "events_exact_quartiles": SQL_EVENTS_EXACT_QUARTILES,
     "events_mad_outliers": SQL_EVENTS_MAD_OUTLIERS,
+    "events_cube": SQL_EVENTS_CUBE,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

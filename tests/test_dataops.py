@@ -1544,6 +1544,40 @@ class TestEventsRollup:
             assert by_type.loc[by_type["event_type"] == et, "n_events"].iloc[0] == g["n_events"].sum()
 
 
+class TestEventsCube:
+    def test_all_four_grouping_sets_consistent(self, ray_session, sf_dir):
+        from goto_eater_crawler_ray.pipelines.queries import q_events_cube
+
+        df = q_events_cube(sf_dir).to_pandas()
+        fine = df[df["lvl"] == 0]
+        by_type = df[df["lvl"] == 1]
+        by_hour = df[df["lvl"] == 2]
+        grand = df[df["lvl"] == 3]
+        assert len(grand) == 1
+        total = fine["n_events"].sum()
+        assert grand["n_events"].iloc[0] == total == by_type["n_events"].sum() == by_hour["n_events"].sum()
+        assert grand["sum_value"].iloc[0] == fine["sum_value"].sum() == by_hour["sum_value"].sum()
+        for h, g in fine.groupby("hour_epoch"):
+            assert by_hour.loc[by_hour["hour_epoch"] == h, "sum_value"].iloc[0] == g["sum_value"].sum()
+
+    def test_tiny_input_two_keys(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_cube
+
+        ts = pa.array([pd.Timestamp("2024-01-01 00:10"), pd.Timestamp("2024-01-01 00:40"), pd.Timestamp("2024-01-01 01:10")])
+        pq.write_table(
+            pa.table({"ts": ts, "event_type": ["a", "a", "b"], "value": [1.0, 2.0, 4.0]}),
+            tmp_path / "events.parquet",
+        )
+        df = q_events_cube(str(tmp_path)).to_pandas()
+        # fine = {(a,h0), (b,h1)} -> 2 fine + 2 by_type + 2 by_hour + 1 grand
+        assert len(df) == 7
+        assert df.loc[df["lvl"] == 3, "sum_value"].iloc[0] == 700
+        a_total = df[(df["lvl"] == 1) & (df["event_type"] == "a")]["sum_value"].iloc[0]
+        assert a_total == 300
+
+
 class TestDocShuffle:
     def test_permutation_and_partition_stability(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
