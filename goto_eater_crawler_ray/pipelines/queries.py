@@ -4589,6 +4589,96 @@ FROM test_g t JOIN train_g USING (gram) GROUP BY t.doc_id
 """
 
 
+def q_dup_passages(sf_dir: str):
+    """Exact duplicate-PASSAGE detection — substring-granularity dedup
+    (the Lee-et-al 'Deduplicating Training Data' shape at word-8-gram
+    granularity): every 8-gram appearing in >= 2 DISTINCT documents,
+    with its distinct-doc and total-occurrence counts — the passages a
+    substring-dedup pass would cut out of a pre-training corpus.
+
+    Shape: 8-gram windows exploded batch-locally (windows never cross
+    documents, and a document never spans batches, so a per-batch
+    (gram, doc_id) combine is globally complete per doc); the exchange
+    carries one row per (gram, doc) with its local occurrence count —
+    never the token stream — then ONE groupby(gram) yields
+    ``n_docs = COUNT(rows)`` and ``n_occ = SUM(occ)``.  At 100-TB scale
+    the exchange key would be a u64 content hash with the gram text
+    dropped before the shuffle (the md5-family trick used by
+    `minhash_pairs_md5`); the string key here keeps the oracle compare
+    exact at the same exchange-row count."""
+    from ..functions.text import _split_tokens
+
+    N = 8
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    gram_schema = pa.schema([("gram", pa.string()), ("doc_id", pa.int64()), ("occ", pa.int64())])
+
+    def make_grams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_schema.empty_table()
+        parents, toks = _split_tokens(t)
+        words = toks.to_pandas().to_numpy()
+        m = len(words) - N + 1
+        if m <= 0:
+            return gram_schema.empty_table()
+        # parents is nondecreasing (flat token order), so window-start ==
+        # window-end parent implies the whole window is one document
+        ok = parents[N - 1 : m + N - 1] == parents[:m]
+        s = pd.Series(words[:m][ok])
+        for j in range(1, N):
+            s = s + " " + pd.Series(words[j : m + j][ok])
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[parents[:m][ok]]
+        # batch-local (gram, doc) combine: within-doc repeats never leave
+        # the task; the exchange carries distinct (gram, doc) rows only
+        g = (
+            pd.DataFrame({"gram": s.to_numpy(), "doc_id": doc_ids})
+            .groupby(["gram", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="occ")
+        )
+        return pa.table(
+            {
+                "gram": pa.array(g["gram"].to_numpy(), pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "occ": pa.array(g["occ"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(make_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Count(alias_name="n_docs"), Sum("occ", alias_name="n_occ"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_docs"), 2))
+        return pa.table(
+            {
+                "gram": t.column("gram"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "n_occ": t.column("n_occ").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_DUP_PASSAGES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 6), i ->
+                list_aggregate(list_slice(ws, i, i + 7), 'string_agg', ' '))) AS gram
+  FROM toks
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_occ
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def q_near_dedup_filter(sf_dir: str):
     """End-to-end near-dup CURATION: MinHash-LSH pairs -> distributed
     connected components -> keep only each group's minimum doc_id ->
@@ -4709,6 +4799,7 @@ QUERIES = {
     "events_exact_quartiles": q_events_exact_quartiles,
     "events_mad_outliers": q_events_mad_outliers,
     "events_cube": q_events_cube,
+    "dup_passages": q_dup_passages,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4831,6 +4922,7 @@ ORACLES = {
     "events_exact_quartiles": SQL_EVENTS_EXACT_QUARTILES,
     "events_mad_outliers": SQL_EVENTS_MAD_OUTLIERS,
     "events_cube": SQL_EVENTS_CUBE,
+    "dup_passages": SQL_DUP_PASSAGES,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

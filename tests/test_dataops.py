@@ -1544,6 +1544,31 @@ class TestEventsRollup:
             assert by_type.loc[by_type["event_type"] == et, "n_events"].iloc[0] == g["n_events"].sum()
 
 
+class TestDupPassages:
+    def test_planted_shared_passage(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_dup_passages
+
+        passage = " ".join(f"p{i}" for i in range(10))  # 10 words -> 3 shared 8-grams
+        docs = [
+            {"doc_id": 0, "text": "alpha beta " + passage + " gamma"},
+            {"doc_id": 1, "text": passage + " delta epsilon"},
+            {"doc_id": 2, "text": " ".join(f"u{i}" for i in range(20))},  # unique words
+            # within-doc repeat of the passage: bumps n_occ, not n_docs
+            {"doc_id": 3, "text": passage + " zzz " + passage},
+        ]
+        pq.write_table(pa.table({"doc_id": [d["doc_id"] for d in docs], "text": [d["text"] for d in docs]}), tmp_path / "documents.parquet")
+        df = q_dup_passages(str(tmp_path)).to_pandas().set_index("gram")
+        core = " ".join(f"p{i}" for i in range(8))
+        assert df.loc[core, "n_docs"] == 3
+        assert df.loc[core, "n_occ"] == 4  # doc3 contains it twice
+        # every surviving gram appears in >= 2 distinct docs
+        assert (df["n_docs"] >= 2).all()
+        # doc2's unique-vocab grams never surface
+        assert not any(g.startswith("u0 ") for g in df.index)
+
+
 class TestEventsCube:
     def test_all_four_grouping_sets_consistent(self, ray_session, sf_dir):
         from goto_eater_crawler_ray.pipelines.queries import q_events_cube
