@@ -2599,6 +2599,63 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, ev
 """
 
 
+def q_users_modal_type(sf_dir: str):
+    """Grouped MODE (per-key argmax): each user's most frequent event
+    type, ties broken to the lexicographically smallest type — the
+    majority-label op (dominant language per domain, modal genre per
+    shop) expressed as a distributed argmax, NOT a global sort.
+
+    Shape: ONE combiner-backed groupby((user, type)) count — the only
+    corpus-sized exchange — then the tiny per-user candidate rows (≤
+    |types| per user) are hash-partitioned on user and the winner picked
+    with one mixed-order ``pc.sort_indices`` + first-of-segment mask per
+    partition (64 map_groups calls total, no per-user Python)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    counts = (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        # consolidate: the aggregate emits zero-column empty blocks when
+        # groups < input blocks; scrub them before the key-part stage
+        .repartition(auto_num_partitions(10_000, rows_per_part=50_000))
+    )
+
+    def part_key(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_key_part", pa.array((u % 64).astype(np.int32), pa.int32()))
+
+    def pick(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_key_part"])
+        if part.num_rows == 0:
+            return part.rename_columns(["user_id", "modal_type", "n"])
+        idx = pc.sort_indices(
+            part,
+            sort_keys=[("user_id", "ascending"), ("n", "descending"), ("event_type", "ascending")],
+        )
+        t = part.take(idx)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        t = t.filter(pa.array(first))
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "modal_type": t.column("event_type"),
+                "n": t.column("n").cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(pick, batch_format="pyarrow")
+
+
+SQL_USERS_MODAL_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+"""
+
+
 def q_events_cumsum(sf_dir: str):
     """Per-user running total over time — the cumulative window scan
     (`SUM ... ROWS UNBOUNDED PRECEDING`).  Values scaled to exact int64
@@ -4800,6 +4857,7 @@ QUERIES = {
     "events_mad_outliers": q_events_mad_outliers,
     "events_cube": q_events_cube,
     "dup_passages": q_dup_passages,
+    "users_modal_type": q_users_modal_type,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4923,6 +4981,7 @@ ORACLES = {
     "events_mad_outliers": SQL_EVENTS_MAD_OUTLIERS,
     "events_cube": SQL_EVENTS_CUBE,
     "dup_passages": SQL_DUP_PASSAGES,
+    "users_modal_type": SQL_USERS_MODAL_TYPE,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -1569,6 +1569,29 @@ class TestDupPassages:
         assert not any(g.startswith("u0 ") for g in df.index)
 
 
+class TestUsersModalType:
+    def test_tie_breaks_to_smallest_type_and_tiny_input(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_users_modal_type
+
+        # user 1: view x2, click x1 -> view; user 2: tie click/view -> click
+        rows = [(1, "view"), (1, "view"), (1, "click"), (2, "click"), (2, "view")]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        df = q_users_modal_type(str(tmp_path)).to_pandas().set_index("user_id")
+        assert df.loc[1, "modal_type"] == "view" and df.loc[1, "n"] == 2
+        assert df.loc[2, "modal_type"] == "click" and df.loc[2, "n"] == 1
+        assert len(df) == 2
+
+
 class TestEventsCube:
     def test_all_four_grouping_sets_consistent(self, ray_session, sf_dir):
         from goto_eater_crawler_ray.pipelines.queries import q_events_cube
