@@ -2646,6 +2646,51 @@ def q_users_modal_type(sf_dir: str):
     return counts.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(pick, batch_format="pyarrow")
 
 
+def q_users_intersect(sf_dir: str):
+    """Set INTERSECTION (completes the set-op family next to union /
+    except-anti-join): users who both viewed AND purchased.  Ray-Data
+    shape: ONE pruned scan (not one per side), per-batch membership
+    flags combined batch-locally by a vectorized Arrow groupby-max (the
+    exchange carries ≤ one row per distinct batch user, never the event
+    stream), then a single global groupby(user).Max per flag and a
+    filter — no join, no second scan, no distinct-per-side shuffle."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    schema = pa.schema([("user_id", pa.int64()), ("v", pa.int64()), ("p", pa.int64())])
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        local = pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "v": pc.cast(pc.equal(t.column("event_type"), "view"), pa.int64()),
+                "p": pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(local, "user_id").aggregate([("v", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "v", "p"])
+
+    agg = ds.map_batches(flags, batch_format="pyarrow").groupby("user_id").aggregate(
+        Max("v", alias_name="v"), Max("p", alias_name="p")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t.column("v"), 1), pc.equal(t.column("p"), 1)))
+        return pa.table({"user_id": t.column("user_id").cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_USERS_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 SQL_USERS_MODAL_TYPE = """
 WITH c AS (
   SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
@@ -4858,6 +4903,7 @@ QUERIES = {
     "events_cube": q_events_cube,
     "dup_passages": q_dup_passages,
     "users_modal_type": q_users_modal_type,
+    "users_intersect": q_users_intersect,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -4982,6 +5028,7 @@ ORACLES = {
     "events_cube": SQL_EVENTS_CUBE,
     "dup_passages": SQL_DUP_PASSAGES,
     "users_modal_type": SQL_USERS_MODAL_TYPE,
+    "users_intersect": SQL_USERS_INTERSECT,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

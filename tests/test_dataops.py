@@ -1592,6 +1592,26 @@ class TestUsersModalType:
         assert len(df) == 2
 
 
+class TestUsersIntersect:
+    def test_only_both_sided_users_survive(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_users_intersect
+
+        rows = [(1, "view"), (1, "purchase"), (2, "view"), (3, "purchase"), (4, "click"), (5, "view"), (5, "view")]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        df = q_users_intersect(str(tmp_path)).to_pandas()
+        assert sorted(df["user_id"]) == [1]
+
+
 class TestEventsCube:
     def test_all_four_grouping_sets_consistent(self, ray_session, sf_dir):
         from goto_eater_crawler_ray.pipelines.queries import q_events_cube
