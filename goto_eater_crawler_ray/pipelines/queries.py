@@ -2599,6 +2599,84 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, ev
 """
 
 
+def q_events_corr(sf_dir: str):
+    """Per-group Pearson CORRELATION (value vs hour-of-day) from exact
+    integer sufficient statistics — the two-variable moment family
+    (cov/corr) next to `events_zscore`'s one-variable moments.
+
+    Exactness: value is scaled to int64 centi-units BEFORE the shuffle,
+    hour-of-day is already integral, so the five sufficient sums
+    (sx, sy, sxx, syy, sxy) are order-independent exact integers at any
+    width; the final corr is ONE float expression over those integers,
+    written token-identically in the SQL twin (DuckDB sums ints as
+    HUGEINT — the driver-side finish uses Python arbitrary-precision
+    ints for the numerator/denominator products so both sides convert
+    the SAME exact integer to double).  One combiner-backed groupby is
+    the only exchange; the finish runs over ≤|types| rows."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        x = _half_away(m)
+        y = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"),
+            Sum("xy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        types, corrs = [], []
+        for r in t.to_pylist():  # <= |event types| rows
+            n, sx, sy, sxx, syy, sxy = (int(r[k]) for k in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+            den_x, den_y = n * sxx - sx * sx, n * syy - sy * sy
+            if n < 2 or den_x <= 0 or den_y <= 0:
+                continue  # degenerate: correlation undefined (SQL twin drops too)
+            corr = float(n * sxy - sx * sy) / np.sqrt(float(den_x * den_y))
+            types.append(r["event_type"])
+            corrs.append(int(_half_away(np.array([corr * 1_000_000.0]))[0]))
+        return pa.table({"event_type": pa.array(types, pa.string()), "corr_6dp": pa.array(corrs, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_CORR = """
+WITH m AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(extract(hour FROM ts) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM m GROUP BY event_type
+)
+SELECT event_type,
+       CAST(round( (n*sxy - sx*sy) / sqrt( CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) )
+                   * 1000000 ) AS BIGINT) AS corr_6dp
+FROM s
+WHERE n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -4904,6 +4982,7 @@ QUERIES = {
     "dup_passages": q_dup_passages,
     "users_modal_type": q_users_modal_type,
     "users_intersect": q_users_intersect,
+    "events_corr": q_events_corr,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -5029,6 +5108,7 @@ ORACLES = {
     "dup_passages": SQL_DUP_PASSAGES,
     "users_modal_type": SQL_USERS_MODAL_TYPE,
     "users_intersect": SQL_USERS_INTERSECT,
+    "events_corr": SQL_EVENTS_CORR,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -1612,6 +1612,39 @@ class TestUsersIntersect:
         assert sorted(df["user_id"]) == [1]
 
 
+class TestEventsCorr:
+    def test_known_correlation_and_degenerate_drop(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_corr
+
+        # type "lin": value == hour exactly -> corr = +1.0 (1_000_000 scaled)
+        # type "anti": value == -hour -> corr = -1.0
+        # type "flat": constant value -> zero variance -> dropped
+        # type "solo": single row -> n < 2 -> dropped
+        rows = []
+        for h in range(6):
+            rows.append((pd.Timestamp(f"2024-01-01 {h:02d}:00"), "lin", float(h)))
+            rows.append((pd.Timestamp(f"2024-01-01 {h:02d}:30"), "anti", float(-h)))
+            rows.append((pd.Timestamp(f"2024-01-01 {h:02d}:15"), "flat", 7.0))
+        rows.append((pd.Timestamp("2024-01-01 03:00"), "solo", 1.0))
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[0] for r in rows]),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        df = q_events_corr(str(tmp_path)).to_pandas().set_index("event_type")
+        assert df.loc["lin", "corr_6dp"] == 1_000_000
+        assert df.loc["anti", "corr_6dp"] == -1_000_000
+        assert "flat" not in df.index and "solo" not in df.index
+        assert len(df) == 2
+
+
 class TestEventsCube:
     def test_all_four_grouping_sets_consistent(self, ray_session, sf_dir):
         from goto_eater_crawler_ray.pipelines.queries import q_events_cube
