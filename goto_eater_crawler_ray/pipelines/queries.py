@@ -2677,6 +2677,439 @@ WHERE n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
 """
 
 
+def q_events_regression(sf_dir: str):
+    """Per-group ordinary-least-squares fit (value regressed on
+    hour-of-day): slope + intercept per event_type, the trend-line
+    companion to ``events_corr``'s correlation.
+
+    Same exactness contract: x = hour (already integral), y = value in
+    int64 centi-units (half-away scaled BEFORE the shuffle), so the five
+    sufficient sums are order-independent exact integers at any width.
+    slope = (n·sxy − sx·sy)/(n·sxx − sx²) and
+    intercept = (sy·den − num·sx)/(n·den) are each ONE double division
+    of exact (arbitrary-precision) integers — written token-identically
+    in the SQL twin, where the HUGEINT→DOUBLE cast performs the same
+    round-to-nearest conversion as Python's ``float(int)``.  One
+    combiner-backed groupby is the only exchange; the finish runs over
+    ≤|types| rows on the driver side of the plan."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        y = _half_away(m)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        types, slopes, intercepts = [], [], []
+        for r in t.to_pylist():  # <= |event types| rows
+            n, sx, sy, sxx, sxy = (int(r[k]) for k in ("n", "sx", "sy", "sxx", "sxy"))
+            den = n * sxx - sx * sx
+            if n < 2 or den <= 0:
+                continue  # degenerate: single point or constant x (SQL twin drops too)
+            num = n * sxy - sx * sy
+            slope = float(num) / float(den)
+            intercept = float(sy * den - num * sx) / float(n * den)
+            types.append(r["event_type"])
+            slopes.append(int(_half_away(np.array([slope * 1_000_000.0]))[0]))
+            intercepts.append(int(_half_away(np.array([intercept * 10_000.0]))[0]))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "slope_6dp": pa.array(slopes, pa.int64()),
+                "intercept_4dp": pa.array(intercepts, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_REGRESSION = """
+WITH m AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM m GROUP BY event_type
+)
+SELECT event_type,
+       CAST(round( CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                   * 1000000 ) AS BIGINT) AS slope_6dp,
+       CAST(round( CAST(sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS DOUBLE)
+                   / CAST(n*(n*sxx - sx*sx) AS DOUBLE)
+                   * 10000 ) AS BIGINT) AS intercept_4dp
+FROM s
+WHERE n >= 2 AND (n*sxx - sx*sx) > 0
+"""
+
+
+def q_orders_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-flavored shipping-priority report: unshipped revenue per
+    order for one market segment, top 10 by revenue.  Three pruned
+    scans; lineitem collapses to per-ORDER revenue (exact int64
+    centi-units) BEFORE any join so the two hash exchanges carry totals
+    and order headers, never the fact stream; the segment filter prunes
+    customer to keys-only before its join.  The corpus-scaled joined
+    result never reaches the driver: each output block pre-prunes to its
+    LOCAL top 10 (same tuple order as the final sort) so the global
+    ``sort().limit(10)`` ranges over <=10 x n_parts rows."""
+    CUTOFF = np.datetime64("1998-06-01", "us")
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+
+    rev = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        "l_orderkey": f.column("l_orderkey").cast(pa.int64()),
+                        "rev_c": pa.array(
+                            _half_away(
+                                f.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                                * (1.0 - f.column("l_discount").to_numpy(zero_copy_only=False))
+                                * 100.0
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )(t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUTOFF)))),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
+    )
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    ords = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(CUTOFF))),
+            batch_format="pyarrow",
+        )
+        .join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",))
+    )
+    joined = rev.join(ords, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # per-block prune to the same (rev desc, date asc, key asc) order
+        # the global sort uses -- keeps <=10 rows per block
+        df = t.select(["l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority"]).to_pandas()
+        df = df.sort_values(
+            ["revenue_c", "o_orderdate", "l_orderkey"], ascending=[False, True, True], kind="mergesort"
+        ).head(10)
+        df = df.rename(columns={"l_orderkey": "o_orderkey"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        joined.map_batches(local_top, batch_format="pyarrow")
+        .sort(["revenue_c", "o_orderdate", "o_orderkey"], descending=[True, False, False])
+        .limit(10)
+    )
+
+
+SQL_ORDERS_SHIPPING_PRIORITY = """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1
+)
+SELECT o_orderkey, CAST(revenue_c AS BIGINT) AS revenue_c, o_orderdate, o_orderpriority
+FROM rev
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '1998-06-01' AND c_mktsegment = 'BUILDING'
+ORDER BY revenue_c DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14-flavored promotion effect: per ship-month share of
+    revenue from PROMO-type parts over a one-year window.  Lineitem
+    pre-aggregates to exact int64 centi-revenue per (partkey, month)
+    BEFORE the join (the combiner-backed groupby is the only fact-sized
+    exchange), then one hash join against the part dim projected to a
+    (p_partkey, is_promo) flag pair — part is corpus-scaled in TPC-H so
+    it joins, never broadcasts.  Month totals are exact integer sums;
+    the share is ONE double division written token-identically in the
+    SQL twin."""
+    LO, HI = np.datetime64("1997-01-01", "us"), np.datetime64("1998-01-01", "us")
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(LO)), pc.less(t["l_shipdate"], pa.scalar(HI)))
+        )
+        ym = (
+            pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False).astype(np.int64) * 100
+            + pc.month(t["l_shipdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey").cast(pa.int64()),
+                "ship_month": pa.array(ym, pa.int64()),
+                "rev_c": pa.array(
+                    _half_away(
+                        t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+                        * 100.0
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    lr = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_partkey", "ship_month"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
+    )
+    flags = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("p_partkey").cast(pa.int64()),
+                "is_promo": pc.equal(t["p_type"], "PROMO").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = lr.join(flags, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+
+    def split(t: pa.Table) -> pa.Table:
+        r = t.column("rev_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t.column("is_promo").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ship_month": t.column("ship_month").cast(pa.int64()),
+                "promo_rev_c": pa.array(r * f, pa.int64()),
+                "total_rev_c": pa.array(r, pa.int64()),
+            }
+        )
+
+    monthly = (
+        joined.map_batches(split, batch_format="pyarrow")
+        .groupby("ship_month")
+        .aggregate(Sum("promo_rev_c", alias_name="promo_rev_c"), Sum("total_rev_c", alias_name="total_rev_c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t.column("promo_rev_c").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = t.column("total_rev_c").to_numpy(zero_copy_only=False).astype(np.float64)
+        share = _half_away(p / tot * 1_000_000.0)
+        return pa.table(
+            {
+                "ship_month": t.column("ship_month").cast(pa.int64()),
+                "promo_rev_c": t.column("promo_rev_c").cast(pa.int64()),
+                "total_rev_c": t.column("total_rev_c").cast(pa.int64()),
+                "promo_share_6dp": pa.array(share, pa.int64()),
+            }
+        )
+
+    return monthly.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH lr AS (
+  SELECT CAST(extract(year FROM l_shipdate)*100 + extract(month FROM l_shipdate) AS BIGINT) AS ship_month,
+         l_partkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+), m AS (
+  SELECT ship_month,
+         sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS promo_rev_c,
+         sum(rev_c) AS total_rev_c
+  FROM lr JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month,
+       CAST(promo_rev_c AS BIGINT) AS promo_rev_c,
+       CAST(total_rev_c AS BIGINT) AS total_rev_c,
+       CAST(round(CAST(promo_rev_c AS DOUBLE) / CAST(total_rev_c AS DOUBLE) * 1000000) AS BIGINT) AS promo_share_6dp
+FROM m
+"""
+
+
+def q_user_retention(sf_dir: str):
+    """Weekly cohort retention matrix — the product-analytics staple:
+    for each signup cohort (a user's first active ISO week) and each
+    week offset k, how many of that cohort's users were active k weeks
+    later.  Ray-Data-first in three exact-integer steps: (1) distinct
+    (user, week) pairs via groupby-Count over epoch-week ints (one
+    combiner-backed shuffle of the fact stream, already deduped
+    batch-locally); (2) per-user first week via groupby-Min over those
+    pairs (user-sized, not fact-sized); (3) one hash join of the two
+    user-keyed tables, then a tiny (cohort, offset) count.  Nothing
+    corpus-sized reaches the driver; every exchange after step 1 is
+    user-cardinality or smaller.  Weeks are ``floor(epoch_days / 7)``
+    ints (not ISO calendars) so both engines compute the identical
+    bucket."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "events")).metadata.num_rows, cap=64)
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        epoch_days = pc.divide(pc.cast(days, pa.int64()), 86_400_000_000)
+        wk = pc.divide(epoch_days, 7)
+        return pa.table({"user_id": t.column("user_id").cast(pa.int64()), "week": wk.cast(pa.int64())})
+
+    pairs = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+        .map_batches(to_weeks, batch_format="pyarrow")
+        .map_batches(  # batch-local dedup before the shuffle
+            lambda t: t.group_by(["user_id", "week"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["user_id", "week"]), batch_format="pyarrow")
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
+    )
+    first = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+        .map_batches(to_weeks, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("week", alias_name="cohort_week"))
+        .repartition(n_parts)
+        .map_batches(
+            lambda t: pa.table(
+                {"fu_user_id": t.column("user_id").cast(pa.int64()), "cohort_week": t.column("cohort_week").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = pairs.join(first, join_type="inner", num_partitions=n_parts, on=("user_id",), right_on=("fu_user_id",))
+
+    def offsets(t: pa.Table) -> pa.Table:
+        w = t.column("week").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("cohort_week").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cohort_week": pa.array(c, pa.int64()), "week_offset": pa.array(w - c, pa.int64())})
+
+    return (
+        joined.map_batches(offsets, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_USER_RETENTION = """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 86400 / 7) AS BIGINT) AS week
+  FROM events
+), f AS (
+  SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1
+)
+SELECT f.cohort_week, w.week - f.cohort_week AS week_offset, count(*) AS n_users
+FROM w JOIN f ON w.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_events_transitions(sf_dir: str):
+    """Markov transition-count matrix over per-user event sequences:
+    for every consecutive (A -> B) pair in a user's timeline, how often
+    it occurs corpus-wide — the sequence-mining shape behind session
+    modelling and next-event prediction.
+
+    Same scale pattern as ``lag_delta_per_key`` (functions/window.py):
+    ONE coarse hash shuffle (user_id % n_key_parts -> ~n_key_parts
+    groups, never per-user groups), then inside each part a single
+    lexsort over (user, ts, event_id) and a fully vectorized adjacency
+    pass — event types dictionary-encoded so pair counting is one
+    ``np.unique`` over int64 pair codes, no Python per row.  Each part
+    emits its LOCAL (from, to, n) counts (<= |types|^2 rows), so the
+    final groupby-Sum exchanges a few hundred rows.  Deterministic
+    total order: ties on ts break by unique event_id, mirrored in the
+    twin's ``ORDER BY ts, event_id``."""
+    N_KEY_PARTS = 64
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part_key(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_key_part", pa.array((u % N_KEY_PARTS).astype(np.int32), pa.int32()))
+
+    out_schema = pa.schema(
+        [pa.field("from_type", pa.string()), pa.field("to_type", pa.string()), pa.field("n", pa.int64())]
+    )
+
+    def transitions(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return out_schema.empty_table()
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(part.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        sort_idx = np.lexsort((eid, ts, users))
+        users, codes = users[sort_idx], codes[sort_idx]
+        same = users[1:] == users[:-1]
+        k = len(vocab)
+        pair = codes[:-1][same] * k + codes[1:][same]
+        if pair.size == 0:
+            return out_schema.empty_table()
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pc.take(vocab, pa.array(uniq // k, pa.int64())).cast(pa.string()),
+                pc.take(vocab, pa.array(uniq % k, pa.int64())).cast(pa.string()),
+                pa.array(cnt.astype(np.int64), pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_key_part")
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM s WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -4983,6 +5416,11 @@ QUERIES = {
     "users_modal_type": q_users_modal_type,
     "users_intersect": q_users_intersect,
     "events_corr": q_events_corr,
+    "events_regression": q_events_regression,
+    "orders_shipping_priority": q_orders_shipping_priority,
+    "promo_revenue_share": q_promo_revenue_share,
+    "user_retention": q_user_retention,
+    "events_transitions": q_events_transitions,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -5109,6 +5547,11 @@ ORACLES = {
     "users_modal_type": SQL_USERS_MODAL_TYPE,
     "users_intersect": SQL_USERS_INTERSECT,
     "events_corr": SQL_EVENTS_CORR,
+    "events_regression": SQL_EVENTS_REGRESSION,
+    "orders_shipping_priority": SQL_ORDERS_SHIPPING_PRIORITY,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "user_retention": SQL_USER_RETENTION,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

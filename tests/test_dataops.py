@@ -1645,6 +1645,151 @@ class TestEventsCorr:
         assert len(df) == 2
 
 
+class TestEventsRegression:
+    def test_exact_line_and_degenerate_drop(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_regression
+
+        # "lin": value = 2*hour + 3 -> slope 2.0 (2_000_000), intercept 300 centi * 1e4
+        # "one": single row -> dropped; "const": constant hour -> den == 0 -> dropped
+        rows = []
+        for h in range(5):
+            rows.append((pd.Timestamp(f"2024-01-01 {h:02d}:00"), "lin", 2.0 * h + 3.0))
+            rows.append((pd.Timestamp("2024-01-01 07:00"), "const", float(h)))
+        rows.append((pd.Timestamp("2024-01-01 03:00"), "one", 9.0))
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[0] for r in rows]),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        df = q_events_regression(str(tmp_path)).to_pandas().set_index("event_type")
+        # y is in centi-units: slope = 200 centi/hour -> 200e6 at 6dp; intercept 300 centi -> 3_000_000 at 4dp
+        assert df.loc["lin", "slope_6dp"] == 200_000_000
+        assert df.loc["lin", "intercept_4dp"] == 3_000_000
+        assert list(df.index) == ["lin"]
+
+
+class TestOrdersShippingPriority:
+    def test_top10_order_and_filters(self, ray_session, sf_dir):
+        import duckdb
+
+        from goto_eater_crawler_ray.pipelines.queries import SQL_ORDERS_SHIPPING_PRIORITY, q_orders_shipping_priority
+
+        got = q_orders_shipping_priority(sf_dir).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        want = con.execute(SQL_ORDERS_SHIPPING_PRIORITY).df()
+        assert len(got) == len(want) <= 10
+        assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+        assert list(got["revenue_c"]) == list(want["revenue_c"])
+
+
+class TestPromoRevenueShare:
+    def test_tiny_known_share(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_promo_revenue_share
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_type": pa.array(["PROMO", "STANDARD"], pa.string()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        ship = [pd.Timestamp("1997-03-10"), pd.Timestamp("1997-03-20"), pd.Timestamp("1996-01-01")]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 2, 1], pa.int64()),
+                    "l_shipdate": pa.array(ship),
+                    "l_extendedprice": pa.array([100.0, 300.0, 999.0], pa.float64()),
+                    "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        df = q_promo_revenue_share(str(tmp_path)).to_pandas().set_index("ship_month")
+        # out-of-window 1996 row excluded; March 1997: promo 10000c of 40000c = 25%
+        assert list(df.index) == [199703]
+        assert df.loc[199703, "promo_rev_c"] == 10_000
+        assert df.loc[199703, "total_rev_c"] == 40_000
+        assert df.loc[199703, "promo_share_6dp"] == 250_000
+
+
+class TestUserRetention:
+    def test_cohort_offsets(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_user_retention
+
+        # user 1 active weeks w, w+1, w+3 (two events in w -> dedup); user 2 only w+1
+        base = pd.Timestamp("2024-01-04")  # Thursday; epoch-week bucketing, not ISO
+        rows = [
+            (1, base),
+            (1, base + pd.Timedelta(hours=2)),
+            (1, base + pd.Timedelta(weeks=1)),
+            (1, base + pd.Timedelta(weeks=3)),
+            (2, base + pd.Timedelta(weeks=1)),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows]),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        df = q_user_retention(str(tmp_path)).to_pandas()
+        m = {(r.cohort_week, r.week_offset): r.n_users for r in df.itertuples()}
+        w1 = min(c for c, _ in m)
+        assert m[(w1, 0)] == 1 and m[(w1, 1)] == 1 and m[(w1, 3)] == 1
+        w2 = w1 + 1
+        assert m[(w2, 0)] == 1
+        assert df["n_users"].sum() == 4  # (user,week) distinct pairs
+
+
+class TestEventsTransitions:
+    def test_pairs_and_tie_break(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_transitions
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        # user 1: a -> b -> b (b->b via event_id tie-break at equal ts)
+        # user 2: c alone (no pair); boundary between users never pairs
+        rows = [
+            (1, t0, 10, "a"),
+            (1, t0 + pd.Timedelta(minutes=1), 11, "b"),
+            (1, t0 + pd.Timedelta(minutes=1), 12, "b"),
+            (2, t0, 20, "c"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows]),
+                    "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        df = q_events_transitions(str(tmp_path)).to_pandas()
+        m = {(r.from_type, r.to_type): r.n for r in df.itertuples()}
+        assert m == {("a", "b"): 1, ("b", "b"): 1}
+
+
 class TestEventsCube:
     def test_all_four_grouping_sets_consistent(self, ray_session, sf_dir):
         from goto_eater_crawler_ray.pipelines.queries import q_events_cube
