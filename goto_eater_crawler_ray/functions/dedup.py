@@ -746,3 +746,156 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partiti
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("node"), "group_id": t.column("label")}), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein <= 1) pair mining -- SymSpell deletion buckets
+# ---------------------------------------------------------------------------
+
+_EDIT_PAIR_SCHEMA = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()), ("dist", pa.int64())])
+_EDIT_MIX = np.uint64(0x100000001B3)
+_EDIT_OFF = np.uint64(0xCBF29CE484222325)
+
+
+def _title_byte_matrix(col: pa.ChunkedArray | pa.Array, width: int):
+    """ASCII string column -> (n x width) zero-padded uint8 matrix + lengths.
+
+    One buffer-level pass, no per-row Python: the row-major boolean-mask
+    assignment consumes the Arrow data buffer in exactly concatenation
+    order.  Assumes single-byte code points (the corpus contract for the
+    title prefix; multi-byte input would break byte==character parity
+    with the SQL twin's substr())."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, width), np.uint8), np.zeros(0, np.int64)
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = np.diff(offs)
+    if lens.max(initial=0) > width:
+        raise ValueError(f"title longer than width={width}")
+    mat = np.zeros((n, width), np.uint8)
+    mat[np.arange(width)[None, :] < lens[:, None]] = data[offs[0] : offs[-1]]
+    return mat, lens
+
+
+def edit_distance_pairs(docs_ds, prefix_len: int = 16, n_bucket_parts: int = 64):
+    """All doc pairs whose (lowercased, ``prefix_len``-char) title prefixes
+    are within Levenshtein distance 1 — the SymSpell deletion-neighborhood
+    algorithm (Garbe's symspell; same family as Norvig's spell-corrector),
+    distributed: two strings are within edit distance 1 iff they share a
+    member of {self} U {all single-character deletions}, so each doc emits
+    <= prefix_len+1 variant HASHES (uint64, never the variant string) and
+    candidates meet in variant buckets.  A hash collision only creates a
+    spurious candidate; exact verification is bucket-local and vectorized
+    (equal-length -> hamming<=1; length-gap-1 -> one aligned
+    prefix/suffix check around the first mismatch).  Same coarse-partition
+    shape as the MinHash path: buckets co-locate under
+    ``bucket_part = hash & (n_bucket_parts-1)`` so one ``map_groups`` call
+    handles MANY complete buckets and singleton buckets are skipped in one
+    run-length pass.  Cross-bucket duplicate candidates (equal titles
+    share every deletion bucket) collapse in one pair-keyed groupby-Min.
+
+    Scale note: duplicate-title clusters of size m legitimately produce
+    m(m-1)/2 output pairs — quadratic in the OUTPUT, identical to the SQL
+    twin's self-join semantics; run exact dedup first if clusters are
+    expected to be megascale."""
+    W = prefix_len
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        titles = pc.utf8_slice_codeunits(pc.utf8_lower(t.column("text").combine_chunks()), 0, W)
+        mat, lens = _title_byte_matrix(titles, W)
+        n = len(ids)
+        blocks, blens, bvalid = [mat], [lens], [np.ones(n, bool)]
+        for p in range(W):
+            v = np.concatenate([mat[:, :p], mat[:, p + 1 :], np.zeros((n, 1), np.uint8)], axis=1)
+            blocks.append(v)
+            blens.append(lens - 1)
+            bvalid.append(lens > p)
+        vm = np.concatenate(blocks, axis=0)
+        vl = np.concatenate(blens)
+        keep = np.concatenate(bvalid)
+        with np.errstate(over="ignore"):
+            h = np.full(vm.shape[0], _EDIT_OFF, np.uint64)
+            for j in range(W):
+                h = h * _EDIT_MIX + vm[:, j].astype(np.uint64)
+            h = h * _EDIT_MIX + vl.astype(np.uint64)  # zero-padded != shorter
+            h ^= h >> np.uint64(33)
+            h = h * np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        all_ids = np.tile(ids, W + 1)[keep]
+        h = h[keep]
+        rep_title = pa.concat_arrays([titles] * (W + 1)).filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "title": rep_title,
+                "vhash": pa.array(h, pa.uint64()),
+                "bucket_part": pa.array((h & np.uint64(n_bucket_parts - 1)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n < 2:
+            return _EDIT_PAIR_SCHEMA.empty_table()
+        vh = part.column("vhash").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vh))
+        vh, ids = vh[order], ids[order]
+        mat, lens = _title_byte_matrix(part.column("title"), W)
+        mat, lens = mat[order], lens[order]
+        starts = np.flatnonzero(np.concatenate(([True], vh[1:] != vh[:-1])))
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        ii_l, jj_l = [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):  # singletons skipped wholesale
+            li, lj = np.triu_indices(e - s, 1)
+            ii_l.append(li + s)
+            jj_l.append(lj + s)
+        if not ii_l:
+            return _EDIT_PAIR_SCHEMA.empty_table()
+        ii, jj = np.concatenate(ii_l), np.concatenate(jj_l)
+        keep = ids[ii] != ids[jj]  # a doc meeting itself via two deletion paths
+        ii, jj = ii[keep], jj[keep]
+        if ii.size == 0:
+            return _EDIT_PAIR_SCHEMA.empty_table()
+        A, B, la, lb = mat[ii], mat[jj], lens[ii], lens[jj]
+        # orient so X is the longer side
+        swap = lb > la
+        X = np.where(swap[:, None], B, A)
+        Y = np.where(swap[:, None], A, B)
+        lx, ly = np.maximum(la, lb), np.minimum(la, lb)
+        gap = lx - ly
+        neq = X != Y
+        dist = np.full(ii.shape[0], 2, np.int64)  # 2 == "fails, drop"
+        same_len = gap == 0
+        ndiff = neq.sum(axis=1)
+        dist[same_len & (ndiff == 0)] = 0
+        dist[same_len & (ndiff == 1)] = 1
+        g1 = gap == 1
+        if g1.any():
+            # first mismatch p (X[ly] != 0 guarantees one exists); valid iff
+            # X with p deleted equals Y, i.e. the aligned tails match
+            p = np.argmax(neq[g1], axis=1)
+            tail_eq = X[g1][:, 1:] == Y[g1][:, :-1]
+            ok_suffix = np.flip(np.cumprod(np.flip(tail_eq, 1), 1), 1).astype(bool)
+            at_end = p >= W - 1
+            valid = np.where(at_end, True, ok_suffix[np.arange(p.size), np.minimum(p, W - 2)])
+            d = dist[g1]
+            d[valid] = 1
+            dist[g1] = d
+        keep2 = dist <= 1
+        a = np.minimum(ids[ii], ids[jj])[keep2]
+        b = np.maximum(ids[ii], ids[jj])[keep2]
+        return pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64()), "dist": pa.array(dist[keep2], pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    cand = (
+        docs_ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return cand.groupby(["a_id", "b_id"]).aggregate(Min("dist", alias_name="dist"))

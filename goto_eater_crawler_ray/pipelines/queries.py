@@ -869,6 +869,30 @@ WHERE a.doc_id < 100 AND b.doc_id < 100
 """
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Levenshtein<=1 pair mining over 16-char lowercased title prefixes —
+    SymSpell deletion-neighborhood buckets (see dedup.edit_distance_pairs),
+    ORACLE-PINNED against DuckDB's levenshtein() quadratic self-join.
+    The deletion-variant construction is EXACT for radius 1 (two strings
+    within edit distance 1 always share a member of the deletion
+    neighborhood), so the hash compare proves the distributed
+    explode->bucket->verify->pair-dedup path end-to-end."""
+    from ..functions.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), prefix_len=16)
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+WITH t AS (
+  SELECT doc_id, substr(lower(text), 1, 16) AS p FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 1
+"""
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidates (no SQL twin: probabilistic op —
     driver records rows-only; correctness covered by planted-dup tests)."""
@@ -3107,6 +3131,75 @@ WITH s AS (
 SELECT from_type, to_type, count(*) AS n
 FROM s WHERE to_type IS NOT NULL
 GROUP BY 1, 2
+"""
+
+
+def q_events_entropy(sf_dir: str):
+    """Per-type Shannon entropy (nats) of the hour-of-day distribution —
+    the diversity / uniformity signal used to flag bot-like traffic
+    (entropy ~ ln 24 = uniform) vs bursty types (entropy -> 0).
+
+    Distributed part is EXACT: one combiner-backed groupby to
+    (event_type, hour) integer counts, <= |types| x 24 rows.  The float
+    finish H = ln(N) - (SUM c*ln c)/N is inherently a multi-term float
+    sum, and float addition is not associative — so BOTH engines sum the
+    per-hour terms in the SAME explicit hour order: here a plain
+    left-to-right accumulation over hour-sorted rows; in the twin a
+    ``list_aggregate(list(... ORDER BY hour), 'sum')`` whose list order
+    pins the accumulation order.  With identical order and libm the
+    doubles match bit-for-bit; the result rounds to 6dp micro-nats."""
+    import math
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def to_hours(t: pa.Table) -> pa.Table:
+        h = pc.hour(t["ts"]).cast(pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "hour": h})
+
+    counts = (
+        ds.map_batches(to_hours, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["event_type", "hour"], kind="mergesort")
+        types, ns, ents = [], [], []
+        for et, g in df.groupby("event_type", sort=True):
+            n = int(g["c"].sum())
+            s = 0.0
+            for c in g["c"]:  # hour-ascending: accumulation order pinned
+                s += float(int(c)) * math.log(float(int(c)))
+            h = math.log(float(n)) - s / float(n)
+            types.append(et)
+            ns.append(n)
+            ents.append(int(_half_away(np.array([h * 1_000_000.0]))[0]))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_events": pa.array(ns, pa.int64()),
+                "entropy_6dp": pa.array(ents, pa.int64()),
+            }
+        )
+
+    # the counts table is <= |types| x 24 rows: collapse to one block so the
+    # ordered accumulation sees every hour of a type together
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ENTROPY = """
+WITH c AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         list_aggregate(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY hour), 'sum') AS plogp
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_events,
+       CAST(round((ln(CAST(n_events AS DOUBLE)) - plogp / CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT) AS entropy_6dp
+FROM s
 """
 
 
@@ -5421,6 +5514,8 @@ QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     "user_retention": q_user_retention,
     "events_transitions": q_events_transitions,
+    "events_entropy": q_events_entropy,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -5552,6 +5647,8 @@ ORACLES = {
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "user_retention": SQL_USER_RETENTION,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "events_entropy": SQL_EVENTS_ENTROPY,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

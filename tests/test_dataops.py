@@ -2487,3 +2487,98 @@ class TestEventsMadOutliers:
         want = set(np.flatnonzero(dv > 3 * mad))
         assert got == want
         assert {500, 501, 502} <= got  # all planted outliers flagged
+
+
+class TestEditDistancePairs:
+    def test_matches_bruteforce_levenshtein(self, ray_session):
+        """Planted titles exercising every verify branch (exact dup,
+        substitution, deletion, insertion, transposition=2 rejected,
+        prefix-truncation aliasing); output equals a brute-force
+        O(n^2) Levenshtein<=1 reference over the 16-char prefixes."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import edit_distance_pairs
+
+        titles = [
+            "alpha beta gamma delta",   # 0
+            "alpha beta gamma delta",   # 1 exact dup of 0 (prefix)
+            "alpha beta gammX delta",   # 2 substitution inside prefix
+            "alpha beta gamm delta",    # 3 deletion inside prefix
+            "Xalpha beta gamma",        # 4 insertion at front
+            "alpha beta gamam delta",   # 5 transposition -> dist 2, rejected
+            "zzz totally different",    # 6
+            "zz totally different",     # 7 deletion at front vs 6
+            "short",                    # 8 short string (< prefix_len)
+            "shoRt",                    # 9 case-folded exact dup of 8
+            "sho",                      # 10 dist 2 from 8, rejected
+        ]
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(titles)])
+        out = edit_distance_pairs(ds, prefix_len=16).to_pandas()
+        got = {(a, b): d for a, b, d in zip(out["a_id"], out["b_id"], out["dist"])}
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            prev = list(range(n + 1))
+            for i in range(1, m + 1):
+                cur = [i] + [0] * n
+                for j in range(1, n + 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+                prev = cur
+            return prev[n]
+
+        prefixes = [t.lower()[:16] for t in titles]
+        want = {}
+        for i in range(len(titles)):
+            for j in range(i + 1, len(titles)):
+                d = lev(prefixes[i], prefixes[j])
+                if d <= 1:
+                    want[(i, j)] = d
+        assert got == want
+        assert (0, 1) in got and got[(0, 1)] == 0
+        assert got[(0, 2)] == 1 and got[(0, 3)] == 1
+        assert (0, 5) not in got and (8, 10) not in got
+        assert got[(8, 9)] == 0
+
+    def test_empty_and_singleton(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import edit_distance_pairs
+
+        ds = rd.from_items([{"doc_id": 1, "text": "only one doc"}])
+        assert edit_distance_pairs(ds).count() == 0
+
+
+class TestEventsEntropy:
+    def test_matches_direct_entropy(self, ray_session, tmp_path):
+        """Planted hour distributions: uniform type -> ln(n_hours);
+        single-hour type -> 0; mixed type matches scipy-free direct
+        computation."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_entropy
+
+        rows_ts, rows_et = [], []
+        # 'uni': one event in each of 24 hours
+        for h in range(24):
+            rows_ts.append(h * 3600 * 1_000_000)
+            rows_et.append("uni")
+        # 'burst': 50 events all at hour 3
+        for _ in range(50):
+            rows_ts.append((3 * 3600 + 7) * 1_000_000)
+            rows_et.append("burst")
+        # 'mix': 10 at hour 0, 5 at hour 1, 1 at hour 2
+        for h, c in [(0, 10), (1, 5), (2, 1)]:
+            for _ in range(c):
+                rows_ts.append((h * 3600 + 11) * 1_000_000)
+                rows_et.append("mix")
+        t = pa.table({"ts": pa.array(rows_ts, pa.timestamp("us")), "event_type": pa.array(rows_et)})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_entropy(str(tmp_path)).to_pandas().set_index("event_type")
+        assert out.loc["uni", "entropy_6dp"] == round(math.log(24) * 1_000_000)
+        assert out.loc["burst", "entropy_6dp"] == 0
+        n = 16
+        h = math.log(n) - (10 * math.log(10) + 5 * math.log(5) + 1 * math.log(1)) / n
+        assert out.loc["mix", "entropy_6dp"] == round(h * 1_000_000)
+        assert out.loc["mix", "n_events"] == 16
