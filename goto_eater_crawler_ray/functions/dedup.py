@@ -899,3 +899,208 @@ def edit_distance_pairs(docs_ds, prefix_len: int = 16, n_bucket_parts: int = 64)
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return cand.groupby(["a_id", "b_id"]).aggregate(Min("dist", alias_name="dist"))
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join -- AllPairs / PPJoin prefix filtering
+# ---------------------------------------------------------------------------
+
+_ALLPAIRS_CAND_SCHEMA = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard_6dp", pa.int64())])
+
+
+def _word_shingle_sets(texts: list[str], k: int) -> list[set]:
+    """Distinct word-k-gram shingle STRINGS per doc; docs with < k words
+    produce the empty set (mirrors the SQL twin's empty list
+    comprehension), unlike the MinHash path's whole-text fallback."""
+    out = []
+    for t in texts:
+        ws = t.split(" ")
+        if len(ws) < k:
+            out.append(set())
+        else:
+            out.append({" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+    return out
+
+
+def allpairs_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    n_bucket_parts: int = 64,
+    max_vocab: int = 4_000_000,
+):
+    """EXACT set-similarity self-join: every doc pair whose word-k-shingle
+    sets have Jaccard >= ``threshold`` — the AllPairs / PPJoin prefix-
+    filtering algorithm (Bayardo-Ma-Srikant WWW'07; Xiao et al. PPJoin),
+    distributed.  Unlike MinHash-LSH this has recall 1.0 and no
+    probability parameter, so it is ORACLE-PINNABLE against a quadratic
+    SQL self-join.
+
+    Shape:
+      1. one scan -> (shingle, doc_id) postings -> groupby Count = global
+         document frequency per shingle;
+      2. the vocab table (HARD-GATED by ``max_vocab`` — vocabulary, not
+         corpus, scale; raise instead of silent driver OOM) is sorted by
+         (df asc, shingle asc) once and broadcast via ``ray.put``, so
+         rank lookup inside every batch is ONE ``pc.index_in`` against
+         the rank-ordered value_set — the index IS the rank, exact, no
+         hash collisions;
+      3. second scan: each doc sorts its rank set ascending (rarest
+         first) and emits only its PREFIX tokens — prefix length
+         p = s - ceil(t*s) + 1 — carrying (full rank set, size).
+         Pigeonhole proof: a qualifying partner shares >= ceil(t*s)
+         tokens, so the globally smallest shared token lies inside BOTH
+         prefixes; emitting both prefixes loses nothing (exact);
+      4. prefix postings meet under ``bucket_part = rank & (parts-1)``;
+         ONE ``map_groups`` call verifies MANY complete token groups:
+         pair generation by token run, local pair dedup, ragged gather
+         of both rank sets, and the intersection size of every pair at
+         once by sorting the combined (pair_id * V + rank) key vector
+         and counting adjacent equals (a duplicate key can only be
+         one-from-each-side: sets are duplicate-free);
+      5. cross-bucket duplicate candidates collapse in one pair-keyed
+         groupby-Max (the jaccard value is identical wherever found).
+
+    Nothing corpus-sized touches the driver; the per-emission payload is
+    the doc's int32 rank set (4 B/token), and only ~(1-t)*s + 1 prefix
+    emissions per doc.  At open-web vocabulary (> ``max_vocab``) swap
+    step 2's broadcast for a distributed join on shingle and re-collect
+    sets with a groupby — documented, not silently attempted."""
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    t_int = int(np.floor(threshold * 1_000_000.0 + 0.5))
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        sets = _word_shingle_sets(t.column("text").to_pylist(), shingle_k)
+        out_ids, out_sh = [], []
+        for i, s in zip(ids, sets):
+            out_ids.extend([i] * len(s))
+            out_sh.extend(s)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()), "shingle": pa.array(out_sh, pa.string())})
+
+    df_tbl = (
+        docs_ds.map_batches(postings, batch_format="pyarrow").groupby("shingle").aggregate(Count(alias_name="df"))
+    )
+    n_vocab = df_tbl.count()
+    if n_vocab == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_ALLPAIRS_CAND_SCHEMA.empty_table())
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"allpairs_jaccard_pairs: {n_vocab} distinct shingles exceeds max_vocab={max_vocab}; "
+            "use the distributed-join rank assignment (join postings on shingle) instead of broadcast"
+        )
+    # vocab-sized (gated), NOT corpus-sized: the one legal driver materialization
+    vocab = df_tbl.sort(["df", "shingle"]).to_pandas()
+    rank_order = pa.array(vocab["shingle"].to_numpy(), pa.string())
+    vocab_ref = ray.put(rank_order)
+    V = np.uint64(len(vocab))
+    mask = np.uint64(n_bucket_parts - 1)
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        order = ray.get(vocab_ref)
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False), np.int64)
+        sets = _word_shingle_sets(t.column("text").to_pylist(), shingle_k)
+        sizes = np.array([len(s) for s in sets], np.int64)
+        flat = [sh for s in sets for sh in s]
+        if not flat:
+            return pa.schema(
+                [("tok", pa.int64()), ("doc_id", pa.int64()), ("set", pa.list_(pa.int32())), ("sz", pa.int32()), ("bucket_part", pa.int32())]
+            ).empty_table()
+        ranks_flat = pc.index_in(pa.array(flat, pa.string()), value_set=order).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        # sort each doc's ranks ascending: one global argsort over (doc, rank)
+        doc_of = np.repeat(np.arange(len(ids)), sizes)
+        o = np.lexsort((ranks_flat, doc_of))
+        ranks_flat = ranks_flat[o]
+        # prefix length; ceil errs toward LONGER prefix (extra candidates, never lost ones)
+        need = np.ceil(threshold * sizes - 1e-12)
+        plen = np.clip(sizes - need.astype(np.int64) + 1, 0, sizes)
+        plen[sizes == 0] = 0
+        # ragged take of each doc's first plen ranks
+        pid_doc = np.repeat(np.arange(len(ids)), plen)
+        pos = np.arange(plen.sum()) - np.repeat(np.concatenate(([0], np.cumsum(plen)))[:-1], plen)
+        toks = ranks_flat[offs[pid_doc] + pos]
+        set_col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(ranks_flat, pa.int32()))
+        return pa.table(
+            {
+                "tok": pa.array(toks, pa.int64()),
+                "doc_id": pa.array(ids[pid_doc], pa.int64()),
+                "set": set_col.take(pa.array(pid_doc, pa.int64())),
+                "sz": pa.array(sizes[pid_doc], pa.int32()),
+                "bucket_part": pa.array((toks.astype(np.uint64) & mask).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n < 2:
+            return _ALLPAIRS_CAND_SCHEMA.empty_table()
+        tok = part.column("tok").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, tok))
+        tok, ids = tok[o], ids[o]
+        starts = np.flatnonzero(np.concatenate(([True], tok[1:] != tok[:-1])))
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        ii_l, jj_l = [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            li, lj = np.triu_indices(e - s, 1)
+            ii_l.append(li + s)
+            jj_l.append(lj + s)
+        if not ii_l:
+            return _ALLPAIRS_CAND_SCHEMA.empty_table()
+        ii, jj = np.concatenate(ii_l), np.concatenate(jj_l)
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        keep = a != b
+        ii, jj, a, b = ii[keep], jj[keep], a[keep], b[keep]
+        if ii.size == 0:
+            return _ALLPAIRS_CAND_SCHEMA.empty_table()
+        # local pair dedup (same pair via several shared prefix tokens)
+        po = np.lexsort((b, a))
+        a, b, ii, jj = a[po], b[po], ii[po], jj[po]
+        first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        a, b, ii, jj = a[first], b[first], ii[first], jj[first]
+        npairs = a.size
+        # ragged gather of both sides' rank sets
+        lst = part.column("set").combine_chunks()
+        loffs = np.frombuffer(lst.buffers()[1], np.int32)[lst.offset : lst.offset + n + 1].astype(np.int64)
+        lvals = np.asarray(lst.values)  # logical child view (handles child offset)
+        loffs_s, lens_s = loffs[o], np.diff(loffs)[o]
+        szs = part.column("sz").to_numpy(zero_copy_only=False).astype(np.int64)[o]
+        if npairs * int(V) >= 2**62:
+            raise ValueError("allpairs bucket too large for combined-key intersection; raise n_bucket_parts")
+
+        def ragged(rows):
+            ln = lens_s[rows]
+            pid = np.repeat(np.arange(rows.size, dtype=np.uint64), ln)
+            pos = np.arange(ln.sum()) - np.repeat(np.concatenate(([0], np.cumsum(ln)))[:-1], ln)
+            vals = lvals[np.repeat(loffs_s[rows], ln) + pos].astype(np.uint64)
+            return pid * V + vals
+
+        keys = np.concatenate([ragged(ii), ragged(jj)])
+        keys.sort()
+        dup = keys[1:] == keys[:-1]
+        c = np.bincount((keys[1:][dup] // V).astype(np.int64), minlength=npairs).astype(np.int64)
+        sa, sb = szs[ii], szs[jj]
+        jacc6 = np.sign(c) * np.floor(np.abs(c * 1_000_000.0 / (sa + sb - c)) + 0.5)
+        jacc6 = jacc6.astype(np.int64)
+        keep2 = jacc6 >= t_int
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep2], pa.int64()),
+                "b_id": pa.array(b[keep2], pa.int64()),
+                "jaccard_6dp": pa.array(jacc6[keep2], pa.int64()),
+            }
+        )
+
+    cand = (
+        docs_ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return cand.groupby(["a_id", "b_id"]).aggregate(Max("jaccard_6dp", alias_name="jaccard_6dp"))

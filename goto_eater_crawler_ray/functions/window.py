@@ -962,3 +962,71 @@ def exact_order_stats_per_key(
         .groupby("_vpart")
         .map_groups(pick_part, batch_format="pyarrow")
     )
+
+
+def rolling_median_per_key(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 5,
+    out_col: str = "med_x2_c",
+    scale: int = 100,
+    n_key_parts: int = 64,
+):
+    """ROWS window-1 PRECEDING..CURRENT rolling MEDIAN per key — the
+    order-statistic window op (robust smoothing; not expressible as a
+    running sum).  Same shape as :func:`rolling_mean_per_key`: one
+    coarse hash shuffle, then segment-vectorized numpy inside — the
+    sliding frame is materialized as an (n x window) staircase matrix
+    (one shifted column per lag, invalid lags masked to a +inf
+    sentinel), one row-wise ``np.sort``, and the two middle order
+    statistics picked per row.
+
+    EXACTNESS: values are scaled to int64 centi-units first (the repo's
+    ``round(value*scale)`` convention), and the output is ``lo + hi`` —
+    exactly TWICE the interpolated median — which is always an integer
+    (odd frame: 2*mid; even frame: the two middles' sum).  No float
+    interpolation exists on either engine's side: the SQL twin computes
+    ``CAST(2 * median(vc) OVER w AS BIGINT)`` where the only non-integer
+    intermediate is an exact x.5 double."""
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
+
+    SENTINEL = np.int64(2**62)
+
+    def windows(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        out_schema = pa.schema(
+            [part.schema.field(key_col)]
+            + [part.schema.field(c) for c in order_cols]
+            + [pa.field(out_col, pa.int64())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        orders = [part.column(c).to_numpy(zero_copy_only=False) for c in order_cols]
+        fv = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        vals = (np.sign(fv) * np.floor(np.abs(fv) + 0.5)).astype(np.int64)  # half-away, like DuckDB round()
+        sort_idx = np.lexsort(tuple(reversed(orders)) + (keys,))
+        keys, vals = keys[sort_idx], vals[sort_idx]
+        orders = [o[sort_idx] for o in orders]
+        seg_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(n)
+        pos = idx - np.maximum.accumulate(np.where(seg_start, idx, 0))
+        k_frame = np.minimum(pos + 1, window)
+        m = np.full((n, window), SENTINEL, np.int64)
+        for d in range(window):
+            valid = pos >= d
+            m[valid, d] = vals[idx[valid] - d]
+        m.sort(axis=1)
+        lo = m[idx, (k_frame - 1) // 2]
+        hi = m[idx, k_frame // 2]
+        cols = {key_col: keys, out_col: lo + hi}
+        for c, o in zip(order_cols, orders):
+            cols[c] = o
+        return pa.Table.from_arrays([pa.array(cols[f.name]).cast(f.type) for f in out_schema], schema=out_schema)
+
+    return ds.map_batches(part_key, batch_format="pyarrow").groupby("_key_part").map_groups(windows, batch_format="pyarrow")

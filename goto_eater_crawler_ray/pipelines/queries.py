@@ -716,6 +716,161 @@ FROM events
 """
 
 
+def q_events_rolling_median(sf_dir: str):
+    """Per-user ROWS-window rolling MEDIAN (window 5, ordered by ts then
+    event_id) — the order-statistic window op a robust-smoothing
+    pipeline needs; see window.rolling_median_per_key for the exact
+    2x-median integer contract and the staircase-matrix vectorization."""
+    from ..functions.window import rolling_median_per_key
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
+    return rolling_median_per_key(ds, key_col="user_id", order_cols=["ts", "event_id"], value_col="value", window=5)
+
+
+SQL_EVENTS_ROLLING_MEDIAN = """
+WITH v AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT user_id, ts, event_id,
+       CAST(2 * median(vc) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2_c
+FROM v
+"""
+
+
+def q_events_new_vs_returning(sf_dir: str):
+    """Daily new-vs-returning user counts — the activation dashboard op:
+    a user is 'new' on their first-ever active day, 'returning' on every
+    later active day.  Single-shuffle shape (contrast with
+    q_user_retention's two-aggregate + hash-join shape): distinct
+    (user, day) pairs are deduped batch-locally, hash-partitioned by
+    user (so each user's full history is co-located), and ONE
+    segment-vectorized pass marks each user's first day and emits
+    per-day partial (n_new, n_returning) counts — the final groupby
+    touches only day-cardinality rows."""
+    N_PARTS = 64
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        epoch_days = pc.divide(pc.cast(days, pa.int64()), 86_400_000_000)
+        out = pa.table({"user_id": t.column("user_id").cast(pa.int64()), "day": epoch_days.cast(pa.int64())})
+        out = out.group_by(["user_id", "day"]).aggregate([])  # batch-local dedup
+        k = out.column("user_id").to_numpy(zero_copy_only=False)
+        return out.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
+
+    def classify(part: pa.Table) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()), ("n_new", pa.int64()), ("n_returning", pa.int64())])
+        if part.num_rows == 0:
+            return schema.empty_table()
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        d = part.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        # cross-batch dedup of (user, day) then first-day flag
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])))
+        u, d = u[keep], d[keep]
+        is_new = np.concatenate(([True], u[1:] != u[:-1]))
+        days_u, inv = np.unique(d, return_inverse=True)
+        n_new = np.bincount(inv[is_new], minlength=days_u.size)
+        n_ret = np.bincount(inv[~is_new], minlength=days_u.size)
+        return pa.table(
+            {
+                "day": pa.array(days_u, pa.int64()),
+                "n_new": pa.array(n_new, pa.int64()),
+                "n_returning": pa.array(n_ret, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(to_days, batch_format="pyarrow")
+        .groupby("_key_part")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_new", alias_name="n_new"), Sum("n_returning", alias_name="n_returning"))
+    )
+
+
+SQL_EVENTS_NEW_VS_RETURNING = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS first_day FROM d GROUP BY 1
+)
+SELECT d.day,
+       count(*) FILTER (WHERE d.day = f.first_day) AS n_new,
+       count(*) FILTER (WHERE d.day > f.first_day) AS n_returning
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY 1
+"""
+
+
+def q_events_gap_fill(sf_dir: str):
+    """Dense-grid gap fill: every (event_type, hour) cell between the
+    corpus's global min and max hour, zero-filled where no events exist —
+    the report/time-series densification op (downstream charting and
+    windowing assume no missing buckets).  The corpus is reduced to a
+    tiny (type x hour) count aggregate FIRST; the dense grid is then
+    generated per type inside ``map_groups`` from two broadcast scalar
+    bounds, so grid construction is output-sized, never corpus-sized."""
+    counts = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "hour_epoch": pc.divide(
+                        pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")), pa.int64()),
+                        3_600_000_000,
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Count(alias_name="n_events"))
+        .materialize()  # tiny: |types| x |hours|; read twice (bounds + fill)
+    )
+    lo, hi = counts.min("hour_epoch"), counts.max("hour_epoch")  # two scalars to the driver
+
+    def fill(g: pa.Table) -> pa.Table:
+        h = g.column("hour_epoch").to_numpy(zero_copy_only=False)
+        n = g.column("n_events").to_numpy(zero_copy_only=False)
+        grid = np.zeros(hi - lo + 1, np.int64)
+        grid[h - lo] = n
+        et = g.column("event_type")[0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([et] * grid.size, pa.string()),
+                "hour_epoch": pa.array(np.arange(lo, hi + 1), pa.int64()),
+                "n_events": pa.array(grid, pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(fill, batch_format="pyarrow")
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM c
+), g AS (
+  SELECT t.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM c) t
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS h FROM b) gs
+)
+SELECT g.event_type, g.h AS hour_epoch, coalesce(c.n, 0) AS n_events
+FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+"""
+
+
 def q_orders_topn_per_cust(sf_dir: str):
     """Per-customer top-3 orders by totalprice (row_number window with a
     deterministic orderkey tie-break): per-batch local top-N pre-prune,
@@ -890,6 +1045,42 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
 FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 1
+"""
+
+
+def q_allpairs_jaccard(sf_dir: str):
+    """EXACT word-3-shingle Jaccard self-join at threshold 0.5 — the
+    AllPairs/PPJoin prefix-filter algorithm (recall 1.0, unlike
+    MinHash-LSH), ORACLE-PINNED against DuckDB's quadratic
+    unnest-self-join.  See dedup.allpairs_jaccard_pairs for the
+    distributed shape (df-ranked prefixes, bucket-local vectorized
+    set intersection, pair-keyed dedup)."""
+    from ..functions.dedup import allpairs_jaccard_pairs
+
+    return allpairs_jaccard_pairs(
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]), threshold=0.5, shingle_k=3
+    )
+
+
+SQL_ALLPAIRS_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])) AS tok
+  FROM w
+), sets AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       CAST(round(i.c * 1000000.0 / (sa.sz + sb.sz - i.c)) AS BIGINT) AS jaccard_6dp
+FROM inter i
+JOIN sets sa ON sa.doc_id = i.a_id
+JOIN sets sb ON sb.doc_id = i.b_id
+WHERE CAST(round(i.c * 1000000.0 / (sa.sz + sb.sz - i.c)) AS BIGINT) >= 500000
 """
 
 
@@ -5433,6 +5624,9 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
+    "events_rolling_median": q_events_rolling_median,
+    "events_new_vs_returning": q_events_new_vs_returning,
+    "events_gap_fill": q_events_gap_fill,
     "orders_topn_per_cust": q_orders_topn_per_cust,
     "value_quantiles": q_value_quantiles,
     "bucket_join": q_bucket_join,
@@ -5516,6 +5710,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_entropy": q_events_entropy,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "allpairs_jaccard": q_allpairs_jaccard,
     "events_users_by_type": q_events_users_by_type,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
@@ -5558,6 +5753,9 @@ ORACLES = {
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "events_rolling_median": SQL_EVENTS_ROLLING_MEDIAN,
+    "events_new_vs_returning": SQL_EVENTS_NEW_VS_RETURNING,
+    "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "orders_topn_per_cust": SQL_ORDERS_TOPN_PER_CUST,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "bucket_join": SQL_BUCKET_JOIN,
@@ -5649,6 +5847,7 @@ ORACLES = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_entropy": SQL_EVENTS_ENTROPY,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible

@@ -2582,3 +2582,149 @@ class TestEventsEntropy:
         h = math.log(n) - (10 * math.log(10) + 5 * math.log(5) + 1 * math.log(1)) / n
         assert out.loc["mix", "entropy_6dp"] == round(h * 1_000_000)
         assert out.loc["mix", "n_events"] == 16
+
+
+class TestAllpairsJaccard:
+    def test_exact_vs_bruteforce(self, ray_session):
+        """Random docs + planted near-dups at several overlap levels; the
+        distributed AllPairs output equals a brute-force O(n^2) shingle-set
+        jaccard over ALL pairs (recall 1.0 — prefix filter loses nothing)."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import allpairs_jaccard_pairs
+
+        rng = np.random.default_rng(11)
+        words = [f"w{i:03d}" for i in range(60)]
+        texts = [" ".join(rng.choice(words, size=25)) for _ in range(40)]
+        # planted: exact dup, 1-word edit, half-replaced, short doc (<3 words)
+        w = texts[0].split(); w[3] = "ZZZ"
+        texts += [texts[0], " ".join(w), " ".join(texts[1].split()[:12] + list(rng.choice(words, 13))), "one two"]
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        out = allpairs_jaccard_pairs(ds, threshold=0.5, shingle_k=3).to_pandas()
+        got = {(a, b): j for a, b, j in zip(out["a_id"], out["b_id"], out["jaccard_6dp"])}
+
+        def shset(t):
+            ws = t.split(" ")
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+        sets = [shset(t) for t in texts]
+        want = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                if not sets[i] or not sets[j]:
+                    continue
+                c = len(sets[i] & sets[j])
+                if c == 0:
+                    continue
+                j6 = int(np.floor(c * 1_000_000.0 / (len(sets[i]) + len(sets[j]) - c) + 0.5))
+                if j6 >= 500_000:
+                    want[(i, j)] = j6
+        assert got == want
+        assert got[(0, 40)] == 1_000_000  # exact dup
+        assert (0, 41) in got  # 1-word edit survives threshold 0.5
+
+    def test_empty_vocab(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import allpairs_jaccard_pairs
+
+        ds = rd.from_items([{"doc_id": 1, "text": "a b"}, {"doc_id": 2, "text": "c"}])
+        assert allpairs_jaccard_pairs(ds).count() == 0
+
+    def test_vocab_gate(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.dedup import allpairs_jaccard_pairs
+
+        ds = rd.from_items([{"doc_id": i, "text": f"a{i} b{i} c{i} d{i}"} for i in range(10)])
+        with pytest.raises(ValueError, match="max_vocab"):
+            allpairs_jaccard_pairs(ds, max_vocab=3).count()
+
+
+class TestRollingMedian:
+    def test_matches_numpy_reference(self, ray_session):
+        """Random per-key series; med_x2_c equals twice the interpolated
+        median of each trailing-5 frame over centi-scaled ints."""
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import rolling_median_per_key
+
+        rng = np.random.default_rng(13)
+        n = 400
+        rows = {
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "ts": np.arange(n, dtype=np.int64),
+            "value": np.round(rng.uniform(-50, 50, n), 3),
+        }
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        out = (
+            rolling_median_per_key(ds, "user_id", ["ts"], "value", window=5)
+            .to_pandas()
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows).sort_values(["user_id", "ts"]).reset_index(drop=True)
+        vc = np.sign(df["value"]) * np.floor(np.abs(df["value"] * 100) + 0.5)
+        want = []
+        for _, g in df.assign(vc=vc.astype(np.int64)).groupby("user_id", sort=True):
+            v = g["vc"].to_numpy()
+            for i in range(len(v)):
+                w = np.sort(v[max(0, i - 4) : i + 1])
+                k = len(w)
+                want.append(int(w[(k - 1) // 2] + w[k // 2]))
+        assert out["med_x2_c"].tolist() == want
+
+    def test_odd_frame_is_twice_middle(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.window import rolling_median_per_key
+
+        ds = rd.from_items([{"user_id": 1, "ts": i, "value": float(v)} for i, v in enumerate([5, 1, 9, 3, 7])])
+        out = rolling_median_per_key(ds, "user_id", ["ts"], "value", window=5).to_pandas().sort_values("ts")
+        # frames: [5] [5,1] [5,1,9] [5,1,9,3] [5,1,9,3,7] -> med 5, 3, 5, 4, 5
+        assert out["med_x2_c"].tolist() == [1000, 600, 1000, 800, 1000]
+
+
+class TestNewVsReturning:
+    def test_planted_lifecycle(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_new_vs_returning
+
+        day = 86400 * 1_000_000
+        rows = []
+        # user 1: days 0,1,2; user 2: day 1 twice (dedup), day 2; user 3: day 2 only
+        for u, d in [(1, 0), (1, 1), (1, 2), (2, 1), (2, 1), (2, 2), (3, 2)]:
+            rows.append({"ts": d * day + len(rows) * 1000, "user_id": u})
+        t = pa.table(
+            {
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_new_vs_returning(str(tmp_path)).to_pandas().set_index("day").sort_index()
+        assert out.loc[0].tolist() == [1, 0]  # user1 new
+        assert out.loc[1].tolist() == [1, 1]  # user2 new, user1 returning
+        assert out.loc[2].tolist() == [1, 2]  # user3 new, users 1+2 returning
+
+
+class TestGapFill:
+    def test_zero_filled_dense_grid(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_gap_fill
+
+        hr = 3600 * 1_000_000
+        ts, et = [], []
+        for h, typ, c in [(0, "a", 2), (3, "a", 1), (1, "b", 1)]:
+            for _ in range(c):
+                ts.append(h * hr + 5)
+                et.append(typ)
+        t = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": pa.array(et)})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_gap_fill(str(tmp_path)).to_pandas()
+        assert len(out) == 8  # 2 types x hours 0..3
+        g = out.set_index(["event_type", "hour_epoch"])["n_events"]
+        assert g[("a", 0)] == 2 and g[("a", 1)] == 0 and g[("a", 2)] == 0 and g[("a", 3)] == 1
+        assert g[("b", 1)] == 1 and g[("b", 0)] == 0 and g[("b", 3)] == 0
