@@ -3394,6 +3394,324 @@ FROM s
 """
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per trailing 3-hour window, one row per
+    hour present in the data — the sliding-window distinct op (DAU/HAU
+    style), which no running-sum trick can express because distinct
+    doesn't decompose over overlapping windows.  Exact-and-distributed
+    via window EXPANSION: the fact stream first collapses to distinct
+    (hour, user) pairs (batch-local dedup, then one combiner groupby);
+    each pair is then replicated to the <=3 windows it can serve
+    (output-of-stage ~ 3x the PAIR count, corpus-independent), deduped
+    per (window, user) — a user active in several source hours of one
+    window counts once — and counted.  Window hours not present in the
+    data are dropped via a broadcast membership filter on the tiny
+    distinct-hour set."""
+    import ray
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")), pa.int64()),
+            3_600_000_000,
+        ).cast(pa.int64())
+        out = pa.table({"h": h, "user_id": t.column("user_id").cast(pa.int64())})
+        return out.group_by(["h", "user_id"]).aggregate([])  # batch-local dedup
+
+    pairs = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+        .map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["h", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["h", "user_id"]), batch_format="pyarrow")
+        .materialize()  # pair-sized, read twice (hour domain + expansion)
+    )
+    hours = sorted({r["h"] for r in pairs.groupby("h").aggregate(Count(alias_name="_n")).select_columns(["h"]).take_all()})
+    hours_ref = ray.put(pa.array(hours, pa.int64()))
+
+    def expand(t: pa.Table) -> pa.Table:
+        present = ray.get(hours_ref)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        tgt = np.concatenate([h, h + 1, h + 2])
+        uu = np.concatenate([u, u, u])
+        keep = pc.is_in(pa.array(tgt, pa.int64()), value_set=present).to_numpy(zero_copy_only=False)
+        return pa.table({"hour_epoch": pa.array(tgt[keep], pa.int64()), "user_id": pa.array(uu[keep], pa.int64())})
+
+    return (
+        pairs.map_batches(expand, batch_format="pyarrow")
+        .groupby(["hour_epoch", "user_id"])
+        .aggregate(Count(alias_name="_n"))  # dedup (window, user)
+        .groupby("hour_epoch")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_SLIDING_DISTINCT_USERS = """
+WITH d AS (
+  SELECT DISTINCT CAST(floor(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         user_id
+  FROM events
+), hrs AS (
+  SELECT DISTINCT h FROM d
+)
+SELECT hrs.h AS hour_epoch, count(DISTINCT d.user_id) AS n_users
+FROM hrs JOIN d ON d.h BETWEEN hrs.h - 2 AND hrs.h
+GROUP BY 1
+"""
+
+
+def q_cooccur_topk(sf_dir: str):
+    """Top-20 within-doc co-occurring token PAIRS among the global
+    top-50-df tokens — the market-basket / collocation-mining op (vs
+    top_bigrams' ADJACENT pairs, this counts set co-presence).  The
+    df-cap is the scale contract: candidate pairs are bounded at
+    50*49/2 regardless of corpus size, so the pair space never explodes
+    on stopwords.  Shape: one postings scan -> tiny df groupby ->
+    broadcast top-50 list -> second scan counts each batch's pairs
+    LOCALLY into the <=1225-cell space (segment-triu over per-doc sorted
+    local ids, one bincount) -> one tiny pair groupby -> sort/limit."""
+    import ray
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out_i, out_t = [], []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            for tok in set(txt.split(" ")):
+                out_i.append(i)
+                out_t.append(tok)
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()), "tok": pa.array(out_t, pa.string())})
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = docs.map_batches(postings, batch_format="pyarrow").groupby("tok").aggregate(Count(alias_name="df"))
+    top = df.sort(["df", "tok"], descending=[True, False]).limit(50).to_pandas()  # <=50 rows
+    top_arr = pa.array(sorted(top["tok"]), pa.string())  # lexicographic local ids
+    top_ref = ray.put(top_arr)
+    K = len(top_arr)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        vocab = ray.get(top_ref)
+        counts = np.zeros(K * K, np.int64)
+        # flatten all docs' distinct tokens, ONE index_in for the batch,
+        # then segment-triu per doc (no per-doc arrow calls)
+        flat, docof = [], []
+        for d, txt in enumerate(t.column("text").to_pylist()):
+            s = set(txt.split(" "))
+            flat.extend(s)
+            docof.extend([d] * len(s))
+        if flat:
+            idx = pc.fill_null(pc.index_in(pa.array(flat, pa.string()), value_set=vocab), -1)
+            ids = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            docof = np.asarray(docof, np.int64)
+            keep = ids >= 0
+            ids, docof = ids[keep], docof[keep]
+            o = np.lexsort((ids, docof))
+            ids, docof = ids[o], docof[o]
+            starts = np.flatnonzero(np.concatenate(([True], docof[1:] != docof[:-1])))
+            ends = np.append(starts[1:], ids.size)
+            for s0, e0 in zip(starts, ends):
+                if e0 - s0 >= 2:
+                    li, lj = np.triu_indices(e0 - s0, 1)
+                    np.add.at(counts, ids[s0 + li] * K + ids[s0 + lj], 1)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "ai": pa.array(nz // K, pa.int64()),
+                "bi": pa.array(nz % K, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(pair_counts, batch_format="pyarrow").groupby(["ai", "bi"]).aggregate(Sum("n", alias_name="n_docs"))
+
+    def to_names(t: pa.Table) -> pa.Table:
+        vocab = ray.get(top_ref)
+        return pa.table(
+            {
+                "tok_a": pc.take(vocab, t.column("ai")),
+                "tok_b": pc.take(vocab, t.column("bi")),
+                "n_docs": t.column("n_docs"),
+            }
+        )
+
+    return agg.map_batches(to_names, batch_format="pyarrow").sort(["n_docs", "tok_a", "tok_b"], descending=[True, False, False]).limit(20)
+
+
+SQL_COOCCUR_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), df AS (
+  SELECT tok, count(*) AS df FROM toks GROUP BY 1
+), top AS (
+  SELECT tok FROM df ORDER BY df DESC, tok LIMIT 50
+), ft AS (
+  SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM top)
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+GROUP BY 1, 2
+ORDER BY n_docs DESC, tok_a, tok_b
+LIMIT 20
+"""
+
+
+def q_user_paths(sf_dir: str):
+    """Top-100 most common per-user event-type PATH signatures (full
+    ordered journey, '>'-joined) — the funnel-discovery / sequence-mining
+    op.  One coarse hash shuffle co-locates each user's history; inside,
+    path strings are built for ALL users of the partition at once with
+    arrow kernels (lexsort -> per-segment ListArray -> one
+    ``pc.binary_join`` call — no per-user Python), then a signature
+    groupby counts users per path.  Path length is input-proportional
+    (a user's own history), never corpus-proportional."""
+    N_PARTS = 64
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"])
+
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
+
+    def paths(part: pa.Table) -> pa.Table:
+        schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
+        n = part.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, u))
+        et = pc.take(part.column("event_type").combine_chunks(), pa.array(o, pa.int64()))
+        starts = np.flatnonzero(np.concatenate(([True], u[o][1:] != u[o][:-1])))
+        offs = np.append(starts, n).astype(np.int32)
+        joined = pc.binary_join(pa.ListArray.from_arrays(pa.array(offs, pa.int32()), et), ">")
+        tbl = pa.table({"path": joined}).group_by(["path"]).aggregate([("path", "count")])
+        return pa.table({"path": tbl.column("path"), "n": tbl.column("path_count").cast(pa.int64())})
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_key_part")
+        .map_groups(paths, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .sort(["n_users", "path"], descending=[True, False])
+        .limit(100)
+    )
+
+
+SQL_USER_PATHS = """
+WITH p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1
+)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path
+LIMIT 100
+"""
+
+
+def q_supplier_variety(sf_dir: str):
+    """COUNT(DISTINCT supplier) per (brand, size) — the TPC-H Q16 shape:
+    a fact->dim join feeding a grouped distinct-count.  Distinct-count
+    does not partial-aggregate, so the shape is: collapse lineitem to
+    distinct (part, supplier) pairs FIRST (batch-local dedup, one
+    combiner groupby — the exchange carries pairs, not line items), hash
+    join the pair table to the part dim, dedupe (brand, size, supplier)
+    — several parts of one brand/size can share a supplier — and count."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    pairs = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
+            ).group_by(["l_partkey", "l_suppkey"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]), batch_format="pyarrow")
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
+    )
+    part_dim = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
+    joined = pairs.join(part_dim, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+    return (
+        joined.groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_VARIETY = """
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2
+"""
+
+
+def q_events_mutual_info(sf_dir: str):
+    """Mutual information I(event_type; hour-of-day) in nats — the
+    dependence / drift signal between a categorical column and a time
+    bucket (complement of q_events_entropy's per-type view).  The
+    distributed part is ONE exact integer contingency aggregate
+    (<= |types| x 24 cells); marginals and N derive from those cells.
+    The float finish sums per-cell terms (c/N)*ln(c*N/(ct*ch)) in
+    PINNED (type, hour) order on both engines (here: left-to-right over
+    the sorted cells; twin: list_aggregate over an ORDER BY list), so
+    the doubles agree bit-for-bit and round stably to micro-nats."""
+    import math
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        return pa.table({"t": t.column("event_type"), "h": pc.hour(t["ts"]).cast(pa.int64())})
+
+    cells = ds.map_batches(to_cells, batch_format="pyarrow").groupby(["t", "h"]).aggregate(Count(alias_name="c"))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(["t", "h"], kind="mergesort")
+        ct = df.groupby("t")["c"].sum().to_dict()
+        ch = df.groupby("h")["c"].sum().to_dict()
+        n = int(df["c"].sum())
+        s = 0.0
+        for t_, h_, c_ in zip(df["t"], df["h"], df["c"]):
+            c_ = int(c_)
+            s += (c_ / float(n)) * math.log(c_ * float(n) / float(int(ct[t_]) * int(ch[h_])))
+        return pa.table(
+            {
+                "mi_6dp": pa.array([int(_half_away(np.array([s * 1_000_000.0]))[0])], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+            }
+        )
+
+    # the cell table is tiny: one block so the pinned-order accumulation
+    # sees every cell
+    return cells.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_MUTUAL_INFO = """
+WITH c AS (
+  SELECT event_type AS t, CAST(extract(hour FROM ts) AS BIGINT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY 1
+), hh AS (
+  SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM c GROUP BY 1
+), n AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM c
+), terms AS (
+  SELECT c.t, c.h,
+         (c.c / CAST(n.n AS DOUBLE)) * ln(c.c * CAST(n.n AS DOUBLE) / CAST(m.ct * hh.ch AS DOUBLE)) AS term
+  FROM c
+  CROSS JOIN n
+  JOIN m ON m.t = c.t
+  JOIN hh ON hh.h = c.h
+)
+SELECT CAST(round(list_aggregate(list(term ORDER BY t, h), 'sum') * 1000000) AS BIGINT) AS mi_6dp,
+       (SELECT n FROM n) AS n_events
+FROM terms
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -5712,6 +6030,11 @@ QUERIES = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "allpairs_jaccard": q_allpairs_jaccard,
     "events_users_by_type": q_events_users_by_type,
+    "sliding_distinct_users": q_sliding_distinct_users,
+    "cooccur_topk": q_cooccur_topk,
+    "user_paths": q_user_paths,
+    "supplier_variety": q_supplier_variety,
+    "events_mutual_info": q_events_mutual_info,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -5849,6 +6172,11 @@ ORACLES = {
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "events_users_by_type": SQL_EVENTS_USERS_BY_TYPE,
+    "sliding_distinct_users": SQL_SLIDING_DISTINCT_USERS,
+    "cooccur_topk": SQL_COOCCUR_TOPK,
+    "user_paths": SQL_USER_PATHS,
+    "supplier_variety": SQL_SUPPLIER_VARIETY,
+    "events_mutual_info": SQL_EVENTS_MUTUAL_INFO,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

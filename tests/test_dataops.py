@@ -2728,3 +2728,137 @@ class TestGapFill:
         g = out.set_index(["event_type", "hour_epoch"])["n_events"]
         assert g[("a", 0)] == 2 and g[("a", 1)] == 0 and g[("a", 2)] == 0 and g[("a", 3)] == 1
         assert g[("b", 1)] == 1 and g[("b", 0)] == 0 and g[("b", 3)] == 0
+
+
+class TestSlidingDistinctUsers:
+    def test_window_expansion_dedups_users(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_sliding_distinct_users
+
+        hr = 3600 * 1_000_000
+        # user 1 active hours 0,1,2 (counts ONCE per window); user 2 hour 2; user 3 hour 5
+        data = [(0, 1), (1, 1), (2, 1), (2, 2), (5, 3)]
+        t = pa.table(
+            {
+                "ts": pa.array([h * hr + 9 for h, _ in data], pa.timestamp("us")),
+                "user_id": pa.array([u for _, u in data], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_sliding_distinct_users(str(tmp_path)).to_pandas().set_index("hour_epoch")["n_users"]
+        # hours present: 0,1,2,5
+        assert out[0] == 1        # window {h-2..0}: user1
+        assert out[1] == 1        # user1 in hours 0,1 -> once
+        assert out[2] == 2        # user1 (0,1,2 dedup) + user2
+        assert out[5] == 1        # only user3 (hours 3,4 empty)
+        assert set(out.index) == {0, 1, 2, 5}
+
+
+class TestCooccurTopk:
+    def test_planted_cooccurrence(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_cooccur_topk
+
+        texts = ["x y z", "x y", "x y w", "z w", "x x y"]  # (x,y) co-occurs 4x
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_cooccur_topk(str(tmp_path)).to_pandas()
+        assert out.iloc[0][["tok_a", "tok_b"]].tolist() == ["x", "y"]
+        assert out.iloc[0]["n_docs"] == 4
+        got = {(a, b): n for a, b, n in zip(out["tok_a"], out["tok_b"], out["n_docs"])}
+        assert got[("x", "z")] == 1 and got[("w", "x")] == 1 and got[("w", "z")] == 1
+        assert ("x", "x") not in got  # distinct tokens: no self-pair
+
+
+class TestUserPaths:
+    def test_paths_ordered_and_counted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_user_paths
+
+        rows = [
+            (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+            (2, 5, "a"), (2, 6, "b"), (2, 7, "c"),
+            (3, 1, "b"), (3, 2, "a"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_user_paths(str(tmp_path)).to_pandas()
+        got = dict(zip(out["path"], out["n_users"]))
+        assert got == {"a>b>c": 2, "b>a": 1}
+        assert out.iloc[0]["path"] == "a>b>c"  # sorted by count desc
+
+
+class TestSupplierVariety:
+    def test_distinct_suppliers_per_brand_size(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_supplier_variety
+
+        # parts 1,2 share brand/size; suppliers overlap across parts
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                    "p_brand": pa.array(["B1", "B1", "B2"]),
+                    "p_size": pa.array([5, 5, 9], pa.int64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        li = [(1, 100), (1, 100), (1, 200), (2, 100), (2, 300), (3, 100)]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([a for a, _ in li], pa.int64()),
+                    "l_suppkey": pa.array([b for _, b in li], pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = q_supplier_variety(str(tmp_path)).to_pandas().set_index(["p_brand", "p_size"])["supplier_cnt"]
+        assert out[("B1", 5)] == 3  # suppliers 100,200,300 (100 deduped across parts 1,2)
+        assert out[("B2", 9)] == 1
+
+
+class TestEventsMutualInfo:
+    def test_independent_and_dependent(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_mutual_info
+
+        hr = 3600 * 1_000_000
+        # perfectly dependent: type a only hour 0, type b only hour 1, 10 each
+        ts = [0 * hr + i for i in range(10)] + [1 * hr + i for i in range(10)]
+        et = ["a"] * 10 + ["b"] * 10
+        pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": pa.array(et)}), tmp_path / "events.parquet")
+        out = q_events_mutual_info(str(tmp_path)).to_pandas()
+        assert out["mi_6dp"][0] == round(math.log(2) * 1_000_000)  # I = H = ln 2
+        assert out["n_events"][0] == 20
+
+    def test_independent_is_zero(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_mutual_info
+
+        hr = 3600 * 1_000_000
+        ts, et = [], []
+        for h in (0, 1):
+            for t_ in ("a", "b"):
+                for i in range(5):  # uniform grid -> independent
+                    ts.append(h * hr + len(ts))
+                    et.append(t_)
+        pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": pa.array(et)}), tmp_path / "events.parquet")
+        out = q_events_mutual_info(str(tmp_path)).to_pandas()
+        assert out["mi_6dp"][0] == 0
