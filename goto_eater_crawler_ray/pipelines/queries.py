@@ -3712,6 +3712,246 @@ FROM terms
 """
 
 
+def q_orders_large(sf_dir: str):
+    """TPC-H Q18 shape — 'large volume' orders: per-order lineitem
+    quantity totals, HAVING > 200, joined back to orders + customer.
+    The HAVING-derived key set is corpus-scaled (not broadcastable), so
+    the shape is aggregate-first + two hash joins that carry only the
+    qualifying totals: lineitem collapses to (orderkey, sum_qty) in one
+    combiner groupby, the filter drops ~99% of orders BEFORE any join,
+    and customer is joined last against the already-small result.
+    Quantities are integral by data contract — summed as exact int64."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    big = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "qty": pa.array(_half_away(t.column("l_quantity").to_numpy(zero_copy_only=False)), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"], 200)), batch_format="pyarrow")
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "totalprice_c": pa.array(
+                    _half_away(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = big.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.column("c_custkey").cast(pa.int64()), "c_name": t.column("c_name")}),
+        batch_format="pyarrow",
+    )
+    j2 = j1.repartition(n_parts).join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",))
+    return j2.map_batches(
+        lambda t: t.select(["c_name", "o_custkey", "l_orderkey", "totalprice_c", "sum_qty"]), batch_format="pyarrow"
+    )
+
+
+SQL_ORDERS_LARGE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > 200
+)
+SELECT c.c_name, o.o_custkey, b.l_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_parts_above_brand_avg(sf_dir: str):
+    """Correlated-subquery shape — parts priced strictly above their own
+    brand's average retail price.  The per-brand averages are a
+    BOUNDED-DOMAIN aggregate (|brands| rows), broadcast back into a
+    second distributed scan as a ``pc.index_in`` lookup — never a join
+    shuffle.  The comparison is EXACT integer cross-multiplication:
+    ``price_c * n_brand > sum_c`` (both sides int64), so no float
+    average ever exists to disagree with the SQL twin at the boundary."""
+    import ray
+
+    prices = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("p_partkey").cast(pa.int64()),
+                "p_brand": t.column("p_brand"),
+                "price_c": pa.array(_half_away(t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stats = prices.groupby("p_brand").aggregate(Sum("price_c", alias_name="sum_c"), Count(alias_name="n")).to_pandas()
+    stats_ref = ray.put(
+        pa.table(
+            {
+                "p_brand": pa.array(stats["p_brand"], pa.string()),
+                "sum_c": pa.array(stats["sum_c"].astype(np.int64), pa.int64()),
+                "n": pa.array(stats["n"].astype(np.int64), pa.int64()),
+            }
+        )
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        idx = pc.index_in(t.column("p_brand").combine_chunks(), value_set=st.column("p_brand").combine_chunks())
+        i = idx.to_numpy(zero_copy_only=False).astype(np.int64)  # every brand exists in stats
+        s = st.column("sum_c").to_numpy(zero_copy_only=False)[i]
+        n = st.column("n").to_numpy(zero_copy_only=False)[i]
+        price = t.column("price_c").to_numpy(zero_copy_only=False)
+        keep = price * n > s
+        return t.filter(pa.array(keep))
+
+    return prices.map_batches(above, batch_format="pyarrow")
+
+
+SQL_PARTS_ABOVE_BRAND_AVG = """
+WITH p AS (
+  SELECT p_partkey, p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c FROM part
+), s AS (
+  SELECT p_brand, CAST(sum(price_c) AS BIGINT) AS sum_c, count(*) AS n FROM p GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand, p.price_c
+FROM p JOIN s ON s.p_brand = p.p_brand
+WHERE p.price_c * s.n > s.sum_c
+"""
+
+
+def q_cumulative_distinct_users(sf_dir: str):
+    """Running DISTINCT user count over days — the growth-curve op.
+    Naively this is a distinct-over-expanding-window (quadratic); the
+    exact linear decomposition is: cumulative distinct at day d ==
+    cumulative SUM of first-appearance counts — so the corpus collapses
+    to per-user first days (one combiner groupby-Min over batch-deduped
+    pairs), then to per-day new-user counts (day-sized), and the running
+    total is one vectorized cumsum over the tiny day table.  Days are
+    reported for the first-day domain (days contributing new users)."""
+    pairs = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "day": pc.divide(
+                        pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")), pa.int64()),
+                        86_400_000_000,
+                    ).cast(pa.int64()),
+                }
+            ).group_by(["user_id", "day"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+    per_day = pairs.groupby("first_day").aggregate(Count(alias_name="n_new"))
+
+    def running(t: pa.Table) -> pa.Table:
+        d = t.column("first_day").to_numpy(zero_copy_only=False)
+        n = t.column("n_new").to_numpy(zero_copy_only=False)
+        o = np.argsort(d)
+        return pa.table(
+            {
+                "day": pa.array(d[o], pa.int64()),
+                "cum_users": pa.array(np.cumsum(n[o]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    # day-cardinality table: one block for the ordered scan
+    return per_day.repartition(1).map_batches(running, batch_format="pyarrow")
+
+
+SQL_CUMULATIVE_DISTINCT_USERS = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 86400) AS BIGINT)) AS first_day
+  FROM events GROUP BY 1
+), d AS (
+  SELECT first_day AS day, count(*) AS n_new FROM f GROUP BY 1
+)
+SELECT day, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+def q_disjunctive_join_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate spanning
+    BOTH join sides: (brand, size-band, quantity-band) alternatives.
+    Each side is pre-pruned by the UNION of its own clauses at the scan
+    (brand IN (...), quantity BETWEEN overall bounds) — the disjunction
+    can't be fully pushed down, but the join input shrinks to the
+    clause-relevant slice; the exact clause logic runs vectorized on the
+    joined rows.  Revenue is the repo's exact int64 centi-unit sum."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    def li_prune(t: pa.Table) -> pa.Table:
+        qty = _half_away(t.column("l_quantity").to_numpy(zero_copy_only=False))
+        rev = _half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+        )
+        keep = (qty >= 1) & (qty <= 30)  # union of the clauses' quantity bands
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()).filter(pa.array(keep)),
+                "qty": pa.array(qty[keep], pa.int64()),
+                "rev_c": pa.array(rev[keep], pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]).map_batches(
+        li_prune, batch_format="pyarrow"
+    )
+    def pt_prune(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["p_brand"], value_set=pa.array(["Brand#12", "Brand#23"])))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(f["p_partkey"], pa.int64()),
+                "p_brand": f["p_brand"],
+                "p_size": pc.cast(f["p_size"], pa.int64()),
+            }
+        )
+
+    pt = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]).map_batches(pt_prune, batch_format="pyarrow")
+    j = li.join(pt, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+
+    def clause(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand").to_pandas().to_numpy()
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        c1 = (brand == "Brand#12") & (size <= 10) & (qty >= 1) & (qty <= 20)
+        c2 = (brand == "Brand#23") & (size <= 25) & (qty >= 5) & (qty <= 30)
+        keep = c1 | c2
+        return pa.table({"rev_c": pa.array(t.column("rev_c").to_numpy(zero_copy_only=False)[keep], pa.int64())})
+
+    agg = j.map_batches(clause, batch_format="pyarrow").aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_lines"))
+    return pd.DataFrame({"revenue_c": [int(agg["revenue_c"])], "n_lines": [int(agg["n_lines"])]})
+
+
+SQL_DISJUNCTIVE_JOIN_REVENUE = """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 10
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size <= 25
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 5 AND 30)
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -6035,6 +6275,10 @@ QUERIES = {
     "user_paths": q_user_paths,
     "supplier_variety": q_supplier_variety,
     "events_mutual_info": q_events_mutual_info,
+    "orders_large": q_orders_large,
+    "parts_above_brand_avg": q_parts_above_brand_avg,
+    "cumulative_distinct_users": q_cumulative_distinct_users,
+    "disjunctive_join_revenue": q_disjunctive_join_revenue,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -6177,6 +6421,10 @@ ORACLES = {
     "user_paths": SQL_USER_PATHS,
     "supplier_variety": SQL_SUPPLIER_VARIETY,
     "events_mutual_info": SQL_EVENTS_MUTUAL_INFO,
+    "orders_large": SQL_ORDERS_LARGE,
+    "parts_above_brand_avg": SQL_PARTS_ABOVE_BRAND_AVG,
+    "cumulative_distinct_users": SQL_CUMULATIVE_DISTINCT_USERS,
+    "disjunctive_join_revenue": SQL_DISJUNCTIVE_JOIN_REVENUE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

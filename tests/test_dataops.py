@@ -2862,3 +2862,122 @@ class TestEventsMutualInfo:
         pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": pa.array(et)}), tmp_path / "events.parquet")
         out = q_events_mutual_info(str(tmp_path)).to_pandas()
         assert out["mi_6dp"][0] == 0
+
+
+class TestOrdersLarge:
+    def test_having_threshold_and_join(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_orders_large
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                    "l_quantity": pa.array([100.0, 80.0, 30.0, 150.0, 40.0, 201.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_custkey": pa.array([10, 20, 10], pa.int64()),
+                    "o_totalprice": pa.array([1000.5, 2000.25, 3000.0], pa.float64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([10, 20], pa.int64()), "c_name": pa.array(["alice", "bob"])}),
+            tmp_path / "customer.parquet",
+        )
+        out = q_orders_large(str(tmp_path)).to_pandas().sort_values("l_orderkey").reset_index(drop=True)
+        # order1: 210 > 200 in; order2: 190 out; order3: 201 in
+        assert out["l_orderkey"].tolist() == [1, 3]
+        assert out["sum_qty"].tolist() == [210, 201]
+        assert out["c_name"].tolist() == ["alice", "alice"]
+        assert out["totalprice_c"].tolist() == [100050, 300000]
+
+
+class TestPartsAboveBrandAvg:
+    def test_exact_boundary_excluded(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_parts_above_brand_avg
+
+        # brand A: prices 10, 20, 30 (avg 20: only 30 is above; 20 == avg excluded)
+        # brand B: single part (price == avg -> excluded)
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "p_brand": pa.array(["A", "A", "A", "B"]),
+                    "p_retailprice": pa.array([10.0, 20.0, 30.0, 7.5], pa.float64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        out = q_parts_above_brand_avg(str(tmp_path)).to_pandas()
+        assert out["p_partkey"].tolist() == [3]
+        assert out["price_c"].tolist() == [3000]
+
+
+class TestCumulativeDistinctUsers:
+    def test_running_total_equals_distinct_prefix(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_cumulative_distinct_users
+
+        day = 86400 * 1_000_000
+        pairs = [(0, 1), (0, 2), (1, 1), (1, 3), (3, 4), (3, 1), (3, 5)]
+        t = pa.table(
+            {
+                "ts": pa.array([d * day + i for i, (d, _) in enumerate(pairs)], pa.timestamp("us")),
+                "user_id": pa.array([u for _, u in pairs], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_cumulative_distinct_users(str(tmp_path)).to_pandas()
+        assert out["day"].tolist() == [0, 1, 3]
+        assert out["cum_users"].tolist() == [2, 3, 5]
+
+
+class TestDisjunctiveJoinRevenue:
+    def test_or_of_ands_clause_logic(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_disjunctive_join_revenue
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                    "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#12"]),
+                    "p_size": pa.array([5, 20, 40], pa.int64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        li = [
+            (1, 10.0, 100.0, 0.1),   # c1: brand12 size5 qty10 -> in, rev 90
+            (1, 25.0, 50.0, 0.0),    # qty 25 > 20 -> out
+            (2, 10.0, 200.0, 0.5),   # c2: brand23 size20 qty10 -> in, rev 100
+            (2, 2.0, 99.0, 0.0),     # qty 2 < 5 -> out
+            (3, 10.0, 77.0, 0.0),    # brand12 but size 40 -> out
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([r[0] for r in li], pa.int64()),
+                    "l_quantity": pa.array([r[1] for r in li], pa.float64()),
+                    "l_extendedprice": pa.array([r[2] for r in li], pa.float64()),
+                    "l_discount": pa.array([r[3] for r in li], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = q_disjunctive_join_revenue(str(tmp_path))
+        assert out["n_lines"].tolist() == [2]
+        assert out["revenue_c"].tolist() == [9000 + 10000]
