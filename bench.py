@@ -278,6 +278,21 @@ def main() -> None:
         "events_exact_quartiles",
         "events_mad_outliers",
         "events_first_last",
+        "allpairs_jaccard",
+        "edit_distance_pairs",
+        "events_rolling_median",
+        "events_new_vs_returning",
+        "events_gap_fill",
+        "sliding_distinct_users",
+        "cooccur_topk",
+        "user_paths",
+        "supplier_variety",
+        "events_mutual_info",
+        "events_entropy",
+        "orders_large",
+        "parts_above_brand_avg",
+        "cumulative_distinct_users",
+        "disjunctive_join_revenue",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):
