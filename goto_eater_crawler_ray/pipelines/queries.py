@@ -3952,6 +3952,173 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 10
 """
 
 
+def q_time_to_convert(sf_dir: str):
+    """Histogram of first-view -> first-purchase latency per user (whole
+    hours) — the conversion-lag op.  Entirely aggregate-shaped: ONE
+    conditional-min groupby collapses the corpus to two timestamps per
+    user (non-matching events ride as an int64 sentinel the Min ignores
+    by construction), then a tiny bucket count.  No join, no window, no
+    per-user Python."""
+    BIG = np.int64(2**62)
+
+    def split_mins(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_pandas().to_numpy()
+        v = np.where(et == "view", ts, BIG)
+        p = np.where(et == "purchase", ts, BIG)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "p": pa.array(p, pa.int64()),
+            }
+        )
+
+    mins = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id", "event_type"])
+        .map_batches(split_mins, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("v", alias_name="v"), Min("p", alias_name="p"))
+    )
+
+    def buckets(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        keep = (v < BIG) & (p < BIG) & (p >= v)
+        hours = (p[keep] - v[keep]) // 3_600_000_000
+        return pa.table({"hours_bucket": pa.array(hours, pa.int64())})
+
+    return mins.map_batches(buckets, batch_format="pyarrow").groupby("hours_bucket").aggregate(Count(alias_name="n_users"))
+
+
+SQL_TIME_TO_CONVERT = """
+WITH m AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS v,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+)
+SELECT CAST(floor(epoch(p - v) / 3600) AS BIGINT) AS hours_bucket, count(*) AS n_users
+FROM m
+WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+GROUP BY 1
+"""
+
+
+def q_events_burst(sf_dir: str):
+    """Peak traffic burst per event type: the maximum event count in ANY
+    trailing 10-minute RANGE window — the rate-limiter / anomaly-alarm
+    op.  The corpus collapses to (type, minute) integer counts first
+    (one combiner groupby); the RANGE-frame sliding sum then runs
+    per type over the sorted minute list with two vectorized
+    passes (cumsum + searchsorted of window lower bounds), which
+    handles GAPS in the minute domain exactly like SQL's RANGE frame —
+    no dense grid is ever materialized."""
+
+    def to_minutes(t: pa.Table) -> pa.Table:
+        m = pc.divide(
+            pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="minute"), pa.timestamp("us")), pa.int64()),
+            60_000_000,
+        ).cast(pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "minute": m})
+
+    counts = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(to_minutes, batch_format="pyarrow")
+        .groupby(["event_type", "minute"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def burst(g: pa.Table) -> pa.Table:
+        m = g.column("minute").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        o = np.argsort(m)
+        m, n = m[o], n[o]
+        cum = np.cumsum(n)
+        left = np.searchsorted(m, m - 9, side="left")
+        s = cum - np.where(left > 0, cum[left - 1], 0)
+        return pa.table(
+            {
+                "event_type": pa.array([g.column("event_type")[0].as_py()], pa.string()),
+                "max_10min": pa.array([int(s.max())], pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(burst, batch_format="pyarrow")
+
+
+SQL_EVENTS_BURST = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(date_trunc('minute', ts) AS TIMESTAMP)) / 60) AS BIGINT) AS minute,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY minute
+              RANGE BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+  FROM c
+)
+SELECT event_type, max(s) AS max_10min FROM w GROUP BY 1
+"""
+
+
+def q_top_tokens_per_lang(sf_dir: str):
+    """Top-3 whitespace tokens per language (count desc, token asc) —
+    the grouped-top-k-over-aggregates op.  Token counts pre-aggregate
+    batch-locally before the one (lang, token) shuffle; the per-lang
+    top-3 runs vectorized over the already vocab-sized count table
+    (languages are a bounded domain, so the per-group call count is
+    bounded)."""
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        langs, toks, ns = [], [], []
+        acc: dict = {}
+        for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            for tok in txt.split(" "):
+                k = (lang, tok)
+                acc[k] = acc.get(k, 0) + 1
+        for (lang, tok), n in acc.items():
+            langs.append(lang)
+            toks.append(tok)
+            ns.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "tok": pa.array(toks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["n", "tok"], ascending=[False, True], kind="mergesort").head(3)
+        df = df.assign(rn=np.arange(1, len(df) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(df[["lang", "tok", "n", "rn"]], preserve_index=False)
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_TOP_TOKENS_PER_LANG = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2
+), r AS (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+  FROM c
+)
+SELECT lang, tok, n, rn FROM r WHERE rn <= 3
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -6279,6 +6446,9 @@ QUERIES = {
     "parts_above_brand_avg": q_parts_above_brand_avg,
     "cumulative_distinct_users": q_cumulative_distinct_users,
     "disjunctive_join_revenue": q_disjunctive_join_revenue,
+    "time_to_convert": q_time_to_convert,
+    "events_burst": q_events_burst,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -6425,6 +6595,9 @@ ORACLES = {
     "parts_above_brand_avg": SQL_PARTS_ABOVE_BRAND_AVG,
     "cumulative_distinct_users": SQL_CUMULATIVE_DISTINCT_USERS,
     "disjunctive_join_revenue": SQL_DISJUNCTIVE_JOIN_REVENUE,
+    "time_to_convert": SQL_TIME_TO_CONVERT,
+    "events_burst": SQL_EVENTS_BURST,
+    "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

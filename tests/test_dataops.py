@@ -2981,3 +2981,79 @@ class TestDisjunctiveJoinRevenue:
         out = q_disjunctive_join_revenue(str(tmp_path))
         assert out["n_lines"].tolist() == [2]
         assert out["revenue_c"].tolist() == [9000 + 10000]
+
+
+class TestTimeToConvert:
+    def test_conversion_lag_buckets(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_time_to_convert
+
+        hr = 3600 * 1_000_000
+        rows = [
+            (1, 0, "view"), (1, 1 * hr + 5, "purchase"),        # 1h bucket
+            (2, 0, "view"), (2, 0, "purchase"),                 # 0h bucket (same instant ok)
+            (3, 5 * hr, "purchase"), (3, 6 * hr, "view"),       # purchase BEFORE view -> excluded
+            (4, 0, "view"),                                     # never purchased -> excluded
+            (5, 2 * hr, "purchase"),                            # never viewed -> excluded
+            (6, 0, "view"), (6, hr - 1, "purchase"),            # 0h bucket (59:59.999)
+        ]
+        t = pa.table(
+            {
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_time_to_convert(str(tmp_path)).to_pandas().set_index("hours_bucket")["n_users"]
+        assert out.to_dict() == {0: 2, 1: 1}
+
+
+class TestEventsBurst:
+    def test_range_window_handles_gaps(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_burst
+
+        mn = 60 * 1_000_000
+        # type a: 3 events min 0, 2 events min 9 (same window: 5), 4 events min 100 (isolated)
+        ts, et = [], []
+        for m, c in [(0, 3), (9, 2), (100, 4)]:
+            for i in range(c):
+                ts.append(m * mn + i)
+                et.append("a")
+        # type b: 1 event per minute 0..9 -> window sum 10
+        for m in range(10):
+            ts.append(m * mn)
+            et.append("b")
+        pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": pa.array(et)}), tmp_path / "events.parquet")
+        out = q_events_burst(str(tmp_path)).to_pandas().set_index("event_type")["max_10min"]
+        assert out["a"] == 5   # minutes 0+9 in one trailing window; min 100 isolated (4)
+        assert out["b"] == 10
+
+
+class TestTopTokensPerLang:
+    def test_count_desc_token_asc(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_top_tokens_per_lang
+
+        docs = [
+            ("en", "a a b b c"), ("en", "a b z"),
+            ("fr", "x y"), ("fr", "y"),
+        ]
+        t = pa.table(
+            {
+                "lang": pa.array([d[0] for d in docs]),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_top_tokens_per_lang(str(tmp_path)).to_pandas()
+        en = out[out["lang"] == "en"].sort_values("rn")
+        assert en["tok"].tolist() == ["a", "b", "c"]  # a=3, b=3 (tie: a first), c=1... 
+        assert en["n"].tolist() == [3, 3, 1]
+        fr = out[out["lang"] == "fr"].sort_values("rn")
+        assert fr["tok"].tolist() == ["y", "x"]
+        assert fr["n"].tolist() == [2, 1]
