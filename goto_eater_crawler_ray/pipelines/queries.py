@@ -4119,6 +4119,120 @@ SELECT lang, tok, n, rn FROM r WHERE rn <= 3
 """
 
 
+def q_orders_exists_late_ship(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join: count orders per priority that
+    have at least one lineitem shipped AFTER the order date.  The EXISTS
+    collapses to an aggregate: EXISTS(l_shipdate > o_orderdate) ==
+    max(l_shipdate) > o_orderdate — so lineitem reduces to one
+    per-order Max (combiner groupby) BEFORE the single hash join, and
+    the timestamp comparison runs vectorized on int64 microseconds."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    mx = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+        .repartition(n_parts)  # scrub empty-partition blocks before the join
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "odate_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = mx.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+    return (
+        j.map_batches(lambda t: t.filter(pc.greater(t["max_ship_us"], t["odate_us"])), batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+SQL_ORDERS_EXISTS_LATE_SHIP = """
+WITH m AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey
+WHERE m.mx > o.o_orderdate
+GROUP BY 1
+"""
+
+
+def q_doc_length_deciles(sf_dir: str):
+    """Per-decile corpus length profile: NTILE(10) over (n_chars, doc_id)
+    with exact per-tile (count, sum, min, max) of n_chars — the corpus
+    sizing report.  The insight that makes this aggregate-only: the
+    requested per-tile statistics depend ONLY on the value HISTOGRAM —
+    when a tile boundary splits a run of equal values, every straddling
+    row contributes the same value — so the corpus collapses to a
+    bounded-domain (n_chars, count) table (value-domain-sized, not
+    corpus-sized) and the exact SQL NTILE size formula (first n%k tiles
+    get n//k+1 rows) is applied to cumulative counts with three
+    searchsorted calls.  No row-level tile assignment ever happens."""
+    hist = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # value-domain-sized (distinct n_chars), not corpus-sized
+        .sort_values("n_chars")
+    )
+    K = 10
+    v = hist["n_chars"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    if n == 0:
+        return pd.DataFrame({"decile": [], "n_docs": [], "sum_chars": [], "min_chars": [], "max_chars": []}).astype(np.int64)
+    q, r = divmod(n, K)
+    sizes = np.where(np.arange(1, K + 1) <= r, q + 1, q)
+    hi_b = np.cumsum(sizes)  # inclusive upper row_number per tile
+    lo_b = hi_b - sizes + 1
+    cum = np.cumsum(c)
+    pre_sum = np.concatenate(([0], np.cumsum(v * c)))
+    pre_cnt = np.concatenate(([0], cum))
+
+    def sum_upto(rank):  # exact sum of n_chars over the first `rank` rows
+        i = np.searchsorted(cum, rank)  # value index containing row `rank`
+        return pre_sum[i] + (rank - pre_cnt[i]) * v[np.minimum(i, v.size - 1)]
+
+    keep = sizes > 0
+    tiles = np.arange(1, K + 1)[keep]
+    lo_b, hi_b = lo_b[keep], hi_b[keep]
+    return pd.DataFrame(
+        {
+            "decile": tiles.astype(np.int64),
+            "n_docs": (hi_b - lo_b + 1).astype(np.int64),
+            "sum_chars": np.array([sum_upto(h) - sum_upto(l - 1) for l, h in zip(lo_b, hi_b)], np.int64),
+            "min_chars": v[np.searchsorted(cum, lo_b)].astype(np.int64),
+            "max_chars": v[np.searchsorted(cum, hi_b)].astype(np.int64),
+        }
+    )
+
+
+SQL_DOC_LENGTH_DECILES = """
+WITH r AS (
+  SELECT doc_id, n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT decile, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM r GROUP BY 1
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -6449,6 +6563,8 @@ QUERIES = {
     "time_to_convert": q_time_to_convert,
     "events_burst": q_events_burst,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "orders_exists_late_ship": q_orders_exists_late_ship,
+    "doc_length_deciles": q_doc_length_deciles,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -6598,6 +6714,8 @@ ORACLES = {
     "time_to_convert": SQL_TIME_TO_CONVERT,
     "events_burst": SQL_EVENTS_BURST,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
+    "orders_exists_late_ship": SQL_ORDERS_EXISTS_LATE_SHIP,
+    "doc_length_deciles": SQL_DOC_LENGTH_DECILES,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

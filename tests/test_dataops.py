@@ -3057,3 +3057,73 @@ class TestTopTokensPerLang:
         fr = out[out["lang"] == "fr"].sort_values("rn")
         assert fr["tok"].tolist() == ["y", "x"]
         assert fr["n"].tolist() == [2, 1]
+
+
+class TestOrdersExistsLateShip:
+    def test_exists_collapses_to_max(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_orders_exists_late_ship
+
+        day = 86400 * 1_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_orderdate": pa.array([10 * day, 10 * day, 10 * day], pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["HIGH", "HIGH", "LOW"]),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        li = [(1, 9), (1, 11), (2, 10), (2, 8), (3, 15)]  # order1 late, order2 never late (== not >), order3 late
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([a for a, _ in li], pa.int64()),
+                    "l_shipdate": pa.array([d * day for _, d in li], pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = q_orders_exists_late_ship(str(tmp_path)).to_pandas().set_index("o_orderpriority")["n_orders"]
+        assert out.to_dict() == {"HIGH": 1, "LOW": 1}
+
+
+class TestDocLengthDeciles:
+    def test_histogram_only_ntile_matches_rowlevel(self, ray_session, tmp_path):
+        """Heavy ties straddling tile boundaries: the histogram-only tile
+        stats equal a row-level NTILE reference."""
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_length_deciles
+
+        rng = np.random.default_rng(5)
+        n_chars = rng.integers(10, 14, 47)  # only 4 distinct values, 47 rows
+        t = pa.table({"doc_id": pa.array(range(47), pa.int64()), "n_chars": pa.array(n_chars, pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_doc_length_deciles(str(tmp_path)).set_index("decile")
+
+        v = np.sort(n_chars)
+        q, r = divmod(47, 10)
+        sizes = [q + 1 if i <= r else q for i in range(1, 11)]
+        pos = 0
+        for tile, sz in zip(range(1, 11), sizes):
+            seg = v[pos : pos + sz]
+            pos += sz
+            assert out.loc[tile, "n_docs"] == sz
+            assert out.loc[tile, "sum_chars"] == seg.sum()
+            assert out.loc[tile, "min_chars"] == seg.min()
+            assert out.loc[tile, "max_chars"] == seg.max()
+
+    def test_fewer_rows_than_tiles(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_length_deciles
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "n_chars": pa.array([5, 7, 7], pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_doc_length_deciles(str(tmp_path))
+        assert out["decile"].tolist() == [1, 2, 3]  # only 3 non-empty tiles
+        assert out["n_docs"].tolist() == [1, 1, 1]
+        assert out["min_chars"].tolist() == [5, 7, 7]
