@@ -293,6 +293,13 @@ def main() -> None:
         "parts_above_brand_avg",
         "cumulative_distinct_users",
         "disjunctive_join_revenue",
+        "time_to_convert",
+        "events_burst",
+        "top_tokens_per_lang",
+        "orders_exists_late_ship",
+        "doc_length_deciles",
+        "events_day_over_day",
+        "events_histogram",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -4233,6 +4233,103 @@ FROM r GROUP BY 1
 """
 
 
+def q_events_day_over_day(sf_dir: str):
+    """Day-over-day percent change of event volume per type (vs the
+    PREVIOUS PRESENT day, LAG semantics) — the trend-report op.  The
+    corpus collapses to the tiny (type, day) count table first; the lag
+    and the ratio run segment-vectorized per type in one pass over that
+    aggregate.  The change is an exact-input float ratio emitted 6dp
+    (the single shared expression ``(n - prev) * 1000000.0 / prev``)."""
+    counts = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "day": pc.divide(
+                        pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")), pa.int64()),
+                        86_400_000_000,
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def lag_pct(g: pa.Table) -> pa.Table:
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(d)
+        d, n = d[o], n[o]
+        prev = np.concatenate(([0], n[:-1]))
+        chg = _half_away((n[1:] - prev[1:]) * 1_000_000.0 / prev[1:]) if n.size > 1 else np.zeros(0, np.int64)
+        et = g.column("event_type")[0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([et] * (n.size - 1), pa.string()),
+                "day": pa.array(d[1:], pa.int64()),
+                "n": pa.array(n[1:], pa.int64()),
+                "chg_6dp": pa.array(chg, pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(lag_pct, batch_format="pyarrow")
+
+
+SQL_EVENTS_DAY_OVER_DAY = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM c
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(round((n - prev) * 1000000.0 / prev) AS BIGINT) AS chg_6dp
+FROM l WHERE prev IS NOT NULL
+"""
+
+
+def q_events_histogram(sf_dir: str):
+    """Equi-WIDTH 20-bin histogram of event value per type over the
+    GLOBAL [min, max] range (contrast with events_bucketize's equi-depth
+    quantile bins) — the profiling op.  Two streaming passes: a 3-scalar
+    Min/Max/Count aggregate, then vectorized bin assignment with the
+    single shared float expression ``floor((v - lo) * 20 / (hi - lo))``
+    (top edge clamped into the last bin) and a tiny (type, bin) count.
+    Empty bins are NOT emitted (both engines agree)."""
+    NB = 20
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    stats = ds.aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"), Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"] or 0.0), float(stats["hi"] or 0.0), int(stats["n"])
+    if n == 0 or hi == lo:
+        return pd.DataFrame({"event_type": pd.Series(dtype="str"), "bin": pd.Series(dtype="int64"), "n_events": pd.Series(dtype="int64")})
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.floor((v - lo) * float(NB) / (hi - lo)), NB - 1).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"), "bin": pa.array(b, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow").groupby(["event_type", "bin"]).aggregate(Count(alias_name="n_events"))
+
+
+SQL_EVENTS_HISTOGRAM = """
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+)
+SELECT event_type,
+       CAST(least(floor((value - b.lo) * 20.0 / (b.hi - b.lo)), 19) AS BIGINT) AS bin,
+       count(*) AS n_events
+FROM events, b
+GROUP BY 1, 2
+"""
+
+
 def q_users_modal_type(sf_dir: str):
     """Grouped MODE (per-key argmax): each user's most frequent event
     type, ties broken to the lexicographically smallest type — the
@@ -6565,6 +6662,8 @@ QUERIES = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "orders_exists_late_ship": q_orders_exists_late_ship,
     "doc_length_deciles": q_doc_length_deciles,
+    "events_day_over_day": q_events_day_over_day,
+    "events_histogram": q_events_histogram,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -6716,6 +6815,8 @@ ORACLES = {
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "orders_exists_late_ship": SQL_ORDERS_EXISTS_LATE_SHIP,
     "doc_length_deciles": SQL_DOC_LENGTH_DECILES,
+    "events_day_over_day": SQL_EVENTS_DAY_OVER_DAY,
+    "events_histogram": SQL_EVENTS_HISTOGRAM,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3127,3 +3127,53 @@ class TestDocLengthDeciles:
         assert out["decile"].tolist() == [1, 2, 3]  # only 3 non-empty tiles
         assert out["n_docs"].tolist() == [1, 1, 1]
         assert out["min_chars"].tolist() == [5, 7, 7]
+
+
+class TestEventsDayOverDay:
+    def test_lag_over_present_days(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_day_over_day
+
+        day = 86400 * 1_000_000
+        ts, et = [], []
+        for d, c in [(0, 10), (1, 15), (3, 6)]:  # day 2 missing: LAG is day 1
+            for i in range(c):
+                ts.append(d * day + i)
+                et.append("a")
+        pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": pa.array(et)}), tmp_path / "events.parquet")
+        out = q_events_day_over_day(str(tmp_path)).to_pandas().sort_values("day")
+        assert out["day"].tolist() == [1, 3]  # first day has no prev
+        assert out["chg_6dp"].tolist() == [500000, -600000]  # +50%, -60%
+
+class TestEventsHistogram:
+    def test_equi_width_bins_and_top_edge(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_histogram
+
+        vals = [0.0, 0.5, 5.0, 10.0, 10.0, 9.99]  # lo=0 hi=10, width 0.5/bin
+        t = pa.table({"event_type": pa.array(["a"] * 6), "value": pa.array(vals, pa.float64())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_histogram(str(tmp_path)).to_pandas().set_index("bin")["n_events"]
+        # width 0.5: 0.0->bin0, 0.5->bin1, 5.0->bin10, 9.99->bin19, 10.0 (top edge) clamps to 19
+        assert out[0] == 1 and out[1] == 1 and out[10] == 1
+        assert out[19] == 3
+        assert out.sum() == 6
+
+    def test_reference_binning(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_histogram
+
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(-5, 7, 300)
+        et = rng.choice(["a", "b"], 300)
+        t = pa.table({"event_type": pa.array(et), "value": pa.array(vals, pa.float64())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = q_events_histogram(str(tmp_path)).to_pandas()
+        lo, hi = vals.min(), vals.max()
+        b = np.minimum(np.floor((vals - lo) * 20.0 / (hi - lo)), 19).astype(int)
+        want = pd.DataFrame({"event_type": et, "bin": b}).groupby(["event_type", "bin"]).size()
+        got = out.set_index(["event_type", "bin"])["n_events"].sort_index()
+        assert got.to_dict() == want.to_dict()
