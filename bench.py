@@ -300,6 +300,10 @@ def main() -> None:
         "doc_length_deciles",
         "events_day_over_day",
         "events_histogram",
+        "cust_order_distribution",
+        "small_qty_revenue",
+        "only_late_supplier",
+        "rich_inactive_custs",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -6546,6 +6546,344 @@ def q_near_dedup_filter(sf_dir: str):
     return _null_anti_join(docs, losers_ds, n_parts, on="doc_id", right_on="loser_id", marker="is_dup")
 
 
+def q_cust_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — distribution of per-customer order counts
+    INCLUDING the zero bucket, without ever running the LEFT JOIN the
+    SQL spells: orders collapse to (custkey, c_count) in one combiner
+    groupby, the distribution is a second tiny groupby over that, and
+    the zero-order customer count is pure scalar arithmetic
+    (total customers − customers that appear in orders) — every custkey
+    in orders references a customer row by data contract, so the two
+    engines agree.  Exchanges carry per-customer counts, never orders."""
+    per_cust = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+    n_with_orders = per_cust.count()
+    n_customers = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"]).count()
+    dist = (
+        per_cust.groupby("c_count").aggregate(Count(alias_name="custdist"))
+        # the aggregate's count columns are int64 on both engines
+        .map_batches(
+            lambda t: pa.table(
+                {"c_count": t.column("c_count").cast(pa.int64()), "custdist": t.column("custdist").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    n_zero = n_customers - n_with_orders
+    if n_zero > 0:
+        zero = rd.from_arrow(pa.table({"c_count": pa.array([0], pa.int64()), "custdist": pa.array([n_zero], pa.int64())}))
+        dist = dist.union(zero)
+    return dist
+
+
+SQL_CUST_ORDER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue lost to small-quantity orders: total
+    extended price of Brand#2 lineitems whose quantity is below 20% of
+    that part's average lineitem quantity.  The correlated AVG subquery
+    becomes aggregate-first: lineitem is semi-joined to the brand's
+    partkeys ONCE (per-part averages are unchanged by the partkey
+    restriction, since partkey determines brand), per-part (sum_qc, n)
+    come from a combiner groupby of that narrowed stream, and the
+    correlated comparison runs as the EXACT integer cross-multiply
+    ``5 * qty_c * n < sum_qc`` (q < 0.2·(sum/n) with no float division
+    on either engine).  Output is the exact centi-unit revenue total."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+
+    # Each join side builds from its OWN pruned scan (two CTE-like reads):
+    # sharing one Dataset object across both branches of the stats join
+    # trips Ray 2.49's diamond-DAG join aliasing.
+    def branded_stream():
+        brand_parts = (
+            rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+            .filter(expr="p_brand == 'Brand#2'")
+            .map_batches(
+                lambda t: pa.table({"p_partkey": t.column("p_partkey").cast(pa.int64())}), batch_format="pyarrow"
+            )
+        )
+        li = rd.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t.column("l_partkey").cast(pa.int64()),
+                    "qty_c": pa.array(
+                        _half_away(t.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
+                    ),
+                    "price_c": pa.array(
+                        _half_away(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return li.join(brand_parts, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+
+    stats = (
+        branded_stream()
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_c", alias_name="sum_qc"), Count(alias_name="n"))
+        # scrub the hash aggregate's zero-column empty blocks before joining
+        .repartition(max(1, n_parts // 8))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "s_partkey": t.column("l_partkey").cast(pa.int64()),
+                    "sum_qc": t.column("sum_qc").cast(pa.int64()),
+                    "n": t.column("n").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = branded_stream().join(stats, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("s_partkey",))
+
+    def qualifying_partial(t: pa.Table) -> pa.Table:
+        qty = t.column("qty_c").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("sum_qc").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < s
+        rev = int(t.column("price_c").to_numpy(zero_copy_only=False)[keep].sum())
+        return pa.table({"revenue_c": pa.array([rev], pa.int64())})
+
+    total = j.map_batches(qualifying_partial, batch_format="pyarrow").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    return pa.table({"revenue_c": pa.array([int(total["revenue_c"] or 0)], pa.int64())})
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#2'
+), stats AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qc, CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY 1
+)
+SELECT CAST(coalesce(sum(li.price_c), 0) AS BIGINT) AS revenue_c
+FROM li JOIN stats s ON s.l_partkey = li.l_partkey
+WHERE 5 * li.qty_c * s.n < s.sum_qc
+"""
+
+
+def q_only_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who were the ONLY late supplier on a
+    multi-supplier order ("late" = shipped more than 60 days after the
+    order date; the synthetic schema has no commit/receipt dates, so the
+    lateness predicate adapts while the EXISTS / NOT-EXISTS structure
+    is preserved).  Both quantified subqueries collapse to aggregates:
+    lineitems dedup to (orderkey, supplier, any-late) pairs, then one
+    per-order pass computes distinct-supplier count, distinct-late
+    count, and (via a sentinel Max) the identity of the single late
+    supplier — EXISTS(other supplier) == n_supp > 1, NOT EXISTS(other
+    late supplier) == n_late == 1.  Every exchange carries pairs or
+    per-order rows, never raw lineitems.  Top 10 by wait-count."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                # normalize the timestamp unit BEFORE int64 (ns-unit inputs
+                # would otherwise compare nanoseconds against microseconds)
+                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "order_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        late = (
+            t.column("ship_us").to_numpy(zero_copy_only=False)
+            > t.column("order_us").to_numpy(zero_copy_only=False) + LATE_US
+        ).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey"), "late": pa.array(late, pa.int64())}
+        )
+
+    pairs = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        late = t.column("late").to_numpy(zero_copy_only=False)
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        # sentinel Max: the late supplier's key when exactly one is late
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "late": t.column("late"),
+                "late_supp": pa.array(np.where(late == 1, supp, -1), pa.int64()),
+            }
+        )
+
+    per_order = (
+        pairs.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("one", alias_name="n_supp"), Sum("late", alias_name="n_late"), Max("late_supp", alias_name="late_supp")
+        )
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["n_supp"], 1), pc.equal(t["n_late"], 1))
+        t = t.filter(keep)
+        return pa.table({"s_suppkey": t.column("late_supp"), "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+
+    waits = (
+        per_order.map_batches(qualify, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("one", alias_name="numwait"))
+        .map_batches(
+            lambda t: pa.table(
+                {"s_suppkey": t.column("s_suppkey").cast(pa.int64()), "numwait": t.column("numwait").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # ≤10 rows to the driver (the legal kind), then decorate via the
+    # broadcast-keys distributed filter over the corpus-scaled supplier
+    # dim — same shape as q_top_customers; a distributed join for a
+    # 10-row left side would only re-trip the zero-column-block hazard.
+    top = waits.sort(["numwait", "s_suppkey"], descending=[True, False]).limit(10).to_pandas()
+    if top.empty:  # nobody qualifies → the empty aggregate loses its schema
+        return pa.table({"s_suppkey": pa.array([], pa.int64()), "s_name": pa.array([], pa.string()), "numwait": pa.array([], pa.int64())})
+    keys = pa.array(top["s_suppkey"].to_numpy(), pa.int64())
+    supp = (
+        rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=keys)), batch_format="pyarrow"
+        )
+        .to_pandas()  # ≤10 dim rows survive the distributed filter
+    )
+    supp["s_suppkey"] = supp["s_suppkey"].astype(np.int64)
+    out = top.merge(supp, on="s_suppkey").sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True], kind="mergesort"
+    )
+    return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
+SQL_ONLY_LATE_SUPPLIER = """
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, CAST(sum(late) AS BIGINT) AS n_late,
+         CAST(max(CASE WHEN late = 1 THEN l_suppkey ELSE -1 END) AS BIGINT) AS late_supp
+  FROM pairs GROUP BY 1
+), waits AS (
+  SELECT late_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM per_order WHERE n_supp > 1 AND n_late = 1
+  GROUP BY 1
+  ORDER BY numwait DESC, s_suppkey ASC
+  LIMIT 10
+)
+SELECT w.s_suppkey, s.s_name, w.numwait
+FROM waits w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+"""
+
+
+def q_rich_inactive_custs(sf_dir: str):
+    """TPC-H Q22 shape — per-nation count and balance total of customers
+    whose account balance beats the average POSITIVE balance and who
+    never placed an URGENT-priority order (the synthetic schema has no
+    phone column, so nationkey stands in for the country-code prefix;
+    every synthetic customer has SOME order, so the NOT-EXISTS
+    predicate filters on priority to stay non-degenerate).  The scalar AVG
+    subquery is a two-scalar aggregate whose comparison runs as the
+    exact integer cross-multiply ``bal_c * n > sum_c`` (no float average
+    exists on either engine); the NOT EXISTS is Ray's native hash
+    LEFT ANTI join against the distinct order-custkey set (both sides
+    shuffle by key — no driver set, SURVEY §7.3)."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                "bal_c": pa.array(_half_away(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # read once, feed the scalar aggregate AND the anti-join
+    pos = cust.filter(expr="bal_c > 0")
+    agg = pos.aggregate(Sum("bal_c", alias_name="sum_c"), Count(alias_name="n"))
+    sum_c, n = int(agg["sum_c"] or 0), int(agg["n"] or 0)
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["bal_c"], n), sum_c)), batch_format="pyarrow"
+    )
+    ordered = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_o"))
+    )
+    n_parts = auto_num_partitions(cust.count(), cap=64)
+    # scrub zero-column empty aggregate blocks before the anti-join
+    inactive = rich.repartition(n_parts).join(
+        ordered.repartition(n_parts), join_type="left_anti", num_partitions=n_parts, on=("c_custkey",), right_on=("o_custkey",)
+    )
+    return (
+        inactive.groupby("c_nationkey")
+        .aggregate(Count(alias_name="numcust"), Sum("bal_c", alias_name="totacctbal_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                    "numcust": t.column("numcust").cast(pa.int64()),
+                    "totacctbal_c": t.column("totacctbal_c").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_RICH_INACTIVE_CUSTS = """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), avgpos AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS n FROM c WHERE bal_c > 0
+)
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust, CAST(sum(c.bal_c) AS BIGINT) AS totacctbal_c
+FROM c, avgpos
+WHERE c.bal_c * avgpos.n > avgpos.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -6664,6 +7002,10 @@ QUERIES = {
     "doc_length_deciles": q_doc_length_deciles,
     "events_day_over_day": q_events_day_over_day,
     "events_histogram": q_events_histogram,
+    "cust_order_distribution": q_cust_order_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
+    "only_late_supplier": q_only_late_supplier,
+    "rich_inactive_custs": q_rich_inactive_custs,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -6817,6 +7159,10 @@ ORACLES = {
     "doc_length_deciles": SQL_DOC_LENGTH_DECILES,
     "events_day_over_day": SQL_EVENTS_DAY_OVER_DAY,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
+    "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "only_late_supplier": SQL_ONLY_LATE_SUPPLIER,
+    "rich_inactive_custs": SQL_RICH_INACTIVE_CUSTS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3177,3 +3177,197 @@ class TestEventsHistogram:
         want = pd.DataFrame({"event_type": et, "bin": b}).groupby(["event_type", "bin"]).size()
         got = out.set_index(["event_type", "bin"])["n_events"].sort_index()
         assert got.to_dict() == want.to_dict()
+
+
+class TestCustOrderDistribution:
+    def test_distribution_with_zero_bucket(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_cust_order_distribution
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "c_name": pa.array([f"c{i}" for i in range(5)]),
+                    "c_nationkey": pa.array([0] * 5, pa.int32()),
+                    "c_acctbal": pa.array([0.0] * 5, pa.float64()),
+                    "c_mktsegment": pa.array(["X"] * 5),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                    "o_custkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = q_cust_order_distribution(str(tmp_path)).to_pandas().set_index("c_count")["custdist"]
+        # cust1: 3 orders, cust2/3: 1 each, cust4/5: zero
+        assert out.to_dict() == {3: 1, 1: 2, 0: 2}
+
+    def test_no_zero_bucket_when_all_active(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_cust_order_distribution
+
+        pq.write_table(pa.table({"c_custkey": pa.array([1, 2], pa.int64())}), tmp_path / "customer.parquet")
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array([10, 11], pa.int64()), "o_custkey": pa.array([1, 2], pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        out = q_cust_order_distribution(str(tmp_path)).to_pandas()
+        assert out.set_index("c_count")["custdist"].to_dict() == {1: 2}
+
+
+class TestSmallQtyRevenue:
+    def test_correlated_avg_cross_multiply(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_small_qty_revenue
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_brand": pa.array(["Brand#2", "Brand#3"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        # part1 (Brand#2): qtys 1,10,10,10 -> avg 7.75, 0.2*avg = 1.55;
+        # only the qty-1 row qualifies (5*100*4=2000 < 3100). part2 rows
+        # would qualify but the brand filter excludes them.
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                    "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 1.0], pa.float64()),
+                    "l_extendedprice": pa.array([100.0, 5.0, 5.0, 5.0, 999.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = q_small_qty_revenue(str(tmp_path)).to_pandas()
+        assert out["revenue_c"].tolist() == [10000]
+
+    def test_boundary_excluded(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_small_qty_revenue
+
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([1], pa.int64()), "p_brand": pa.array(["Brand#2"])}),
+            tmp_path / "part.parquet",
+        )
+        # qtys 1,4: avg 2.5, 0.2*avg = 0.5 exactly == qty... no: qty 1 > 0.5.
+        # constant qtys: avg == qty, 0.2*avg < qty -> nothing qualifies
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 1], pa.int64()),
+                    "l_quantity": pa.array([5.0, 5.0], pa.float64()),
+                    "l_extendedprice": pa.array([10.0, 10.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = q_small_qty_revenue(str(tmp_path)).to_pandas()
+        assert out["revenue_c"].tolist() == [0]
+
+
+class TestOnlyLateSupplier:
+    def test_exists_not_exists_collapse(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_only_late_supplier
+
+        base = pd.Timestamp("2020-01-01")
+        late = base + pd.Timedelta(days=61)
+        ontime = base + pd.Timedelta(days=60)  # boundary: NOT late (strict >)
+        # order 1: supp 1 late, supp 2 on time -> supp 1 qualifies
+        # order 2: supp 1 late, supp 2 late   -> nobody (two late suppliers)
+        # order 3: supp 1 late, sole supplier -> nobody (EXISTS other fails)
+        # order 4: supp 2 late, supp 3 on time -> supp 2 qualifies
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2, 2, 3, 4, 4],
+                "l_suppkey": [1, 2, 1, 2, 1, 2, 3],
+                "l_shipdate": [late, ontime, late, late, late, late, ontime],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "o_orderdate": pa.array([base] * 4, pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1, 2, 3], pa.int64()), "s_name": pa.array(["s1", "s2", "s3"])}),
+            tmp_path / "supplier.parquet",
+        )
+        out = q_only_late_supplier(str(tmp_path)).sort_values("s_suppkey")
+        assert out.set_index("s_suppkey")["numwait"].to_dict() == {1: 1, 2: 1}
+        assert out.set_index("s_suppkey")["s_name"].to_dict() == {1: "s1", 2: "s2"}
+
+    def test_empty_when_nobody_qualifies(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_only_late_supplier
+
+        base = pd.Timestamp("2020-01-01")
+        ontime = base + pd.Timedelta(days=10)
+        li = pd.DataFrame({"l_orderkey": [1, 1], "l_suppkey": [1, 2], "l_shipdate": [ontime, ontime]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array([1], pa.int64()), "o_orderdate": pa.array([base], pa.timestamp("us"))}),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1, 2], pa.int64()), "s_name": pa.array(["s1", "s2"])}),
+            tmp_path / "supplier.parquet",
+        )
+        out = q_only_late_supplier(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == ["s_suppkey", "s_name", "numwait"]
+
+
+class TestRichInactiveCusts:
+    def test_scalar_threshold_and_anti_join(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_rich_inactive_custs
+
+        # positive balances: 100, 300, 200 -> avg 200; strict >: only c2 (300).
+        # c4 (200) sits exactly on the average -> excluded (cross-multiply strict).
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "c_nationkey": pa.array([7, 8, 9, 9], pa.int32()),
+                    "c_acctbal": pa.array([100.0, 300.0, -50.0, 200.0], pa.float64()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        # c2 has only a LOW order -> passes NOT EXISTS(urgent); c4 has an urgent one
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11], pa.int64()),
+                    "o_custkey": pa.array([2, 4], pa.int64()),
+                    "o_orderpriority": pa.array(["5-LOW", "1-URGENT"]),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = q_rich_inactive_custs(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [{"c_nationkey": 8, "numcust": 1, "totacctbal_c": 30000}]
