@@ -304,6 +304,12 @@ def main() -> None:
         "small_qty_revenue",
         "only_late_supplier",
         "rich_inactive_custs",
+        "nation_pair_volume",
+        "nation_market_share",
+        "part_profit_by_nation",
+        "returned_item_customers",
+        "late_priority_counts",
+        "top_supplier_revenue",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -6884,6 +6884,632 @@ GROUP BY 1
 """
 
 
+def _rev_c(t: pa.Table) -> np.ndarray:
+    """The one shared revenue expression: round(extprice*(1-disc)*100)."""
+    return _half_away(
+        t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        * 100.0
+    )
+
+
+def _nation_names(sf_dir: str) -> tuple[pa.Array, pa.Array]:
+    """The 25-row constant nation dim as (keys, names) broadcast arrays."""
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    return (
+        nation.column("n_nationkey").combine_chunks().cast(pa.int64()),
+        nation.column("n_name").combine_chunks(),
+    )
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape — shipping volume between supplier-nation /
+    customer-nation pairs by ship year (1996-1997, pairs with distinct
+    nations).  The deepest join chain in the suite — lineitem ⋈ supplier
+    ⋈ orders ⋈ customer — expressed aggregate-first: after each hash
+    join a batch-local pandas combiner collapses the stream to
+    (key, supp_nation, year) partials, so every later exchange carries
+    partial sums, never the fact stream; the 25-row nation dim resolves
+    both name columns via broadcast ``pc.index_in``, never a shuffle."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_orderkey": f.column("l_orderkey").cast(pa.int64()),
+                    "l_suppkey": f.column("l_suppkey").cast(pa.int64()),
+                    "l_year": pc.year(f["l_shipdate"]).cast(pa.int64()),
+                    "rev_c": pa.array(_rev_c(f), pa.int64()),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                    pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1998-01-01", "us"))),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("s_suppkey").cast(pa.int64()), "supp_nat": t.column("s_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_order_partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "supp_nat", "l_year", "rev_c"])
+            .to_pandas()
+            .groupby(["l_orderkey", "supp_nat", "l_year"], as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    a = li.join(supp, join_type="inner", num_partitions=n_parts, on=("l_suppkey",), right_on=("s_suppkey",)).map_batches(
+        to_order_partials, batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey").cast(pa.int64()), "o_custkey": t.column("o_custkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_cust_partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey", "supp_nat", "l_year", "rev_c"])
+            .to_pandas()
+            .groupby(["o_custkey", "supp_nat", "l_year"], as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    b = (
+        a.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(to_cust_partials, batch_format="pyarrow")
+        .groupby(["o_custkey", "supp_nat", "l_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+    )
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.column("c_custkey").cast(pa.int64()), "cust_nat": t.column("c_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        b.join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",))
+        .map_batches(
+            lambda t: t.select(["supp_nat", "cust_nat", "l_year", "rev_c"]).filter(
+                pc.not_equal(t["supp_nat"], t["cust_nat"])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+    )
+    keys, names = _nation_names(sf_dir)
+
+    def decorate(t: pa.Table) -> pa.Table:
+        si = pc.index_in(t.column("supp_nat").cast(pa.int64()), value_set=keys)
+        ci = pc.index_in(t.column("cust_nat").cast(pa.int64()), value_set=keys)
+        return pa.table(
+            {
+                "supp_nation": pc.take(names, si),
+                "cust_nation": pc.take(names, ci),
+                "l_year": t.column("l_year").cast(pa.int64()),
+                "revenue_c": t.column("revenue_c").cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(decorate, batch_format="pyarrow")
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND s.s_nationkey != c.c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape — NATION_7's share of revenue sold to ASIA-region
+    customers, per order year (orders 1996-1997).  Same aggregate-first
+    chain as Q7, but the quotient never leaves integers until the last
+    two-row step: per-order partials carry (rev_c, num_c) where num_c is
+    the revenue portion from the chosen supplier nation, the customer's
+    region resolves from the 25-row broadcast nation dim, and the final
+    per-year share is the exact scaled division
+    ``round(num_c * 1e6 / den_c)`` (parts-per-million) — the identical
+    expression the SQL twin evaluates."""
+    SHARE_NATION = 7
+    REGION = "ASIA"
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "rev_c": pa.array(_rev_c(t), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("s_suppkey").cast(pa.int64()), "supp_nat": t.column("s_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_order_partials(t: pa.Table) -> pa.Table:
+        rev = t.column("rev_c").to_numpy(zero_copy_only=False)
+        nat = t.column("supp_nat").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "rev_c": rev,
+                "num_c": np.where(nat == SHARE_NATION, rev, 0),
+            }
+        )
+        g = df.groupby("l_orderkey", as_index=False)[["rev_c", "num_c"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    a = li.join(supp, join_type="inner", num_partitions=n_parts, on=("l_suppkey",), right_on=("s_suppkey",)).map_batches(
+        to_order_partials, batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "o_orderkey": f.column("o_orderkey").cast(pa.int64()),
+                    "o_custkey": f.column("o_custkey").cast(pa.int64()),
+                    "o_year": pc.year(f["o_orderdate"]).cast(pa.int64()),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                    pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1998-01-01", "us"))),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_cust_partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey", "o_year", "rev_c", "num_c"])
+            .to_pandas()
+            .groupby(["o_custkey", "o_year"], as_index=False)[["rev_c", "num_c"]]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    b = (
+        a.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(to_cust_partials, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("num_c", alias_name="num_c"))
+        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+    )
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.column("c_custkey").cast(pa.int64()), "cust_nat": t.column("c_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    # bounded-domain region membership: 25-row nation ⋈ 5-row region on the driver
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rmap = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    asia_keys = pa.array(
+        [r["n_nationkey"] for r in nation.to_pylist() if rmap[r["n_regionkey"]] == REGION], pa.int64()
+    )
+    per_year = (
+        b.join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",))
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["cust_nat"].cast(pa.int64()), value_set=asia_keys)).select(
+                ["o_year", "rev_c", "num_c"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_year")
+        .aggregate(Sum("rev_c", alias_name="den_c"), Sum("num_c", alias_name="num_c"))
+        .to_pandas()  # |years| rows — bounded, the legal driver materialization
+    )
+    share = _half_away(per_year["num_c"].to_numpy() * 1e6 / per_year["den_c"].to_numpy())
+    out = pa.table(
+        {
+            "o_year": pa.array(per_year["o_year"].to_numpy(), pa.int64()),
+            "share_ppm": pa.array(share, pa.int64()),
+        }
+    )
+    return out
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH per_year AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS den_c,
+         CAST(sum(CASE WHEN s.s_nationkey = 7
+                       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS num_c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT o_year, CAST(round(num_c * 1e6 / den_c) AS BIGINT) AS share_ppm FROM per_year
+"""
+
+
+def q_part_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape — revenue from parts whose name contains 'gear' by
+    supplier nation and order year (the synthetic schema has no partsupp
+    supplycost, so profit degrades to revenue while the join structure —
+    part-name restriction, supplier-nation attribution, order-year
+    grouping — is preserved).  The part restriction is applied AT THE
+    SCAN side and semi-joins lineitem first, so the two later joins see
+    only qualifying lines; partials collapse per (order, nation) before
+    the orders join."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    gears = (
+        rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: pa.table(
+                {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_partkey": t.column("l_partkey").cast(pa.int64()),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "rev_c": pa.array(_rev_c(t), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    a = li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+    supp = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("s_suppkey").cast(pa.int64()), "supp_nat": t.column("s_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_order_partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "supp_nat", "rev_c"])
+            .to_pandas()
+            .groupby(["l_orderkey", "supp_nat"], as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    b = a.join(supp, join_type="inner", num_partitions=n_parts, on=("l_suppkey",), right_on=("s_suppkey",)).map_batches(
+        to_order_partials, batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    by_nat = (
+        b.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(lambda t: t.select(["supp_nat", "o_year", "rev_c"]), batch_format="pyarrow")
+        .groupby(["supp_nat", "o_year"])
+        .aggregate(Sum("rev_c", alias_name="profit_c"))
+    )
+    keys, names = _nation_names(sf_dir)
+
+    def decorate(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("supp_nat").cast(pa.int64()), value_set=keys)
+        return pa.table(
+            {
+                "nation": pc.take(names, idx),
+                "o_year": t.column("o_year").cast(pa.int64()),
+                "profit_c": t.column("profit_c").cast(pa.int64()),
+            }
+        )
+
+    return by_nat.map_batches(decorate, batch_format="pyarrow")
+
+
+SQL_PART_PROFIT_BY_NATION = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by revenue on RETURNED
+    lineitems (l_returnflag = 'R') for orders placed in 1996Q1.
+    Aggregate-first: returned-line revenue collapses per ORDER before
+    the orders join and per CUSTOMER before ranking; the 20 winners are
+    decorated through the broadcast-keys distributed dim filter (the
+    q_top_customers shape — no corpus-sized table ever reaches the
+    driver)."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    lr = (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+        )
+        .map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {"l_orderkey": f.column("l_orderkey").cast(pa.int64()), "rev_c": pa.array(_rev_c(f), pa.int64())}
+                )
+            )(t.filter(pc.equal(t["l_returnflag"], "R"))),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-04-01", "us"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    top = (
+        lr.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .sort(["revenue_c", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()  # 20 rows — the legal kind of driver materialization
+    )
+    if top.empty:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "revenue_c": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "nation_name": pa.array([], pa.string()),
+            }
+        )
+    keys = pa.array(top["o_custkey"].to_numpy(), pa.int64())
+    cust = (
+        rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"].cast(pa.int64()), value_set=keys)), batch_format="pyarrow"
+        )
+        .to_pandas()  # ≤20 dim rows survive the distributed filter
+    )
+    cust["c_custkey"] = cust["c_custkey"].astype(np.int64)
+    nkeys, nnames = _nation_names(sf_dir)
+    nmap = dict(zip(nkeys.to_pylist(), nnames.to_pylist()))
+    cust["nation_name"] = cust["c_nationkey"].map(nmap)
+    out = (
+        top.rename(columns={"o_custkey": "c_custkey"})
+        .merge(cust[["c_custkey", "c_name", "nation_name"]], on="c_custkey")
+        .sort_values(["revenue_c", "c_custkey"], ascending=[False, True], kind="mergesort")
+    )
+    return out[["c_custkey", "revenue_c", "c_name", "nation_name"]].reset_index(drop=True)
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+WITH lr AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), per_cust AS (
+  SELECT o.o_custkey AS c_custkey, CAST(sum(lr.rev_c) AS BIGINT) AS revenue_c
+  FROM lr JOIN orders o ON o.o_orderkey = lr.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+  ORDER BY revenue_c DESC, c_custkey ASC
+  LIMIT 20
+)
+SELECT p.c_custkey, p.revenue_c, c.c_name, n.n_name AS nation_name
+FROM per_cust p JOIN customer c ON c.c_custkey = p.c_custkey
+                JOIN nation n   ON n.n_nationkey = c.c_nationkey
+ORDER BY p.revenue_c DESC, p.c_custkey ASC
+"""
+
+
+def q_late_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape — order counts by lateness class × priority band
+    (the synthetic schema has no ship mode or commit date, so the class
+    is late/ontime: ANY line shipped more than 60 days after the order
+    date).  Lineitems collapse to one per-order max-shipdate row in a
+    combiner groupby BEFORE the single hash join; the final aggregate is
+    a 2-row (class × two-band-count) table.  Timestamps normalize to
+    int64 µs so ns-unit inputs can't skew the comparison."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    LATE_US = 60 * 86_400_000_000
+    last_ship = (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "order_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = last_ship.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        late = (
+            t.column("max_ship_us").to_numpy(zero_copy_only=False)
+            > t.column("order_us").to_numpy(zero_copy_only=False) + LATE_US
+        )
+        prio = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = np.isin(prio, np.array(["1-URGENT", "2-HIGH"]))
+        return pa.table(
+            {
+                "lateness": pa.array(np.where(late, "late", "ontime")),
+                "high_orders": pa.array(high.astype(np.int64), pa.int64()),
+                "low_orders": pa.array((~high).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(classify, batch_format="pyarrow")
+        .groupby("lateness")
+        .aggregate(Sum("high_orders", alias_name="high_orders"), Sum("low_orders", alias_name="low_orders"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lateness": t.column("lateness"),
+                    "high_orders": t.column("high_orders").cast(pa.int64()),
+                    "low_orders": t.column("low_orders").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_LATE_PRIORITY_COUNTS = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship FROM lineitem GROUP BY 1
+)
+SELECT CASE WHEN ls.max_ship > o.o_orderdate + INTERVAL 60 DAY THEN 'late' ELSE 'ontime' END AS lateness,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_orders,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_orders
+FROM last_ship ls JOIN orders o ON o.o_orderkey = ls.l_orderkey
+GROUP BY 1
+"""
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape — the supplier(s) with MAXIMUM revenue in 1996Q1,
+    tie-safe like the reference view formulation.  Per-supplier totals
+    from one combiner groupby; the global max is a one-scalar aggregate
+    to the driver (the legal kind); winners filter distributed against
+    that scalar, then the ≤|ties| rows decorate via the broadcast-keys
+    dim filter."""
+    li = (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {"l_suppkey": f.column("l_suppkey").cast(pa.int64()), "rev_c": pa.array(_rev_c(f), pa.int64())}
+                )
+            )(
+                t.filter(
+                    pc.and_(
+                        pc.greater_equal(t["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                        pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1996-04-01", "us"))),
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_c", alias_name="total_revenue_c"))
+        .materialize()  # per-supplier totals feed the scalar max AND the winner filter
+    )
+    mx = li.aggregate(Max("total_revenue_c", alias_name="mx"))["mx"]
+    if mx is None:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_c": pa.array([], pa.int64()),
+            }
+        )
+    winners = li.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.filter(pc.equal(t["total_revenue_c"], mx)).column("l_suppkey").cast(pa.int64()),
+                "total_revenue_c": t.filter(pc.equal(t["total_revenue_c"], mx))
+                .column("total_revenue_c")
+                .cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤|ties| rows
+    keys = pa.array(winners["s_suppkey"].to_numpy(), pa.int64())
+    supp = (
+        rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=keys)), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    supp["s_suppkey"] = supp["s_suppkey"].astype(np.int64)
+    out = winners.merge(supp, on="s_suppkey").sort_values("s_suppkey", kind="mergesort")
+    return out[["s_suppkey", "s_name", "total_revenue_c"]].reset_index(drop=True)
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, r.total_revenue_c
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+ORDER BY r.s_suppkey
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -7006,6 +7632,12 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "only_late_supplier": q_only_late_supplier,
     "rich_inactive_custs": q_rich_inactive_custs,
+    "nation_pair_volume": q_nation_pair_volume,
+    "nation_market_share": q_nation_market_share,
+    "part_profit_by_nation": q_part_profit_by_nation,
+    "returned_item_customers": q_returned_item_customers,
+    "late_priority_counts": q_late_priority_counts,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -7163,6 +7795,12 @@ ORACLES = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "only_late_supplier": SQL_ONLY_LATE_SUPPLIER,
     "rich_inactive_custs": SQL_RICH_INACTIVE_CUSTS,
+    "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "part_profit_by_nation": SQL_PART_PROFIT_BY_NATION,
+    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+    "late_priority_counts": SQL_LATE_PRIORITY_COUNTS,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3371,3 +3371,282 @@ class TestRichInactiveCusts:
         )
         out = q_rich_inactive_custs(str(tmp_path)).to_pandas()
         assert out.to_dict("records") == [{"c_nationkey": 8, "numcust": 1, "totacctbal_c": 30000}]
+
+
+def _write_nation_region(tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 7], pa.int64()),
+                "n_name": pa.array(["N0", "N1", "N7"]),
+                "n_regionkey": pa.array([0, 2, 2], pa.int32()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0, 2], pa.int64()), "r_name": pa.array(["AFRICA", "ASIA"])}),
+        tmp_path / "region.parquet",
+    )
+
+
+class TestNationPairVolume:
+    def test_chain_and_same_nation_excluded(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_nation_pair_volume
+
+        _write_nation_region(tmp_path)
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1, 2], pa.int64()), "s_nationkey": pa.array([0, 1], pa.int32())}),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([5, 6], pa.int64()), "c_nationkey": pa.array([1, 0], pa.int32())}),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11], pa.int64()),
+                    "o_custkey": pa.array([5, 6], pa.int64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        in_win = pd.Timestamp("1996-06-01")
+        out_win = pd.Timestamp("1999-06-01")
+        # (supp0 -> cust@N1): 100 + 50; (supp1 -> cust@N1) SAME nation -> excluded;
+        # out-of-window row excluded
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [10, 10, 10, 10],
+                "l_suppkey": [1, 1, 2, 1],
+                "l_extendedprice": [100.0, 50.0, 77.0, 999.0],
+                "l_discount": [0.0, 0.0, 0.0, 0.0],
+                "l_shipdate": [in_win, in_win, in_win, out_win],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_nation_pair_volume(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [
+            {"supp_nation": "N0", "cust_nation": "N1", "l_year": 1996, "revenue_c": 15000}
+        ]
+
+
+class TestNationMarketShare:
+    def test_ppm_share(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_nation_market_share
+
+        _write_nation_region(tmp_path)
+        # supplier 1 in the SHARE nation (7), supplier 2 not; cust 5 in ASIA, cust 6 in AFRICA
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1, 2], pa.int64()), "s_nationkey": pa.array([7, 0], pa.int32())}),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([5, 6], pa.int64()), "c_nationkey": pa.array([1, 0], pa.int32())}),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11], pa.int64()),
+                    "o_custkey": pa.array([5, 6], pa.int64()),
+                    "o_orderdate": pa.array([pd.Timestamp("1996-03-01")] * 2, pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        # ASIA order 10: share-nation rev 100 of 300 total -> 333333 ppm;
+        # AFRICA order 11 ignored entirely
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [10, 10, 11],
+                "l_suppkey": [1, 2, 1],
+                "l_extendedprice": [100.0, 200.0, 500.0],
+                "l_discount": [0.0, 0.0, 0.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_nation_market_share(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [{"o_year": 1996, "share_ppm": 333333}]
+
+
+class TestPartProfitByNation:
+    def test_name_filter_and_attribution(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_part_profit_by_nation
+
+        _write_nation_region(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_name": pa.array(["hot gear", "red widget"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1], pa.int64()), "s_nationkey": pa.array([1], pa.int32())}),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10], pa.int64()),
+                    "o_orderdate": pa.array([pd.Timestamp("1997-02-01")], pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [10, 10],
+                "l_partkey": [1, 2],  # only the 'gear' part counts
+                "l_suppkey": [1, 1],
+                "l_extendedprice": [40.0, 999.0],
+                "l_discount": [0.5, 0.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_part_profit_by_nation(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [{"nation": "N1", "o_year": 1997, "profit_c": 2000}]
+
+
+class TestReturnedItemCustomers:
+    def test_flag_window_and_decorate(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_returned_item_customers
+
+        _write_nation_region(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([5, 6], pa.int64()),
+                    "c_name": pa.array(["cA", "cB"]),
+                    "c_nationkey": pa.array([1, 0], pa.int32()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11], pa.int64()),
+                    "o_custkey": pa.array([5, 6], pa.int64()),
+                    # order 11 is outside 1996Q1 -> dropped
+                    "o_orderdate": pa.array(
+                        [pd.Timestamp("1996-02-01"), pd.Timestamp("1996-05-01")], pa.timestamp("us")
+                    ),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [10, 10, 11],
+                "l_extendedprice": [100.0, 60.0, 500.0],
+                "l_discount": [0.0, 0.5, 0.0],
+                "l_returnflag": ["R", "R", "R"],
+            }
+        )
+        li.loc[1, "l_returnflag"] = "N"  # non-returned line dropped
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_returned_item_customers(str(tmp_path))
+        assert out.to_dict("records") == [
+            {"c_custkey": 5, "revenue_c": 10000, "c_name": "cA", "nation_name": "N1"}
+        ]
+
+
+class TestLatePriorityCounts:
+    def test_class_and_priority_bands(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_late_priority_counts
+
+        base = pd.Timestamp("2020-01-01")
+        late = base + pd.Timedelta(days=61)
+        ontime = base + pd.Timedelta(days=60)  # boundary: NOT late
+        # order 1: one late line, URGENT -> late/high; order 2: ontime, LOW -> ontime/low
+        # order 3: ontime, 2-HIGH -> ontime/high
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2, 3],
+                "l_shipdate": [ontime, late, ontime, ontime],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_orderdate": pa.array([base] * 3, pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "2-HIGH"]),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = q_late_priority_counts(str(tmp_path)).to_pandas().set_index("lateness")
+        assert out.loc["late"].to_dict() == {"high_orders": 1, "low_orders": 0}
+        assert out.loc["ontime"].to_dict() == {"high_orders": 1, "low_orders": 1}
+
+
+class TestTopSupplierRevenue:
+    def test_tie_safe_max(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_top_supplier_revenue
+
+        pq.write_table(
+            pa.table(
+                {"s_suppkey": pa.array([1, 2, 3], pa.int64()), "s_name": pa.array(["s1", "s2", "s3"])}
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        in_win = pd.Timestamp("1996-02-01")
+        out_win = pd.Timestamp("1997-02-01")
+        # supp1: 100, supp2: 60+40=100 (TIE), supp3: 999 but out of window
+        li = pd.DataFrame(
+            {
+                "l_suppkey": [1, 2, 2, 3],
+                "l_extendedprice": [100.0, 60.0, 40.0, 999.0],
+                "l_discount": [0.0, 0.0, 0.0, 0.0],
+                "l_shipdate": [in_win, in_win, in_win, out_win],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_top_supplier_revenue(str(tmp_path))
+        assert out.to_dict("records") == [
+            {"s_suppkey": 1, "s_name": "s1", "total_revenue_c": 10000},
+            {"s_suppkey": 2, "s_name": "s2", "total_revenue_c": 10000},
+        ]
+
+    def test_empty_window(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_top_supplier_revenue
+
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1], pa.int64()), "s_name": pa.array(["s1"])}),
+            tmp_path / "supplier.parquet",
+        )
+        li = pd.DataFrame(
+            {
+                "l_suppkey": [1],
+                "l_extendedprice": [10.0],
+                "l_discount": [0.0],
+                "l_shipdate": [pd.Timestamp("1999-01-01")],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_top_supplier_revenue(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == ["s_suppkey", "s_name", "total_revenue_c"]
