@@ -6600,66 +6600,58 @@ def q_small_qty_revenue(sf_dir: str):
     come from a combiner groupby of that narrowed stream, and the
     correlated comparison runs as the EXACT integer cross-multiply
     ``5 * qty_c * n < sum_qc`` (q < 0.2·(sum/n) with no float division
-    on either engine).  Output is the exact centi-unit revenue total."""
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
-
-    # Each join side builds from its OWN pruned scan (two CTE-like reads):
-    # sharing one Dataset object across both branches of the stats join
-    # trips Ray 2.49's diamond-DAG join aliasing.
-    def branded_stream():
-        brand_parts = (
-            rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
-            .filter(expr="p_brand == 'Brand#2'")
-            .map_batches(
-                lambda t: pa.table({"p_partkey": t.column("p_partkey").cast(pa.int64())}), batch_format="pyarrow"
-            )
-        )
-        li = rd.read_parquet(
-            _p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "l_partkey": t.column("l_partkey").cast(pa.int64()),
-                    "qty_c": pa.array(
-                        _half_away(t.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
-                    ),
-                    "price_c": pa.array(
-                        _half_away(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        return li.join(brand_parts, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
-
-    stats = (
-        branded_stream()
-        .groupby("l_partkey")
-        .aggregate(Sum("qty_c", alias_name="sum_qc"), Count(alias_name="n"))
-        # scrub the hash aggregate's zero-column empty blocks before joining
-        .repartition(max(1, n_parts // 8))
+    on either engine).  The stats "self-join" never runs as a second
+    scan: the branded stream hash-partitions ONCE by partkey % P, and
+    each partition computes its parts' (sum, n) AND the correlated
+    filter locally in two vectorized passes (per-part stats are complete
+    within a partition by construction), emitting one revenue partial.
+    Output is the exact centi-unit revenue total."""
+    n_rows = pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows
+    n_parts = auto_num_partitions(n_rows, cap=64)
+    coarse = auto_num_partitions(n_rows)  # the one stats+filter exchange
+    brand_parts = (
+        rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+        .filter(expr="p_brand == 'Brand#2'")
         .map_batches(
-            lambda t: pa.table(
-                {
-                    "s_partkey": t.column("l_partkey").cast(pa.int64()),
-                    "sum_qc": t.column("sum_qc").cast(pa.int64()),
-                    "n": t.column("n").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+            lambda t: pa.table({"p_partkey": t.column("p_partkey").cast(pa.int64())}), batch_format="pyarrow"
         )
     )
-    j = branded_stream().join(stats, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("s_partkey",))
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey").cast(pa.int64()),
+                "qty_c": pa.array(
+                    _half_away(t.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
+                ),
+                "price_c": pa.array(
+                    _half_away(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.join(brand_parts, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
 
-    def qualifying_partial(t: pa.Table) -> pa.Table:
-        qty = t.column("qty_c").to_numpy(zero_copy_only=False)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        s = t.column("sum_qc").to_numpy(zero_copy_only=False)
-        keep = 5 * qty * n < s
-        rev = int(t.column("price_c").to_numpy(zero_copy_only=False)[keep].sum())
-        return pa.table({"revenue_c": pa.array([rev], pa.int64())})
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_pp", pa.array((k % coarse).astype(np.int32), pa.int32()))
 
-    total = j.map_batches(qualifying_partial, batch_format="pyarrow").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    def qualify_part(df: pd.DataFrame) -> pd.DataFrame:
+        st = df.groupby("l_partkey")[["qty_c"]].agg(sum_qc=("qty_c", "sum"), n=("qty_c", "size"))
+        sum_qc = df["l_partkey"].map(st["sum_qc"]).to_numpy()
+        n = df["l_partkey"].map(st["n"]).to_numpy()
+        keep = 5 * df["qty_c"].to_numpy() * n < sum_qc
+        rev = int(df["price_c"].to_numpy()[keep].sum())
+        return pd.DataFrame({"revenue_c": np.array([rev], np.int64)})
+
+    total = (
+        j.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(qualify_part, batch_format="pandas")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
     return pa.table({"revenue_c": pa.array([int(total["revenue_c"] or 0)], pa.int64())})
 
 
@@ -6690,78 +6682,75 @@ def q_only_late_supplier(sf_dir: str):
     per-order pass computes distinct-supplier count, distinct-late
     count, and (via a sentinel Max) the identity of the single late
     supplier — EXISTS(other supplier) == n_supp > 1, NOT EXISTS(other
-    late supplier) == n_late == 1.  Every exchange carries pairs or
-    per-order rows, never raw lineitems.  Top 10 by wait-count."""
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    late supplier) == n_late == 1.  ONE corpus-sized exchange total: the
+    lineitem pair-partials and the order dates union into a single
+    reduce-side join keyed on orderkey % P (the repo's coarse-hash
+    idiom), each partition resolves pair-dedup, lateness, and the
+    per-order quantifiers for ALL its orders vectorized, and only the
+    bounded (supplier, count) partials leave it.  Top 10 by wait-count."""
+    n_rows = pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows
+    n_parts = auto_num_partitions(n_rows)  # cap 256: the one big exchange
     LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
-        lambda t: pa.table(
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        # batch-local pair reduce; sentinel order_us=-1 marks lineitem rows
+        df = pd.DataFrame(
             {
-                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "l_suppkey": t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
                 # normalize the timestamp unit BEFORE int64 (ns-unit inputs
                 # would otherwise compare nanoseconds against microseconds)
-                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(),
             }
-        ),
-        batch_format="pyarrow",
+        )
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["ship_us"].max()
+        g["order_us"] = np.int64(-1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow"
     )
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]).map_batches(
         lambda t: pa.table(
             {
-                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "l_suppkey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "ship_us": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
                 "order_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
     )
-    j = li.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        late = (
-            t.column("ship_us").to_numpy(zero_copy_only=False)
-            > t.column("order_us").to_numpy(zero_copy_only=False) + LATE_US
-        ).astype(np.int64)
-        return pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey"), "late": pa.array(late, pa.int64())}
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        dates = df[df["order_us"] >= 0].set_index("l_orderkey")["order_us"]
+        pairs = df[df["order_us"] < 0].groupby(["l_orderkey", "l_suppkey"], as_index=False)["ship_us"].max()
+        cutoff = pairs["l_orderkey"].map(dates)
+        keep = cutoff.notna().to_numpy()  # inner-join semantics: drop orphan lines
+        pairs = pairs[keep]
+        late = (pairs["ship_us"].to_numpy() > cutoff.to_numpy()[keep] + LATE_US).astype(np.int64)
+        # masked max: the late supplier's identity, exact when n_late == 1
+        pairs = pairs.assign(late=late, ls=np.where(late == 1, pairs["l_suppkey"].to_numpy(), -1))
+        po = pairs.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum"), late_supp=("ls", "max")
         )
-
-    pairs = (
-        j.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_suppkey"])
-        .aggregate(Max("late", alias_name="late"))
-    )
-
-    def order_partial(t: pa.Table) -> pa.Table:
-        late = t.column("late").to_numpy(zero_copy_only=False)
-        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        # sentinel Max: the late supplier's key when exactly one is late
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
-                "late": t.column("late"),
-                "late_supp": pa.array(np.where(late == 1, supp, -1), pa.int64()),
-            }
+        q = po[(po["n_supp"] > 1) & (po["n_late"] == 1)]
+        w = q.groupby("late_supp").size().reset_index(name="numwait").rename(columns={"late_supp": "s_suppkey"})
+        return pd.DataFrame(
+            {"s_suppkey": w["s_suppkey"].astype(np.int64), "numwait": w["numwait"].astype(np.int64)}
         )
-
-    per_order = (
-        pairs.map_batches(order_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(
-            Sum("one", alias_name="n_supp"), Sum("late", alias_name="n_late"), Max("late_supp", alias_name="late_supp")
-        )
-    )
-
-    def qualify(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater(t["n_supp"], 1), pc.equal(t["n_late"], 1))
-        t = t.filter(keep)
-        return pa.table({"s_suppkey": t.column("late_supp"), "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
 
     waits = (
-        per_order.map_batches(qualify, batch_format="pyarrow")
+        li.union(orders)
+        .map_batches(part_key, batch_format="pyarrow")
+        .groupby("_op")
+        .map_groups(per_part, batch_format="pandas")
         .groupby("s_suppkey")
-        .aggregate(Sum("one", alias_name="numwait"))
+        .aggregate(Sum("numwait", alias_name="numwait"))
         .map_batches(
             lambda t: pa.table(
                 {"s_suppkey": t.column("s_suppkey").cast(pa.int64()), "numwait": t.column("numwait").cast(pa.int64())}
@@ -6969,12 +6958,14 @@ def q_nation_pair_volume(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # batch-local partials only — a full (custkey, nation, year) groupby
+    # here would add a hash all-to-all that the final bounded-domain
+    # aggregate makes redundant; the repartition is the zero-column
+    # empty-block scrub the next join needs (block coalesce, no hash)
     b = (
         a.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
         .map_batches(to_cust_partials, batch_format="pyarrow")
-        .groupby(["o_custkey", "supp_nat", "l_year"])
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
-        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+        .repartition(n_parts)
     )
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda t: pa.table(
@@ -7103,12 +7094,14 @@ def q_nation_market_share(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # batch-local partials only — the final per-year aggregate is
+    # bounded-domain, so a full per-customer groupby before the join
+    # would be a redundant hash all-to-all; the repartition is the
+    # zero-column empty-block scrub the next join needs
     b = (
         a.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
         .map_batches(to_cust_partials, batch_format="pyarrow")
-        .groupby(["o_custkey", "o_year"])
-        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("num_c", alias_name="num_c"))
-        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+        .repartition(n_parts)
     )
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda t: pa.table(
@@ -7355,56 +7348,64 @@ def q_late_priority_counts(sf_dir: str):
     """TPC-H Q12 shape — order counts by lateness class × priority band
     (the synthetic schema has no ship mode or commit date, so the class
     is late/ontime: ANY line shipped more than 60 days after the order
-    date).  Lineitems collapse to one per-order max-shipdate row in a
-    combiner groupby BEFORE the single hash join; the final aggregate is
-    a 2-row (class × two-band-count) table.  Timestamps normalize to
-    int64 µs so ns-unit inputs can't skew the comparison."""
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    date).  ONE corpus-sized exchange: per-batch max-shipdate partials
+    union with the order (date, priority) stream into a reduce-side
+    join keyed on orderkey % P; each partition classifies all its
+    orders vectorized and emits 2×2 count partials, so the final
+    groupby moves a handful of rows.  Timestamps normalize to int64 µs
+    so ns-unit inputs can't skew the comparison."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
     LATE_US = 60 * 86_400_000_000
-    last_ship = (
-        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-                    "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(),
+            }
         )
-        .groupby("l_orderkey")
-        .aggregate(Max("ship_us", alias_name="max_ship_us"))
-        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
+        g = df.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        g["order_us"] = np.int64(-1)
+        g["o_orderpriority"] = ""
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow"
     )
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
         lambda t: pa.table(
             {
-                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "ship_us": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
                 "order_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
                 "o_orderpriority": t.column("o_orderpriority"),
             }
         ),
         batch_format="pyarrow",
     )
-    j = last_ship.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def classify(t: pa.Table) -> pa.Table:
-        late = (
-            t.column("max_ship_us").to_numpy(zero_copy_only=False)
-            > t.column("order_us").to_numpy(zero_copy_only=False) + LATE_US
-        )
-        prio = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
-        high = np.isin(prio, np.array(["1-URGENT", "2-HIGH"]))
-        return pa.table(
-            {
-                "lateness": pa.array(np.where(late, "late", "ontime")),
-                "high_orders": pa.array(high.astype(np.int64), pa.int64()),
-                "low_orders": pa.array((~high).astype(np.int64), pa.int64()),
-            }
-        )
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        om = df[df["order_us"] >= 0].set_index("l_orderkey")
+        ls = df[df["order_us"] < 0].groupby("l_orderkey")["ship_us"].max()
+        ls = ls[ls.index.isin(om.index)]  # inner-join semantics
+        om = om.loc[ls.index]
+        late = ls.to_numpy() > om["order_us"].to_numpy() + LATE_US
+        high = np.isin(om["o_orderpriority"].to_numpy(), np.array(["1-URGENT", "2-HIGH"]))
+        out = pd.DataFrame({"lateness": np.where(late, "late", "ontime"), "high": high, "low": ~high})
+        g = out.groupby("lateness", as_index=False).agg(high_orders=("high", "sum"), low_orders=("low", "sum"))
+        g["high_orders"] = g["high_orders"].astype(np.int64)
+        g["low_orders"] = g["low_orders"].astype(np.int64)
+        return g
 
     return (
-        j.map_batches(classify, batch_format="pyarrow")
+        li.union(orders)
+        .map_batches(part_key, batch_format="pyarrow")
+        .groupby("_op")
+        .map_groups(per_part, batch_format="pandas")
         .groupby("lateness")
         .aggregate(Sum("high_orders", alias_name="high_orders"), Sum("low_orders", alias_name="low_orders"))
         .map_batches(
