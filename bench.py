@@ -310,6 +310,8 @@ def main() -> None:
         "returned_item_customers",
         "late_priority_counts",
         "top_supplier_revenue",
+        "hard_negatives",
+        "vocab_growth",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

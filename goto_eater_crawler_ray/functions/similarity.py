@@ -34,11 +34,16 @@ def _l2_normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5, round_dp: int = 4):
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5, round_dp: int = 4, exclude_same_label: bool = False):
     """Exact cosine top-k: (query_id, neighbor_id, rank, score).
 
     Self-matches excluded.  Scores rounded so the DuckDB oracle twin
-    hash-matches bit-for-bit."""
+    hash-matches bit-for-bit.
+
+    ``exclude_same_label=True`` is the hard-negative miner (contrastive
+    training pairs): only corpus vectors with a DIFFERENT ``label`` than
+    the query are candidates.  The query labels broadcast with the query
+    matrix; ``emb_ds`` must then carry a ``label`` column."""
     import ray
 
     q_rows = emb_ds.map_batches(
@@ -48,16 +53,20 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5, round_dp: int = 4
     q_rows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = _l2_normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
-    q_ref = ray.put((q_ids, q_mat))
+    q_labels = np.array([r["label"] for r in q_rows]) if exclude_same_label else None
+    q_ref = ray.put((q_ids, q_mat, q_labels))
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        ids, mat = ray.get(q_ref)
+        ids, mat, labels = ray.get(q_ref)
         c_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c_labels = batch.column("label").to_numpy(zero_copy_only=False) if labels is not None else None
         c_mat = _l2_normalize(_as_matrix(batch.column("embedding")))
         sims = c_mat @ mat.T  # (n_corpus, n_query)
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(ids):
             mask = c_ids != qid
+            if labels is not None:
+                mask &= c_labels != labels[j]
             n_ids, s = c_ids[mask], sims[mask, j]
             # local top-k pre-prune BEFORE the groupby shuffle (same trick
             # as window.top_n_per_key): the global top-k under the

@@ -7511,6 +7511,92 @@ ORDER BY r.s_suppkey
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each query
+    embedding, the top-3 most-similar corpus vectors with a DIFFERENT
+    label (the near-miss examples a contrastive loss needs).  Same
+    broadcast-query matmul + per-batch top-k pre-prune as ``ann_topk``
+    (`functions/similarity.py` brute_force_topk) with the label
+    constraint applied inside the batch mask — exact, oracle-twinned."""
+    from ..functions.similarity import brute_force_topk
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    return brute_force_topk(emb, query_ids=list(range(10)), k=3, exclude_same_label=True)
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS raw_score
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id AND e.label != q.ql
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw_score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(raw_score, 4) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve — cumulative distinct token count over
+    doc_id-ordered corpus prefixes (the tokenizer-design op: how fast
+    the vocab saturates as the corpus grows).  Same exact linear
+    decomposition as ``cumulative_distinct_users``: distinct-over-prefix
+    collapses to per-token FIRST doc (one groupby-Min over batch-deduped
+    (term, doc) pairs), then per-doc new-token counts, then one
+    vectorized cumsum over the tiny first-appearance table (its
+    cardinality is bounded by vocab saturation, not the corpus).
+    Tokenization is the repo's SQL-twin whitespace split
+    (`functions/text.py` _split_tokens)."""
+    from ..functions.text import _split_tokens
+
+    def pairs(t: pa.Table) -> pa.Table:
+        parents, toks = _split_tokens(t)
+        doc = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)[parents]
+        return (
+            pa.table({"term": toks, "doc": pa.array(doc, pa.int64())})
+            .group_by(["term", "doc"])
+            .aggregate([])
+        )
+
+    first = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("doc", alias_name="fd"))
+    )
+    per_doc = first.groupby("fd").aggregate(Count(alias_name="n_new"))
+
+    def running(t: pa.Table) -> pa.Table:
+        b = t.column("fd").to_numpy(zero_copy_only=False)
+        n = t.column("n_new").to_numpy(zero_copy_only=False)
+        o = np.argsort(b)
+        return pa.table(
+            {
+                "first_doc": pa.array(b[o], pa.int64()),
+                "vocab_size": pa.array(np.cumsum(n[o]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    # first-appearance-cardinality table: one block for the ordered scan
+    return per_doc.repartition(1).map_batches(running, batch_format="pyarrow")
+
+
+SQL_VOCAB_GROWTH = """
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS term
+  FROM documents
+), f AS (SELECT term, min(doc) AS fd FROM words GROUP BY 1),
+d AS (SELECT fd AS first_doc, count(*) AS n_new FROM f GROUP BY 1)
+SELECT first_doc, CAST(sum(n_new) OVER (ORDER BY first_doc) AS BIGINT) AS vocab_size FROM d
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -7639,6 +7725,8 @@ QUERIES = {
     "returned_item_customers": q_returned_item_customers,
     "late_priority_counts": q_late_priority_counts,
     "top_supplier_revenue": q_top_supplier_revenue,
+    "hard_negatives": q_hard_negatives,
+    "vocab_growth": q_vocab_growth,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -7802,6 +7890,8 @@ ORACLES = {
     "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
     "late_priority_counts": SQL_LATE_PRIORITY_COUNTS,
     "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "vocab_growth": SQL_VOCAB_GROWTH,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3650,3 +3650,51 @@ class TestTopSupplierRevenue:
         out = q_top_supplier_revenue(str(tmp_path))
         assert out.num_rows == 0
         assert out.column_names == ["s_suppkey", "s_name", "total_revenue_c"]
+
+
+class TestHardNegatives:
+    def test_same_label_excluded(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.functions.similarity import brute_force_topk
+        import ray.data as rd
+
+        # query 0 (label 0): vec 1 is identical (label 0 -> excluded),
+        # vec 2 is orthogonal-ish but label 1 -> the only candidate
+        emb = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 1], pa.int32()),
+            }
+        )
+        pq.write_table(emb, tmp_path / "embeddings.parquet")
+        ds = rd.read_parquet(str(tmp_path / "embeddings.parquet"))
+        out = brute_force_topk(ds, query_ids=[0], k=3, exclude_same_label=True).to_pandas()
+        assert out["neighbor_id"].tolist() == [2]
+        assert out["rank"].tolist() == [1]
+        # without the constraint the identical same-label vector wins
+        base = brute_force_topk(ds, query_ids=[0], k=1).to_pandas()
+        assert base["neighbor_id"].tolist() == [1]
+
+
+class TestVocabGrowth:
+    def test_first_appearance_cumsum(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_vocab_growth
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                # doc0 introduces {a,b}; doc1 nothing new; doc2 {c};
+                # doc3 nothing new (whitespace-only tokens ignored)
+                "text": pa.array(["a b a", "b  a", "c a", " b c "]),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        out = q_vocab_growth(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [
+            {"first_doc": 0, "vocab_size": 2},
+            {"first_doc": 2, "vocab_size": 3},
+        ]
