@@ -3612,33 +3612,36 @@ LIMIT 100
 def q_supplier_variety(sf_dir: str):
     """COUNT(DISTINCT supplier) per (brand, size) — the TPC-H Q16 shape:
     a fact->dim join feeding a grouped distinct-count.  Distinct-count
-    does not partial-aggregate, so the shape is: collapse lineitem to
-    distinct (part, supplier) pairs FIRST (batch-local dedup, one
-    combiner groupby — the exchange carries pairs, not line items), hash
-    join the pair table to the part dim, dedupe (brand, size, supplier)
-    — several parts of one brand/size can share a supplier — and count."""
+    does not partial-aggregate, so the shape is: batch-local dedup of
+    (part, supplier) pairs at the scan (the join input carries pairs,
+    not line items), hash join to the part dim, then ONE
+    (brand, size)-keyed exchange whose reducer dedupes suppliers —
+    several parts of one brand/size can share a supplier — and counts
+    in-partition.  Two exchanges total; a global pair-distinct groupby
+    before the join would only remove cross-batch dupes at the cost of
+    a third all-to-all."""
     n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
-    pairs = (
-        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
-        .map_batches(
-            lambda t: pa.table(
-                {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
-            ).group_by(["l_partkey", "l_suppkey"]).aggregate([]),
-            batch_format="pyarrow",
+    pairs = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
         )
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]), batch_format="pyarrow")
-        .repartition(n_parts)  # scrub empty-partition blocks before the join
+        .group_by(["l_partkey", "l_suppkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
     )
     part_dim = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
     joined = pairs.join(part_dim, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
-    return (
-        joined.groupby(["p_brand", "p_size", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .groupby(["p_brand", "p_size"])
-        .aggregate(Count(alias_name="supplier_cnt"))
-    )
+
+    def count_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [df["p_brand"].iloc[0]],
+                "p_size": [df["p_size"].iloc[0]],
+                "supplier_cnt": np.array([df["l_suppkey"].nunique()], np.int64),
+            }
+        )
+
+    return joined.groupby(["p_brand", "p_size"]).map_groups(count_suppliers, batch_format="pandas")
 
 
 SQL_SUPPLIER_VARIETY = """
@@ -5376,6 +5379,10 @@ def q_revenue_by_nation(sf_dir: str):
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
+    # the per-customer groupby is load-bearing here (unlike the Q7/Q8
+    # chains): n_custs counts one row per customer, and the orders join
+    # partitions by ORDER key, so batch partials alone would leave a
+    # customer's rows spread across partitions and overcount
     cr = (
         lr.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
         .groupby("o_custkey")
