@@ -312,6 +312,8 @@ def main() -> None:
         "top_supplier_revenue",
         "hard_negatives",
         "vocab_growth",
+        "events_unpivot",
+        "source_checksum",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

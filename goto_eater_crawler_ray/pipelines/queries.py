@@ -7604,6 +7604,169 @@ SELECT first_doc, CAST(sum(n_new) OVER (ORDER BY first_doc) AS BIGINT) AS vocab_
 """
 
 
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT / melt (wide -> long): the inverse of ``events_pivot`` —
+    the per-user count matrix melts back to (user_id, event_type, n)
+    rows, zero cells dropped.  The melt itself is the interesting
+    operator: a stateless per-batch numpy repeat/tile over the wide
+    rows, embarrassingly parallel, no exchange beyond the pivot's own.
+    Round-trip property: unpivot(pivot(events)) == groupby counts."""
+    wide = q_events_pivot(sf_dir)
+    cols = [f"n_{c}" for c in EVENT_TYPES]
+    types_arr = np.array(EVENT_TYPES)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        users = np.repeat(t.column("user_id").to_numpy(zero_copy_only=False), len(cols))
+        types = np.tile(types_arr, n)
+        vals = np.stack([t.column(c).to_numpy(zero_copy_only=False) for c in cols], axis=1).reshape(-1)
+        keep = vals > 0
+        return pa.table(
+            {
+                "user_id": pa.array(users[keep], pa.int64()),
+                "event_type": pa.array(types[keep], pa.string()),
+                "n": pa.array(vals[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_EVENTS_UNPIVOT = """
+WITH p AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, replace(event_type, 'n_', '') AS event_type, n
+FROM (UNPIVOT p ON n_click, n_error, n_purchase, n_signup, n_view INTO NAME event_type VALUE n)
+WHERE n > 0
+"""
+
+
+def q_source_checksum(sf_dir: str):
+    """Order-independent per-source content checksum — the pipeline
+    data-integrity op (compare two runs / two engines / pre- and
+    post-migration copies without sorting anything): per row,
+    md5("doc_id:n_chars") reduced mod the Mersenne prime 2^31-1; per
+    source, the modular SUM of those row digests.  Modular addition is
+    a homomorphism (Σ(h mod M) mod M == (Σh) mod M), so batch partials
+    sum mod M locally and one bounded-domain groupby finishes —
+    order-, width- and partitioning-independent by construction.  The
+    md5 convention is the repo's sampler hash (`functions/sampling.py`
+    md5_u64 == DuckDB md5_number_upper)."""
+    from ..functions.sampling import md5_u64
+
+    M = 2_147_483_647  # 2^31 - 1: partial sums stay far from int64 overflow
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [f"{i}:{c}" for i, c in zip(ids, nch)]
+        h = (md5_u64(keys) % np.uint64(M)).astype(np.int64)
+        df = pd.DataFrame({"source": t.column("source").to_pandas(), "h": h})
+        g = df.groupby("source", as_index=False)["h"].sum()
+        g["h"] %= M
+        return pa.Table.from_pandas(g.assign(n_docs=df.groupby("source").size().to_numpy()), preserve_index=False)
+
+    agg = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars", "source"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("h", alias_name="h"), Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t.column("source"),
+                "checksum": pa.array(
+                    t.column("h").cast(pa.int64()).to_numpy(zero_copy_only=False) % M, pa.int64()
+                ),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SOURCE_CHECKSUM = """
+SELECT source,
+       CAST(sum(md5_number_upper(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR))
+                % 2147483647) % 2147483647 AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_events_anomaly_days(sf_dir: str):
+    """Aggregate-level outlier detection: days whose event count exceeds
+    mean + 2·stddev of the per-day counts.  The corpus collapses to the
+    tiny per-day count table (one combiner groupby); the threshold test
+    then runs driver-side in EXACT integer arithmetic — c > μ + 2σ
+    (sample stddev) is cross-multiplied to
+    ``d > 0 AND d²·(n−1) > 4·n·(n·S2 − S²)`` with ``d = n·c − S`` —
+    python bigints here, HUGEINT in the twin, so no float ever exists
+    on either engine."""
+    per_day = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "day": pc.divide(
+                        pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")), pa.int64()),
+                        86_400_000_000,
+                    ).cast(pa.int64())
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()  # |days| rows — bounded, the legal driver materialization
+    )
+    days = per_day["day"].to_numpy()
+    counts = [int(c) for c in per_day["n_events"]]
+    n, s, s2 = len(counts), sum(counts), sum(c * c for c in counts)
+    out_days, out_counts = [], []
+    if n >= 2:
+        for d_, c_ in zip(days, counts):
+            dd = n * c_ - s
+            if dd > 0 and dd * dd * (n - 1) > 4 * n * (n * s2 - s * s):
+                out_days.append(int(d_))
+                out_counts.append(c_)
+    order = np.argsort(out_days) if out_days else []
+    return pa.table(
+        {
+            "day": pa.array([out_days[i] for i in order], pa.int64()),
+            "n_events": pa.array([out_counts[i] for i in order], pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_ANOMALY_DAYS = """
+WITH d AS (
+  SELECT CAST(floor(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(n_events) AS HUGEINT) AS s,
+         CAST(sum(n_events * n_events) AS HUGEINT) AS s2
+  FROM d
+)
+SELECT d.day, d.n_events
+FROM d, st
+WHERE st.n >= 2
+  AND (st.n * d.n_events - st.s) > 0
+  AND (st.n * d.n_events - st.s) * (st.n * d.n_events - st.s) * (st.n - 1)
+      > 4 * st.n * (st.n * st.s2 - st.s * st.s)
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -7734,6 +7897,9 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "hard_negatives": q_hard_negatives,
     "vocab_growth": q_vocab_growth,
+    "events_unpivot": q_events_unpivot,
+    "source_checksum": q_source_checksum,
+    "events_anomaly_days": q_events_anomaly_days,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -7899,6 +8065,9 @@ ORACLES = {
     "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
+    "source_checksum": SQL_SOURCE_CHECKSUM,
+    "events_anomaly_days": SQL_EVENTS_ANOMALY_DAYS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3698,3 +3698,100 @@ class TestVocabGrowth:
             {"first_doc": 0, "vocab_size": 2},
             {"first_doc": 2, "vocab_size": 3},
         ]
+
+
+class TestEventsUnpivot:
+    def test_roundtrip_equals_group_counts(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_unpivot
+
+        ev = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["click", "click", "view", "error"]),
+            }
+        )
+        pq.write_table(ev, tmp_path / "events.parquet")
+        out = q_events_unpivot(str(tmp_path)).to_pandas().sort_values(["user_id", "event_type"])
+        # zero cells dropped; melt equals the long groupby counts
+        assert out.to_dict("records") == [
+            {"user_id": 1, "event_type": "click", "n": 2},
+            {"user_id": 1, "event_type": "view", "n": 1},
+            {"user_id": 2, "event_type": "error", "n": 1},
+        ]
+
+
+class TestSourceChecksum:
+    def test_order_and_partition_independent(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_source_checksum
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2], pa.int64()),
+                "n_chars": pa.array([30, 10, 20], pa.int64()),
+                "source": pa.array(["a", "a", "b"]),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        out1 = q_source_checksum(str(tmp_path)).to_pandas().set_index("source")
+        # same rows, different on-disk order -> identical checksums
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "n_chars": pa.array([10, 20, 30], pa.int64()),
+                    "source": pa.array(["a", "b", "a"]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out2 = q_source_checksum(str(tmp_path)).to_pandas().set_index("source")
+        assert out1["checksum"].to_dict() == out2["checksum"].to_dict()
+        assert out1["n_docs"].to_dict() == {"a": 2, "b": 1}
+        # a one-character content change flips the source's checksum
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "n_chars": pa.array([11, 20, 30], pa.int64()),
+                    "source": pa.array(["a", "b", "a"]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out3 = q_source_checksum(str(tmp_path)).to_pandas().set_index("source")
+        assert out3.loc["a", "checksum"] != out1.loc["a", "checksum"]
+        assert out3.loc["b", "checksum"] == out1.loc["b", "checksum"]
+
+
+class TestEventsAnomalyDays:
+    def test_exact_integer_threshold(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_anomaly_days
+
+        # 9 quiet days of 10 events + one day of 100: only the spike is
+        # > mean + 2*sd (mean=19, sd~28.5 -> threshold ~76)
+        days = []
+        for d in range(9):
+            days += [pd.Timestamp("2020-01-01") + pd.Timedelta(days=d, hours=h % 24) for h in range(10)]
+        days += [pd.Timestamp("2020-01-10") + pd.Timedelta(hours=h % 24) for h in range(100)]
+        pq.write_table(
+            pa.table({"ts": pa.array(days, pa.timestamp("us"))}), tmp_path / "events.parquet"
+        )
+        out = q_events_anomaly_days(str(tmp_path)).to_pandas()
+        spike_day = int(pd.Timestamp("2020-01-10").timestamp() // 86400)
+        assert out.to_dict("records") == [{"day": spike_day, "n_events": 100}]
+
+    def test_uniform_has_no_anomaly(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_anomaly_days
+
+        days = [pd.Timestamp("2020-01-01") + pd.Timedelta(days=d) for d in range(5)]
+        pq.write_table(pa.table({"ts": pa.array(days, pa.timestamp("us"))}), tmp_path / "events.parquet")
+        out = q_events_anomaly_days(str(tmp_path))
+        assert out.num_rows == 0
