@@ -4126,40 +4126,73 @@ def q_orders_exists_late_ship(sf_dir: str):
     """TPC-H Q4 shape — EXISTS semi-join: count orders per priority that
     have at least one lineitem shipped AFTER the order date.  The EXISTS
     collapses to an aggregate: EXISTS(l_shipdate > o_orderdate) ==
-    max(l_shipdate) > o_orderdate — so lineitem reduces to one
-    per-order Max (combiner groupby) BEFORE the single hash join, and
-    the timestamp comparison runs vectorized on int64 microseconds."""
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
-    mx = (
-        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-                    "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    max(l_shipdate) > o_orderdate.  ONE corpus-sized exchange (the
+    reduce-side union idiom, same as ``late_priority_counts``):
+    per-batch max-shipdate partials union with the order stream on
+    orderkey % P, each partition compares vectorized and emits
+    per-priority count partials; the final groupby moves a handful of
+    rows.  Timestamps compare as int64 microseconds."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(),
+            }
         )
-        .groupby("l_orderkey")
-        .aggregate(Max("ship_us", alias_name="max_ship_us"))
-        .repartition(n_parts)  # scrub empty-partition blocks before the join
+        g = df.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        g["odate_us"] = np.int64(-1)
+        g["o_orderpriority"] = ""
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow"
     )
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
         lambda t: pa.table(
             {
-                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "ship_us": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
                 "odate_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
                 "o_orderpriority": t.column("o_orderpriority"),
             }
         ),
         batch_format="pyarrow",
     )
-    j = mx.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        om = df[df["odate_us"] >= 0].set_index("l_orderkey")
+        mx = df[df["odate_us"] < 0].groupby("l_orderkey")["ship_us"].max()
+        mx = mx[mx.index.isin(om.index)]  # inner-join semantics
+        om = om.loc[mx.index]
+        late = mx.to_numpy() > om["odate_us"].to_numpy()
+        g = (
+            pd.DataFrame({"o_orderpriority": om["o_orderpriority"].to_numpy()[late]})
+            .groupby("o_orderpriority")
+            .size()
+            .reset_index(name="n_orders")
+        )
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g
+
     return (
-        j.map_batches(lambda t: t.filter(pc.greater(t["max_ship_us"], t["odate_us"])), batch_format="pyarrow")
+        li.union(orders)
+        .map_batches(part_key, batch_format="pyarrow")
+        .groupby("_op")
+        .map_groups(per_part, batch_format="pandas")
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .map_batches(
+            lambda t: pa.table(
+                {"o_orderpriority": t.column("o_orderpriority"), "n_orders": t.column("n_orders").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -7264,41 +7297,81 @@ GROUP BY 1, 2
 def q_returned_item_customers(sf_dir: str):
     """TPC-H Q10 shape — top-20 customers by revenue on RETURNED
     lineitems (l_returnflag = 'R') for orders placed in 1996Q1.
-    Aggregate-first: returned-line revenue collapses per ORDER before
-    the orders join and per CUSTOMER before ranking; the 20 winners are
-    decorated through the broadcast-keys distributed dim filter (the
+    Aggregate-first: returned-line revenue collapses per ORDER inside a
+    reduce-side union exchange with the window-filtered order stream
+    (the ``late_priority_counts`` idiom — the join never runs as its own
+    all-to-all), per-customer partials consolidate in one groupby with a
+    local top-20 pre-prune before the tiny sort, and the 20 winners
+    decorate through the broadcast-keys distributed dim filter (the
     q_top_customers shape — no corpus-sized table ever reaches the
     driver)."""
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
-    lr = (
-        rd.read_parquet(
-            _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        df = pd.DataFrame(
+            {
+                "l_orderkey": f.column("l_orderkey").cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "rev_c": _rev_c(f),
+            }
         )
-        .map_batches(
-            lambda t: (
-                lambda f: pa.table(
-                    {"l_orderkey": f.column("l_orderkey").cast(pa.int64()), "rev_c": pa.array(_rev_c(f), pa.int64())}
-                )
-            )(t.filter(pc.equal(t["l_returnflag"], "R"))),
-            batch_format="pyarrow",
-        )
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
-        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before the join
-    )
+        g = df.groupby("l_orderkey", as_index=False)["rev_c"].sum()
+        g["o_custkey"] = np.int64(-1)  # sentinel: lineitem-side row
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(li_partials, batch_format="pyarrow")
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
-                pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-04-01", "us"))),
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_orderkey": f.column("o_orderkey").cast(pa.int64()),
+                    "rev_c": pa.array(np.zeros(f.num_rows, np.int64), pa.int64()),
+                    "o_custkey": f.column("o_custkey").cast(pa.int64()),
+                }
             )
-        ).select(["o_orderkey", "o_custkey"]),
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                    pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-04-01", "us"))),
+                )
+            )
+        ),
         batch_format="pyarrow",
     )
-    top = (
-        lr.join(orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        om = df[df["o_custkey"] >= 0].set_index("l_orderkey")["o_custkey"]
+        lv = df[df["o_custkey"] < 0].groupby("l_orderkey")["rev_c"].sum()
+        lv = lv[lv.index.isin(om.index)]  # window filter via inner-join semantics
+        g = pd.DataFrame({"o_custkey": om.loc[lv.index].to_numpy(), "rev_c": lv.to_numpy()}).groupby(
+            "o_custkey", as_index=False
+        )["rev_c"].sum()
+        return pd.DataFrame({"o_custkey": g["o_custkey"].astype(np.int64), "revenue_c": g["rev_c"].astype(np.int64)})
+
+    totals = (
+        li.union(orders)
+        .map_batches(part_key, batch_format="pyarrow")
+        .groupby("_op")
+        .map_groups(per_part, batch_format="pandas")
         .groupby("o_custkey")
-        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # per-block top-20 pre-prune under the (revenue desc, custkey asc)
+        # total order — the global top-20 is contained in the union
+        df = t.to_pandas().sort_values(["revenue_c", "o_custkey"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        totals.map_batches(local_top, batch_format="pyarrow")
         .sort(["revenue_c", "o_custkey"], descending=[True, False])
         .limit(20)
         .to_pandas()  # 20 rows — the legal kind of driver materialization
