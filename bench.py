@@ -314,6 +314,9 @@ def main() -> None:
         "vocab_growth",
         "events_unpivot",
         "source_checksum",
+        "min_cost_supplier",
+        "important_stock",
+        "dominant_suppliers",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -7840,6 +7840,302 @@ WHERE st.n >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q20 over a DERIVED partsupp: the synthetic schema has no
+# partsupp table, so both engines derive the identical pair-level view from
+# lineitem — cost_c = min centi-price, qty = total shipped quantity per
+# (partkey, suppkey) — and the three queries' join/quantifier structure runs
+# unchanged on top of it.  With these, all 22 TPC-H query shapes exist.
+# ---------------------------------------------------------------------------
+
+
+def _derived_partsupp(sf_dir: str, n_parts: int):
+    """(l_partkey, l_suppkey, cost_c, qty) — one combiner groupby over
+    batch-local pair partials; the exchange carries pairs, not lines."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t.column("l_partkey").cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "cost_c": _half_away(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0),
+                "qty": _half_away(t.column("l_quantity").to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            cost_c=("cost_c", "min"), qty=("qty", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("cost_c", alias_name="cost_c"), Sum("qty", alias_name="qty"))
+        .repartition(n_parts)  # scrub zero-column empty aggregate blocks before joins
+    )
+
+
+SQL_DERIVED_PARTSUPP = """
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_c,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _nation_supplier_keys(sf_dir: str, nations: list[int]) -> pa.Array:
+    """Suppkeys of the given nations via the distributed broadcast filter
+    (supplier is corpus-scaled; only the matching keys reach the driver
+    — bounded by the nation's supplier share)."""
+    nk = pa.array(nations, pa.int64())
+    keys = (
+        rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {"k": t.filter(pc.is_in(t["s_nationkey"].cast(pa.int64()), value_set=nk)).column("s_suppkey").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if "k" not in keys.columns:  # all-empty result loses its schema (Ray empty-block quirk)
+        return pa.array([], pa.int64())
+    return pa.array(keys["k"].to_numpy(), pa.int64())
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — for each size-15 'gear' part, the EUROPE supplier
+    offering the MINIMUM derived cost, top-100 by (balance desc, …).
+    The correlated MIN subquery collapses to a per-part Min aggregate
+    joined back on equality; region membership broadcasts as a suppkey
+    filter (bounded by the region's supplier share); the ≤100 winners
+    decorate via the broadcast-keys dim filter."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    # EUROPE nation keys from the 25-row constant dims
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey", "n_name"])
+    region = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rmap = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    eu_nations = [r["n_nationkey"] for r in nation.to_pylist() if rmap[r["n_regionkey"]] == "EUROPE"]
+    eu_supps = _nation_supplier_keys(sf_dir, eu_nations)
+
+    target_parts = (
+        rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name", "p_size"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": t.filter(
+                        pc.and_(pc.match_substring(t["p_name"], "gear"), pc.equal(t["p_size"], 15))
+                    )
+                    .column("p_partkey")
+                    .cast(pa.int64())
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ps = _derived_partsupp(sf_dir, n_parts).map_batches(
+        lambda t: t.filter(pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=eu_supps)), batch_format="pyarrow"
+    )
+    ps = ps.join(target_parts, join_type="inner", num_partitions=max(2, n_parts // 4), on=("l_partkey",), right_on=("p_partkey",))
+
+    def min_per_part(df: pd.DataFrame) -> pd.DataFrame:
+        # per-part min cost + the winning suppliers at that cost, resolved
+        # in-partition (per-part rows are co-located by the groupby key)
+        m = df["cost_c"].min()
+        w = df[df["cost_c"] == m]
+        return pd.DataFrame(
+            {
+                "p_partkey": w["l_partkey"].astype(np.int64),
+                "s_suppkey": w["l_suppkey"].astype(np.int64),
+                "cost_c": w["cost_c"].astype(np.int64),
+            }
+        )
+
+    winners = ps.groupby("l_partkey").map_groups(min_per_part, batch_format="pandas").to_pandas()
+    if winners.empty:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "s_suppkey": pa.array([], pa.int64()),
+                "cost_c": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "bal_c": pa.array([], pa.int64()),
+                "nation_name": pa.array([], pa.string()),
+            }
+        )
+    keys = pa.array(winners["s_suppkey"].unique(), pa.int64())
+    supp = (
+        rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=keys)), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    supp["s_suppkey"] = supp["s_suppkey"].astype(np.int64)
+    supp["bal_c"] = _half_away(supp["s_acctbal"].to_numpy() * 100.0)
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()}
+    supp["nation_name"] = supp["s_nationkey"].map(nmap)
+    out = winners.merge(supp[["s_suppkey", "s_name", "bal_c", "nation_name"]], on="s_suppkey")
+    out = out.sort_values(
+        ["bal_c", "nation_name", "s_name", "p_partkey"], ascending=[False, True, True, True], kind="mergesort"
+    ).head(100)
+    return out[["p_partkey", "s_suppkey", "cost_c", "s_name", "bal_c", "nation_name"]].reset_index(drop=True)
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH ps AS ({SQL_DERIVED_PARTSUPP}),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c, n.n_name AS nation_name
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+                  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+tp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%' AND p_size = 15),
+cand AS (
+  SELECT ps.l_partkey AS p_partkey, ps.l_suppkey AS s_suppkey, ps.cost_c
+  FROM ps JOIN tp ON tp.p_partkey = ps.l_partkey
+          JOIN eu ON eu.s_suppkey = ps.l_suppkey
+),
+win AS (
+  SELECT c.* FROM cand c
+  WHERE c.cost_c = (SELECT min(c2.cost_c) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+)
+SELECT w.p_partkey, w.s_suppkey, w.cost_c, e.s_name, e.bal_c, e.nation_name
+FROM win w JOIN eu e ON e.s_suppkey = w.s_suppkey
+ORDER BY e.bal_c DESC, e.nation_name, e.s_name, w.p_partkey
+LIMIT 100
+"""
+
+
+def q_important_stock(sf_dir: str):
+    """TPC-H Q11 shape — parts whose derived stock value (Σ cost_c·qty
+    over one nation's suppliers) exceeds 1/10000 of that nation's total.
+    The scalar-subquery threshold is a one-scalar aggregate compared by
+    exact integer cross-multiply ``value_c * 10000 > total_c`` (python
+    bigints / HUGEINT — value products overflow int64 by design)."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    supps = _nation_supplier_keys(sf_dir, [7])
+
+    def pair_value(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=supps))
+        # cost_c·qty fits int64 comfortably (≤ 2^47 per pair); the
+        # 10000× threshold products run as python bigints below
+        v = f.column("cost_c").to_numpy(zero_copy_only=False) * f.column("qty").to_numpy(zero_copy_only=False)
+        return pa.table({"l_partkey": f.column("l_partkey"), "value_c": pa.array(v, pa.int64())})
+
+    per_part = (
+        _derived_partsupp(sf_dir, n_parts)
+        .map_batches(pair_value, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c", alias_name="value_c"))
+        .to_pandas()  # |parts-with-nation-7-suppliers| rows — dim-bounded
+    )
+    total = sum(int(v) for v in per_part["value_c"])
+    keep = [
+        (int(p), int(v)) for p, v in zip(per_part["l_partkey"], per_part["value_c"]) if int(v) * 10000 > total
+    ]
+    keep.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in keep], pa.int64()),
+            "value_c": pa.array([r[1] for r in keep], pa.int64()),
+        }
+    )
+
+
+SQL_IMPORTANT_STOCK = f"""
+WITH ps AS ({SQL_DERIVED_PARTSUPP}),
+nat AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7),
+pv AS (
+  SELECT ps.l_partkey AS p_partkey, CAST(sum(ps.cost_c * ps.qty) AS BIGINT) AS value_c
+  FROM ps JOIN nat ON nat.s_suppkey = ps.l_suppkey
+  GROUP BY 1
+)
+SELECT p_partkey, value_c FROM pv
+WHERE CAST(value_c AS HUGEINT) * 10000 > (SELECT CAST(sum(value_c) AS HUGEINT) FROM pv)
+ORDER BY value_c DESC, p_partkey
+"""
+
+
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — MAJOR suppliers of nation 7 for 'gear' parts:
+    their derived pair volume exceeds a tenth of the part's total
+    shipped volume (the availqty-threshold quantifier adapted to the
+    derived view; the synthetic data spreads parts near-uniformly over
+    many suppliers, so a majority threshold would be vacuous).  Per-part totals ride with the pairs through ONE
+    (partkey)-keyed map_groups — in-partition by construction — and the
+    qualifying supplier set dedups in a bounded groupby before the
+    broadcast-keys name decorate."""
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    supps = _nation_supplier_keys(sf_dir, [7])
+    gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    ps = _derived_partsupp(sf_dir, n_parts).join(
+        gears, join_type="inner", num_partitions=max(2, n_parts // 4), on=("l_partkey",), right_on=("p_partkey",)
+    )
+    supp_set = set(supps.to_pylist())
+
+    def dominant(df: pd.DataFrame) -> pd.DataFrame:
+        # the part's FULL volume needs every supplier's qty — co-located
+        # here by the groupby — while only nation-7 pairs can qualify
+        tot = df["qty"].sum()
+        w = df[df["l_suppkey"].isin(supp_set) & (10 * df["qty"] > tot)]
+        return pd.DataFrame({"s_suppkey": w["l_suppkey"].astype(np.int64)})
+
+    q = (
+        ps.groupby("l_partkey")
+        .map_groups(dominant, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="n_parts_dominated"))
+        .to_pandas()  # ≤|nation-7 suppliers| rows
+    )
+    if q.empty:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "n_parts_dominated": pa.array([], pa.int64()),
+            }
+        )
+    keys = pa.array(q["s_suppkey"].to_numpy(), pa.int64())
+    supp = (
+        rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=keys)), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    supp["s_suppkey"] = supp["s_suppkey"].astype(np.int64)
+    out = q.merge(supp, on="s_suppkey").sort_values("s_suppkey", kind="mergesort")
+    out["n_parts_dominated"] = out["n_parts_dominated"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "n_parts_dominated"]].reset_index(drop=True)
+
+
+SQL_DOMINANT_SUPPLIERS = f"""
+WITH ps AS ({SQL_DERIVED_PARTSUPP}),
+gear AS (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'),
+gp AS (SELECT ps.* FROM ps JOIN gear g ON g.p_partkey = ps.l_partkey),
+tot AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot_qty FROM gp GROUP BY 1),
+q AS (
+  SELECT gp.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+  FROM gp JOIN tot ON tot.l_partkey = gp.l_partkey
+          JOIN supplier s ON s.s_suppkey = gp.l_suppkey
+  WHERE s.s_nationkey = 7 AND 10 * gp.qty > tot.tot_qty
+  GROUP BY 1
+)
+SELECT q.s_suppkey, s.s_name, q.n_parts_dominated
+FROM q JOIN supplier s ON s.s_suppkey = q.s_suppkey
+ORDER BY q.s_suppkey
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -7973,6 +8269,9 @@ QUERIES = {
     "events_unpivot": q_events_unpivot,
     "source_checksum": q_source_checksum,
     "events_anomaly_days": q_events_anomaly_days,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_stock": q_important_stock,
+    "dominant_suppliers": q_dominant_suppliers,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -8141,6 +8440,9 @@ ORACLES = {
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "source_checksum": SQL_SOURCE_CHECKSUM,
     "events_anomaly_days": SQL_EVENTS_ANOMALY_DAYS,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "important_stock": SQL_IMPORTANT_STOCK,
+    "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3795,3 +3795,156 @@ class TestEventsAnomalyDays:
         pq.write_table(pa.table({"ts": pa.array(days, pa.timestamp("us"))}), tmp_path / "events.parquet")
         out = q_events_anomaly_days(str(tmp_path))
         assert out.num_rows == 0
+
+
+class TestMinCostSupplier:
+    def test_min_cost_with_tie_and_region_filter(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_min_cost_supplier
+
+        _write_nation_region(tmp_path)  # N0->AFRICA, N1/N7->ASIA... no EUROPE yet
+        # extend: nation 1 mapped to EUROPE for this test
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int64()),
+                    "n_name": pa.array(["N0", "N1"]),
+                    "n_regionkey": pa.array([0, 3], pa.int32()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        pq.write_table(
+            pa.table({"r_regionkey": pa.array([0, 3], pa.int64()), "r_name": pa.array(["AFRICA", "EUROPE"])}),
+            tmp_path / "region.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_name": pa.array(["hot gear", "hot gear"]),
+                    "p_size": pa.array([15, 7], pa.int32()),  # part 2 wrong size
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                    "s_name": pa.array(["s1", "s2", "s3"]),
+                    "s_nationkey": pa.array([1, 1, 0], pa.int32()),  # s3 not EUROPE
+                    "s_acctbal": pa.array([50.0, 90.0, 10.0], pa.float64()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        # part 1: s1 min price 100 (TIE with s2), s3 cheaper (50) but non-EU
+        li = pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 1, 1, 2],
+                "l_suppkey": [1, 1, 2, 3, 1],
+                "l_extendedprice": [100.0, 120.0, 100.0, 50.0, 5.0],
+                "l_quantity": [1.0] * 5,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_min_cost_supplier(str(tmp_path))
+        # both tie-winners, ordered by balance desc
+        assert out.to_dict("records") == [
+            {"p_partkey": 1, "s_suppkey": 2, "cost_c": 10000, "s_name": "s2", "bal_c": 9000, "nation_name": "N1"},
+            {"p_partkey": 1, "s_suppkey": 1, "cost_c": 10000, "s_name": "s1", "bal_c": 5000, "nation_name": "N1"},
+        ]
+
+
+class TestImportantStock:
+    def test_threshold_cross_multiply(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_important_stock
+
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1, 2], pa.int64()), "s_nationkey": pa.array([7, 0], pa.int32())}),
+            tmp_path / "supplier.parquet",
+        )
+        # nation-7 pairs: part1 value 100*10=1000c*... part1: price 1.0 qty 10 -> 100c*10=1000
+        # part2: price 1.0 qty 1 -> 100; total 1100; threshold value*10000>1100
+        # both pass (1000*10000 and 100*10000 > 1100) — verify ordering too;
+        # supplier 2's pair ignored
+        li = pd.DataFrame(
+            {
+                "l_partkey": [1, 2, 3],
+                "l_suppkey": [1, 1, 2],
+                "l_extendedprice": [1.0, 1.0, 9.0],
+                "l_quantity": [10.0, 1.0, 9.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_important_stock(str(tmp_path)).to_pandas()
+        assert out.to_dict("records") == [
+            {"p_partkey": 1, "value_c": 1000},
+            {"p_partkey": 2, "value_c": 100},
+        ]
+
+
+class TestDominantSuppliers:
+    def test_volume_share_threshold(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_dominant_suppliers
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_name": pa.array(["hot gear", "red widget"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                    "s_name": pa.array(["s1", "s2", "s3"]),
+                    "s_nationkey": pa.array([7, 7, 0], pa.int32()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        # gear part 1 volumes: s1=50, s2=5, s3=45 (total 100).
+        # >10% passes: s1 (50) and s3 (45) — but s3 isn't nation 7.
+        # s2 (5%) fails. widget part 2 excluded by the name filter.
+        li = pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 1, 2],
+                "l_suppkey": [1, 2, 3, 2],
+                "l_extendedprice": [1.0] * 4,
+                "l_quantity": [50.0, 5.0, 45.0, 99.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_dominant_suppliers(str(tmp_path))
+        assert out.to_dict("records") == [{"s_suppkey": 1, "s_name": "s1", "n_parts_dominated": 1}]
+
+    def test_empty_when_no_qualifier(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_dominant_suppliers
+
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([1], pa.int64()), "p_name": pa.array(["hot gear"])}),
+            tmp_path / "part.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {"s_suppkey": pa.array([1], pa.int64()), "s_name": pa.array(["s1"]), "s_nationkey": pa.array([0], pa.int32())}
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        li = pd.DataFrame({"l_partkey": [1], "l_suppkey": [1], "l_extendedprice": [1.0], "l_quantity": [1.0]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_dominant_suppliers(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == ["s_suppkey", "s_name", "n_parts_dominated"]

@@ -29,6 +29,8 @@ def to_pandas(result) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
+    if df.empty:  # apply() on an empty frame returns a DataFrame, not a Series
+        return hashlib.md5(b"").hexdigest()
     rows = df.astype(str).apply(lambda r: "|".join(r.values), axis=1).tolist()
     rows.sort()
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
