@@ -317,6 +317,7 @@ def main() -> None:
         "min_cost_supplier",
         "important_stock",
         "dominant_suppliers",
+        "doc_fluency",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

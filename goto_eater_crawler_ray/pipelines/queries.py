@@ -8136,6 +8136,123 @@ ORDER BY q.s_suppkey
 """
 
 
+def q_doc_fluency(sf_dir: str, max_vocab: int = 4_000_000):
+    """Corpus-LM fluency scoring — the perplexity-filter shape of a
+    training-data pipeline (train an n-gram LM on the corpus, score
+    every document, drop the gibberish tail) with EXACT cross-engine
+    arithmetic: per adjacent token pair, the add-one-smoothed bigram
+    probability ``(c_bigram+1)/(c_context+V)`` scaled to ppm — division
+    and multiplication are correctly-rounded IEEE ops, so the doubles
+    agree bit-for-bit where a transcendental log (true perplexity)
+    would not — and per doc the mean term, both roundings shared with
+    the twin.  Shape: two count groupbys train the LM; the count tables
+    (vocabulary-scale, HARD-GATED by ``max_vocab``) broadcast once via
+    ``ray.put``; scoring is a stateless pass — a doc's pairs live
+    inside its own batch row, so per-doc sums are batch-local and no
+    scoring exchange exists.  Docs with < 2 tokens have no bigrams and
+    are excluded (mirrored by the twin's join)."""
+    import ray
+
+    from ..functions.text import _split_tokens
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        parents, toks = _split_tokens(t)
+        tk = toks.to_numpy(zero_copy_only=False)
+        same = parents[1:] == parents[:-1]  # adjacent within the same doc
+        df = pd.DataFrame({"w1": tk[:-1][same], "w2": tk[1:][same]})
+        g = df.groupby(["w1", "w2"], as_index=False).size().rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    big = docs.map_batches(pair_partials, batch_format="pyarrow").groupby(["w1", "w2"]).aggregate(
+        Sum("c", alias_name="c")
+    )
+    n_big = big.count()
+    if n_big > max_vocab:
+        raise ValueError(
+            f"doc_fluency: {n_big} distinct bigrams exceeds max_vocab={max_vocab}; "
+            "swap the broadcast for a distributed join of pairs on (w1, w2)"
+        )
+    big_pd = big.to_pandas()  # vocabulary-scale (gated), NOT corpus-scale
+    # context counts and V derive from the same bigram table (tiny, local)
+    uni_pd = big_pd.groupby("w1", as_index=False)["c"].sum()
+    v_total = int(
+        docs.map_batches(
+            lambda t: pa.table({"term": _split_tokens(t)[1]}).group_by("term").aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Count(alias_name="_n"))
+        .count()
+    )
+    key_arr = pa.array((big_pd["w1"] + "\x00" + big_pd["w2"]).to_numpy(), pa.string())
+    cb_arr = big_pd["c"].to_numpy().astype(np.int64)
+    uni_key = pa.array(uni_pd["w1"].to_numpy(), pa.string())
+    cu_arr = uni_pd["c"].to_numpy().astype(np.int64)
+    ref = ray.put((key_arr, cb_arr, uni_key, cu_arr))
+
+    def score(t: pa.Table) -> pa.Table:
+        kb, cb, ku, cu = ray.get(ref)
+        parents, toks = _split_tokens(t)
+        tk = toks.to_numpy(zero_copy_only=False)
+        same = parents[1:] == parents[:-1]
+        p_doc = parents[:-1][same]
+        w1, w2 = tk[:-1][same], tk[1:][same]
+        if len(w1) == 0:  # batch of bigram-less docs: nothing to score
+            return pa.table({"doc_id": pa.array([], pa.int64()), "fluency_ppm": pa.array([], pa.int64())})
+        bi = pc.fill_null(
+            pc.index_in(
+                pa.array(np.char.add(np.char.add(w1.astype(str), "\x00"), w2.astype(str)), pa.string()),
+                value_set=kb,
+            ),
+            -1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        un = pc.fill_null(pc.index_in(pa.array(w1, pa.string()), value_set=ku), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        c_b = np.where(bi >= 0, cb[bi], 0).astype(np.float64)
+        c_u = np.where(un >= 0, cu[un], 0).astype(np.float64)
+        term = _half_away(1e6 * (c_b + 1.0) / (c_u + float(v_total)))
+        n = t.num_rows
+        sums = np.bincount(p_doc, weights=term, minlength=n).astype(np.int64)
+        cnts = np.bincount(p_doc, minlength=n).astype(np.int64)
+        keep = cnts > 0
+        flu = _half_away(sums[keep].astype(np.float64) / cnts[keep])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()).filter(pa.array(keep)),
+                "fluency_ppm": pa.array(flu, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DOC_FLUENCY = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM big GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n
+      FROM (SELECT unnest(t) AS term FROM toks)),
+terms AS (
+  SELECT p.doc_id,
+         CAST(round(1e6 * (b.c + 1) / (u.c + v.n)) AS BIGINT) AS term
+  FROM pairs p
+  JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN uni u ON u.w1 = p.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(round(CAST(sum(term) AS DOUBLE) / count(*)) AS BIGINT) AS fluency_ppm
+FROM terms GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -8272,6 +8389,7 @@ QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "important_stock": q_important_stock,
     "dominant_suppliers": q_dominant_suppliers,
+    "doc_fluency": q_doc_fluency,
     "media_frames": q_media_frames,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -8443,6 +8561,7 @@ ORACLES = {
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "important_stock": SQL_IMPORTANT_STOCK,
     "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
+    "doc_fluency": SQL_DOC_FLUENCY,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -3948,3 +3948,24 @@ class TestDominantSuppliers:
         out = q_dominant_suppliers(str(tmp_path))
         assert out.num_rows == 0
         assert out.column_names == ["s_suppkey", "s_name", "n_parts_dominated"]
+
+
+class TestDocFluency:
+    def test_smoothed_bigram_terms(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_fluency
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                # corpus bigrams: (a,b) x3, (b,a) x1; contexts a:3 b:1; V=3 (a,b,z)
+                "text": pa.array(["a b a b", "a b", "z"]),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        out = q_doc_fluency(str(tmp_path)).to_pandas().set_index("doc_id")["fluency_ppm"]
+        # doc0 terms: (a,b)=round(1e6*4/6)=666667, (b,a)=round(1e6*2/4)=500000,
+        # (a,b)=666667 -> mean round(1833334/3)=611111
+        # doc1: single (a,b) term -> 666667; doc2: no bigram -> excluded
+        assert out.to_dict() == {0: 611111, 1: 666667}
