@@ -140,6 +140,12 @@ def q_top_customers(sf_dir: str):
         .map_batches(lambda t: _int_scale_col(t, "total_spent", 100), batch_format="pyarrow")
         .to_pandas()  # 10 rows — the legal kind of driver materialization
     )
+    if top.empty:  # empty orders: the all-empty result loses its schema
+        return pd.DataFrame(
+            {c: pd.Series(dtype=d) for c, d in
+             [("o_custkey", "int64"), ("total_spent", "int64"), ("n_orders", "int64"),
+              ("c_name", "object"), ("nation_name", "object")]}
+        )
 
     keys = pa.array(top["o_custkey"].to_numpy(), pa.int64())
     cust = (

@@ -3969,3 +3969,32 @@ class TestDocFluency:
         # (a,b)=666667 -> mean round(1833334/3)=611111
         # doc1: single (a,b) term -> 666667; doc2: no bigram -> excluded
         assert out.to_dict() == {0: 611111, 1: 666667}
+
+
+class TestTopCustomersEmpty:
+    def test_empty_orders_keeps_schema(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_top_customers
+
+        pq.write_table(
+            pa.table({"o_custkey": pa.array([], pa.int64()), "o_totalprice": pa.array([], pa.float64())}),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1], pa.int64()),
+                    "c_name": pa.array(["c1"]),
+                    "c_nationkey": pa.array([0], pa.int32()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table({"n_nationkey": pa.array([0], pa.int64()), "n_name": pa.array(["N0"])}),
+            tmp_path / "nation.parquet",
+        )
+        out = q_top_customers(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == ["o_custkey", "total_spent", "n_orders", "c_name", "nation_name"]
