@@ -237,6 +237,24 @@ ORDER BY n_chars DESC, doc_id LIMIT 100
 """
 
 
+def q_sorted_page(sf_dir: str):
+    """LIMIT/OFFSET pagination (page 2 of the sorted export, rows
+    101-200): the range-shuffle sort stops at limit(offset+page), and
+    the offset slice is a driver-side skip of the 200-row result — the
+    only sound distributed shape, since OFFSET is defined by the global
+    order and the prefix must exist somewhere; nothing corpus-sized
+    leaves the sort."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    page = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(200).to_pandas()
+    return page.iloc[100:200].reset_index(drop=True)
+
+
+SQL_SORTED_PAGE = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100 OFFSET 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # events (stream-shaped: windows, top-k per key, json props)
 # ---------------------------------------------------------------------------
@@ -8266,6 +8284,7 @@ QUERIES = {
     "region_customer_counts": q_region_customer_counts,
     "parts_by_brand": q_parts_by_brand,
     "sorted_topn": q_sorted_topn,
+    "sorted_page": q_sorted_page,
     "events_hourly": q_events_hourly,
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
@@ -8430,6 +8449,7 @@ ORACLES = {
     "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "sorted_topn": SQL_SORTED_TOPN,
+    "sorted_page": SQL_SORTED_PAGE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_funnel": SQL_EVENTS_FUNNEL,

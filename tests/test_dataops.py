@@ -3998,3 +3998,23 @@ class TestTopCustomersEmpty:
         out = q_top_customers(str(tmp_path))
         assert len(out) == 0
         assert list(out.columns) == ["o_custkey", "total_spent", "n_orders", "c_name", "nation_name"]
+
+
+class TestSortedPage:
+    def test_offset_slice_of_global_order(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_sorted_page
+
+        # 150 docs, n_chars descending by construction: page 2 is doc_ids 100..149
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(150)), pa.int64()),
+                "lang": pa.array(["en"] * 150),
+                "n_chars": pa.array([1000 - i for i in range(150)], pa.int64()),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        out = q_sorted_page(str(tmp_path))
+        assert out["doc_id"].tolist() == list(range(100, 150))
+        assert out["n_chars"].iloc[0] == 900
