@@ -708,6 +708,10 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partiti
     labels = (
         edges.groupby("node")
         .aggregate(Min("peer", alias_name="min_peer"))
+        # scrub the aggregate's zero-column empty blocks (they bypass
+        # map_batches and poison the round-1 join when the node domain
+        # is smaller than the aggregate's partition count)
+        .repartition(num_partitions)
         .map_batches(
             lambda t: pa.table(
                 {"node": t.column("node"), "label": pc.min_element_wise(t.column("node"), t.column("min_peer"))}
@@ -724,7 +728,10 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 25, num_partiti
             lambda t: pa.table({"node": t.column("peer"), "label": t.column("label")}), batch_format="pyarrow"
         )
         new_labels = (
-            msgs.union(labels).groupby("node").aggregate(Min("label", alias_name="label"))
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)  # zero-column empty-block scrub before the jump join
         )
         # pointer jump: label <- label(label)
         ltab = new_labels.map_batches(
