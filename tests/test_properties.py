@@ -169,3 +169,95 @@ class TestSampleTopkPerGroupProperty:
             for rank, (_, r) in enumerate(sub.iterrows(), start=1):
                 want.add((g, int(r["id"]), rank))
         assert got_set == want
+
+
+class TestHeavyHitterExactnessProperty:
+    @settings(max_examples=3, deadline=None, derandomize=True)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["t0", "t1", "t2", "t3", "t4", "t5"]), min_size=0, max_size=10).map(" ".join),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_matches_global_counts(self, ray_session, texts):
+        from collections import Counter
+
+        from goto_eater_crawler_ray.functions.text import heavy_hitter_topk
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": pa.array(texts)})
+        )
+        got = heavy_hitter_topk(docs, k=3, capacity=4).to_pandas()
+        counts = Counter(w for t in texts for w in t.split() if w)
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got_pairs = list(zip(got.iloc[:, 0], got.iloc[:, 1])) if not got.empty else []
+        assert [(t, int(c)) for t, c in got_pairs] == [(t, c) for t, c in want]
+
+
+class TestFunnelStagesProperty:
+    @settings(max_examples=4, deadline=None, derandomize=True)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50), st.sampled_from(["view", "click", "purchase", "other"])),
+            min_size=1,
+            max_size=30,
+        ).map(lambda rows: list({(k, ts): (k, ts, e) for k, ts, e in rows}.values()))  # unique (key, ts)
+    )
+    def test_matches_sequential_reference(self, ray_session, rows):
+        from goto_eater_crawler_ray.functions.window import funnel_stages
+
+        steps = ["view", "click", "purchase"]
+        df = pd.DataFrame({"user_id": [k for k, _, _ in rows], "ts": [t for _, t, _ in rows], "event_type": [e for _, _, e in rows]})
+        ds = rd.from_arrow(pa.Table.from_pandas(df.assign(ts=df["ts"].astype(np.int64)), preserve_index=False))
+        got = funnel_stages(ds, "user_id", "ts", "event_type", steps).to_pandas()
+
+        want = {}
+        for k, sub in df.groupby("user_id"):
+            stage, prev_ts = 0, -np.inf
+            for step in steps:
+                cand = sub[(sub["event_type"] == step) & (sub["ts"] > prev_ts)]["ts"]
+                if cand.empty:
+                    break
+                stage += 1
+                prev_ts = cand.min()
+            want[k] = stage
+        got_map = dict(zip(got["user_id"], got["funnel_stage"]))
+        # reference counts only users present in the output contract
+        assert {k: v for k, v in got_map.items() if k in want} == {k: v for k, v in want.items() if k in got_map}
+        assert set(got_map) == set(want)
+
+
+class TestRollingMeanProperty:
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(
+        st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=25)
+    )
+    def test_matches_pandas_rolling(self, ray_session, rows):
+        from goto_eater_crawler_ray.functions.window import rolling_mean_per_key
+
+        df = pd.DataFrame(
+            {
+                "k": [k for k, _ in rows],
+                "o": np.arange(len(rows), dtype=np.int64),
+                "v": [float(v) for _, v in rows],
+            }
+        )
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        got = (
+            rolling_mean_per_key(ds, key_col="k", order_cols=["o"], value_col="v", window=3, n_key_parts=4)
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+        exp = (
+            ref.groupby("k")["v"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+            .to_numpy()
+        )
+        # same half-away centi-scaling as the implementation
+        exp_c = (np.sign(exp) * np.floor(np.abs(exp) * 100.0 + 0.5)).astype(np.int64)
+        assert got["mov_avg_c"].tolist() == exp_c.tolist()
