@@ -261,3 +261,68 @@ class TestRollingMeanProperty:
         # same half-away centi-scaling as the implementation
         exp_c = (np.sign(exp) * np.floor(np.abs(exp) * 100.0 + 0.5)).astype(np.int64)
         assert got["mov_avg_c"].tolist() == exp_c.tolist()
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistancePairsProperty:
+    @settings(max_examples=4, deadline=None, derandomize=True)
+    @given(
+        st.lists(st.text(alphabet="abc", min_size=0, max_size=5), min_size=1, max_size=12)
+    )
+    def test_matches_quadratic_levenshtein(self, ray_session, texts):
+        from goto_eater_crawler_ray.functions.dedup import edit_distance_pairs
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": pa.array(texts)})
+        )
+        got = edit_distance_pairs(docs, prefix_len=8).to_pandas()
+        got_pairs = (
+            {} if got.empty else {(min(a, b), max(a, b)): int(d) for a, b, d in zip(got["a_id"], got["b_id"], got["dist"])}
+        )
+        want = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                d = _lev(texts[i].lower()[:8], texts[j].lower()[:8])
+                if d <= 1:
+                    want[(i, j)] = d
+        assert got_pairs == want
+
+
+class TestPrefixSumPackProperty:
+    @settings(max_examples=4, deadline=None, derandomize=True)
+    @given(
+        st.lists(st.integers(0, 20), min_size=1, max_size=25),
+        st.integers(3, 16),
+    )
+    def test_offsets_and_seq_ids(self, ray_session, lengths, seq_len):
+        from goto_eater_crawler_ray.functions.scan import pack_sequences
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(lengths))), pa.int64()),
+                    "n_tokens": pa.array(lengths, pa.int64()),
+                }
+            )
+        )
+        got = (
+            pack_sequences(ds, "doc_id", "n_tokens", seq_len=seq_len, n_parts=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1])).astype(np.int64)
+        assert got["start_offset"].tolist() == starts.tolist()
+        assert got["seq_id"].tolist() == (starts // seq_len).tolist()
