@@ -318,6 +318,7 @@ def main() -> None:
         "important_stock",
         "dominant_suppliers",
         "doc_fluency",
+        "supplier_pagerank",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -140,3 +140,89 @@ def _pagerank_local(edges, damping: float, n_iter: int):
         s = np.bincount(di, weights=contrib, minlength=n)
         rank = base + damping * s
     return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()), "rank": pa.array(rank, pa.float64())}))
+
+
+def pagerank_exact(edges_ds, damping: float = 0.85, n_iter: int = 5, num_partitions: int | None = None):
+    """EXACT-arithmetic PageRank: ranks are nano-unit int64 and every
+    iteration rounds each edge contribution to an integer BEFORE the
+    sum — integer addition is order-independent, so the result is
+    bit-identical across partitionings, widths, AND engines, which is
+    what makes this variant SQL-ORACLE-PINNABLE (an unrolled CTE chain
+    evaluating the token-identical ``round(0.85 * r / outdeg)``) where
+    the float :func:`pagerank` is only pytest-pinned to 1e-9.
+
+    Requires a graph with NO dangling nodes (every node has out-degree
+    ≥ 1 — e.g. any bidirectional edge list); raises otherwise, because
+    the dangling-mass term would need a per-iteration scalar that the
+    unrolled SQL twin can't express without aggregates-in-recursion.
+    Same per-iteration shape as :func:`pagerank`: one hash join
+    (edges ⋈ ranks on src), one groupby-Sum (contributions to dst),
+    one join back to the static node table."""
+    from ray.data.aggregate import Min, Sum
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(n_edges)
+
+    def srcs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src").cast(pa.int64()), "out": pa.array(np.ones(t.num_rows, np.int64))})
+
+    def dsts(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("dst").cast(pa.int64()), "out": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    nodes = (
+        edges.map_batches(srcs, batch_format="pyarrow")
+        .union(edges.map_batches(dsts, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("out", alias_name="outdeg"))
+        .repartition(num_partitions)  # zero-column empty-block scrub before the per-iteration joins
+        .materialize()
+    )
+    if nodes.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "rank_nano": pa.array([], pa.int64())}))
+    if int(nodes.aggregate(Min("outdeg", alias_name="m"))["m"]) == 0:
+        raise ValueError("pagerank_exact requires a dangling-free graph (every node with out-degree >= 1)")
+
+    BASE = int(np.floor((1.0 - damping) * 1e9 + 0.5))  # 150_000_000 at d=0.85
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank_nano", pa.array(np.full(t.num_rows, 1_000_000_000, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iter):
+        hop = edges.join(ranks, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank_nano").to_numpy(zero_copy_only=False).astype(np.float64)
+            od = t.column("outdeg").to_numpy(zero_copy_only=False).astype(np.float64)
+            # token-identical to the twin: round(0.85 * r / outdeg), the
+            # two IEEE ops are correctly rounded so the doubles agree
+            c = np.sign(r) * np.floor(np.abs(damping * r / od) + 0.5)
+            return pa.table({"node": t.column("dst").cast(pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())})
+
+        sums = (
+            hop.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+            .repartition(num_partitions)  # empty-block scrub before the node join
+        )
+        ranks = (
+            nodes.join(sums, join_type="inner", num_partitions=num_partitions, on=("node",))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node").cast(pa.int64()),
+                        "outdeg": t.column("outdeg").cast(pa.int64()),
+                        "rank_nano": pa.array(
+                            BASE + t.column("s").to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks.drop_columns(["outdeg"])

@@ -7701,6 +7701,104 @@ SELECT first_doc, CAST(sum(n_new) OVER (ORDER BY first_doc) AS BIGINT) AS vocab_
 """
 
 
+def q_supplier_pagerank(sf_dir: str):
+    """ORACLE-PINNED distributed PageRank — the iterative graph algorithm
+    made hash-checkable: ranks are nano-unit int64 and every edge
+    contribution rounds BEFORE the sum (`functions/graph.py`
+    pagerank_exact), so integer addition's order-independence makes the
+    result bit-identical across partitionings, widths and engines, and
+    the DuckDB twin is a 5-iteration unrolled CTE chain evaluating the
+    token-identical formula.  Graph: the bidirectional 'gear'-part ↔
+    supplier incidence graph from lineitem (node id = 2·partkey for
+    parts, 2·suppkey+1 for suppliers; bidirectional ⇒ dangling-free by
+    construction).  Output: top-20 suppliers by rank."""
+    from ..functions.graph import pagerank_exact
+
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
+        )
+        .group_by(["l_partkey", "l_suppkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .repartition(n_parts)  # zero-column empty-block scrub
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([2 * p, 2 * s + 1]), pa.int64()),
+                "dst": pa.array(np.concatenate([2 * s + 1, 2 * p]), pa.int64()),
+            }
+        )
+
+    ranks = pagerank_exact(pairs.map_batches(both_ways, batch_format="pyarrow"), n_iter=5)
+    supps = ranks.map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "s_suppkey": pc.divide(pc.subtract(f["node"], 1), 2).cast(pa.int64()),
+                    "rank_nano": f.column("rank_nano").cast(pa.int64()),
+                }
+            )
+        )(t.filter(pc.equal(pc.bit_wise_and(t["node"], 1), 1))),
+        batch_format="pyarrow",
+    )
+    return supps.sort(["rank_nano", "s_suppkey"], descending=[True, False]).limit(20)
+
+
+def _supplier_pagerank_sql(n_iter: int = 5) -> str:
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""pr{i} AS (
+  SELECT n.node, n.outdeg,
+         CAST(150000000 + sum(CAST(round(0.85 * p.r / p.outdeg) AS BIGINT)) AS BIGINT) AS r
+  FROM nodes n JOIN edges e ON e.dst = n.node
+               JOIN {prev} p ON p.node = e.src
+  GROUP BY 1, 2
+)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
+  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+  WHERE pt.p_name LIKE '%gear%'
+),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1, 2 * p FROM pairs
+),
+nodes AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+pr0 AS (SELECT node, outdeg, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+{chain}
+SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, r AS rank_nano
+FROM {prev} WHERE node % 2 = 1
+ORDER BY r DESC, s_suppkey LIMIT 20
+"""
+
+
+SQL_SUPPLIER_PAGERANK = _supplier_pagerank_sql()
+
+
 def q_events_unpivot(sf_dir: str):
     """UNPIVOT / melt (wide -> long): the inverse of ``events_pivot`` —
     the per-user count matrix melts back to (user_id, event_type, n)
@@ -8408,6 +8506,7 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "hard_negatives": q_hard_negatives,
     "vocab_growth": q_vocab_growth,
+    "supplier_pagerank": q_supplier_pagerank,
     "events_unpivot": q_events_unpivot,
     "source_checksum": q_source_checksum,
     "events_anomaly_days": q_events_anomaly_days,
@@ -8581,6 +8680,7 @@ ORACLES = {
     "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "supplier_pagerank": SQL_SUPPLIER_PAGERANK,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "source_checksum": SQL_SOURCE_CHECKSUM,
     "events_anomaly_days": SQL_EVENTS_ANOMALY_DAYS,

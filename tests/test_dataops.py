@@ -4018,3 +4018,52 @@ class TestSortedPage:
         out = q_sorted_page(str(tmp_path))
         assert out["doc_id"].tolist() == list(range(100, 150))
         assert out["n_chars"].iloc[0] == 900
+
+
+class TestSupplierPagerank:
+    def test_matches_local_integer_iteration(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_supplier_pagerank
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                    "p_name": pa.array(["hot gear", "cold gear", "red widget"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        # gear part 1 <-> supps {1,2}; gear part 2 <-> supp {1}; widget ignored
+        li = pd.DataFrame({"l_partkey": [1, 1, 2, 3], "l_suppkey": [1, 2, 1, 9]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_supplier_pagerank(str(tmp_path)).to_pandas()
+
+        # local reference: same integer update rule over the same graph
+        edges = [(2, 3), (3, 2), (2, 5), (5, 2), (4, 3), (3, 4)]
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out_deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+        r = {n: 1_000_000_000 for n in nodes}
+        for _ in range(5):
+            s = {n: 0 for n in nodes}
+            for a, b in edges:
+                s[b] += int(np.floor(abs(0.85 * r[a] / out_deg[a]) + 0.5))
+            r = {n: 150_000_000 + s[n] for n in nodes}
+        want = sorted(
+            (((n - 1) // 2, r[n]) for n in nodes if n % 2 == 1), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert list(zip(out["s_suppkey"], out["rank_nano"])) == want
+        # supplier 1 serves both gear parts -> outranks supplier 2
+        assert out.iloc[0]["s_suppkey"] == 1
+
+    def test_dangling_graph_rejected(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import pagerank_exact
+
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())})
+        )
+        with pytest.raises(ValueError, match="dangling-free"):
+            pagerank_exact(edges)
