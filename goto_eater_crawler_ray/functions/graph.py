@@ -142,7 +142,9 @@ def _pagerank_local(edges, damping: float, n_iter: int):
     return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()), "rank": pa.array(rank, pa.float64())}))
 
 
-def pagerank_exact(edges_ds, damping: float = 0.85, n_iter: int = 5, num_partitions: int | None = None):
+def pagerank_exact(
+    edges_ds, damping: float = 0.85, n_iter: int = 5, num_partitions: int | None = None, max_local_edges: int = 262_144
+):
     """EXACT-arithmetic PageRank: ranks are nano-unit int64 and every
     iteration rounds each edge contribution to an integer BEFORE the
     sum — integer addition is order-independent, so the result is
@@ -162,6 +164,13 @@ def pagerank_exact(edges_ds, damping: float = 0.85, n_iter: int = 5, num_partiti
 
     edges = edges_ds.materialize()
     n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        # same small-graph gate as the float path: below it, every
+        # distributed iteration (3 exchanges) is pure framework latency.
+        # The LOCAL loop is bit-identical to the distributed one BY
+        # CONSTRUCTION — the per-edge rounding and int64 sums carry no
+        # order dependence — so the gate cannot change any result.
+        return _pagerank_exact_local(edges, damping, n_iter)
     if num_partitions is None:
         num_partitions = auto_num_partitions(n_edges)
 
@@ -226,3 +235,32 @@ def pagerank_exact(edges_ds, damping: float = 0.85, n_iter: int = 5, num_partiti
             .materialize()
         )
     return ranks.drop_columns(["outdeg"])
+
+
+def _pagerank_exact_local(edges, damping: float, n_iter: int):
+    """Gated small-graph path for :func:`pagerank_exact`: identical
+    integer update rule (round each edge contribution, int64 sums), one
+    exact ``np.add.at`` scatter per iteration."""
+    import ray
+    import ray.data as rd
+
+    t = pa.concat_tables(ray.get(edges.to_arrow_refs())) if hasattr(edges, "to_arrow_refs") else edges
+    src = t.column("src").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    dst = t.column("dst").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+    if len(nodes) == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "rank_nano": pa.array([], pa.int64())}))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    if outdeg.min() == 0:
+        raise ValueError("pagerank_exact requires a dangling-free graph (every node with out-degree >= 1)")
+    BASE = np.int64(np.floor((1.0 - damping) * 1e9 + 0.5))
+    r = np.full(n, 1_000_000_000, np.int64)
+    for _ in range(n_iter):
+        c = np.floor(np.abs(damping * r[si].astype(np.float64) / outdeg[si].astype(np.float64)) + 0.5).astype(np.int64)
+        s = np.zeros(n, np.int64)
+        np.add.at(s, di, c)
+        r = BASE + s
+    return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()), "rank_nano": pa.array(r, pa.int64())}))

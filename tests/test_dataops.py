@@ -4067,3 +4067,29 @@ class TestSupplierPagerank:
         )
         with pytest.raises(ValueError, match="dangling-free"):
             pagerank_exact(edges)
+
+    def test_distributed_path_bit_identical_to_local(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import pagerank_exact
+
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 30, 120).astype(np.int64)
+        dst = rng.integers(0, 30, 120).astype(np.int64)
+        keep = src != dst
+        # bidirectional -> dangling-free
+        edges = pa.table(
+            {
+                "src": pa.array(np.concatenate([src[keep], dst[keep]]), pa.int64()),
+                "dst": pa.array(np.concatenate([dst[keep], src[keep]]), pa.int64()),
+            }
+        )
+        local = pagerank_exact(rd.from_arrow(edges)).to_pandas().sort_values("node").reset_index(drop=True)
+        dist = (
+            pagerank_exact(rd.from_arrow(edges), max_local_edges=0)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        # EXACT claim: integer arithmetic makes both paths bit-identical
+        assert local.to_dict("records") == dist.to_dict("records")
