@@ -319,6 +319,7 @@ def main() -> None:
         "dominant_suppliers",
         "doc_fluency",
         "supplier_pagerank",
+        "supplier_reach",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

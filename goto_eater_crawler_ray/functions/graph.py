@@ -114,6 +114,18 @@ def pagerank(
     return ranks.drop_columns(["outdeg"])
 
 
+def _gather_nonempty(ds) -> pa.Table:
+    """Driver-side gather for the gated small-graph paths: drop the
+    zero-column empty blocks Ray emits from aggregates/repartitions
+    (they carry no schema and poison concat_tables)."""
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0] if hasattr(ds, "to_arrow_refs") else [ds]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs)
+
+
 def _pagerank_local(edges, damping: float, n_iter: int):
     """Gated small-graph path: identical update rule to the distributed
     loop (dangling mass redistributed, same base term), one numpy
@@ -121,7 +133,9 @@ def _pagerank_local(edges, damping: float, n_iter: int):
     import ray
     import ray.data as rd
 
-    t = pa.concat_tables(ray.get(edges.to_arrow_refs())) if hasattr(edges, "to_arrow_refs") else edges
+    t = _gather_nonempty(edges)
+    if t is None:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}))
     src = t.column("src").cast(pa.int64()).to_numpy(zero_copy_only=False)
     dst = t.column("dst").cast(pa.int64()).to_numpy(zero_copy_only=False)
     nodes = np.unique(np.concatenate([src, dst]))
@@ -244,7 +258,9 @@ def _pagerank_exact_local(edges, damping: float, n_iter: int):
     import ray
     import ray.data as rd
 
-    t = pa.concat_tables(ray.get(edges.to_arrow_refs())) if hasattr(edges, "to_arrow_refs") else edges
+    t = _gather_nonempty(edges)
+    if t is None:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "rank_nano": pa.array([], pa.int64())}))
     src = t.column("src").cast(pa.int64()).to_numpy(zero_copy_only=False)
     dst = t.column("dst").cast(pa.int64()).to_numpy(zero_copy_only=False)
     nodes = np.unique(np.concatenate([src, dst]))
@@ -264,3 +280,80 @@ def _pagerank_exact_local(edges, damping: float, n_iter: int):
         np.add.at(s, di, c)
         r = BASE + s
     return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()), "rank_nano": pa.array(r, pa.int64())}))
+
+
+def bfs_hops(edges_ds, seeds_ds, n_hops: int = 3, num_partitions: int | None = None, max_local_edges: int = 262_144):
+    """Bounded-hop BFS: minimum hop distance (0..n_hops) from a seed SET
+    to every reachable node — the reachability / crawl-frontier-depth
+    operator, all-integer and therefore ORACLE-PINNABLE as an unrolled
+    CTE chain (each hop: neighbors at d+1 unioned with known, groupby
+    Min).  ``seeds_ds`` carries a ``node`` column.  Per hop: one hash
+    join (frontier ⋈ edges on src) + one groupby-Min — the frontier,
+    never the graph, is the iterated state.  Small graphs take a local
+    numpy loop with the identical rule (bit-identical by construction)."""
+    from ray.data.aggregate import Min
+
+    edges = edges_ds.materialize()
+    seeds = seeds_ds.materialize()
+    n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        return _bfs_hops_local(edges, seeds, n_hops)
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(n_edges)
+
+    dist = seeds.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node").cast(pa.int64()), "d": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(n_hops):
+        hop = dist.join(edges, join_type="inner", num_partitions=num_partitions, on=("node",), right_on=("src",))
+        nxt = hop.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst").cast(pa.int64()),
+                    "d": pa.array(t.column("d").to_numpy(zero_copy_only=False) + 1, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = (
+            dist.union(nxt)
+            .groupby("node")
+            .aggregate(Min("d", alias_name="d"))
+            .repartition(num_partitions)  # zero-column empty-block scrub before the next hop join
+            .materialize()
+        )
+    return dist
+
+
+def _bfs_hops_local(edges, seeds, n_hops: int):
+    """Gated small-graph path: identical min-distance rule, one scatter
+    per hop."""
+    import ray
+    import ray.data as rd
+
+    te = _gather_nonempty(edges)
+    ts = _gather_nonempty(seeds)
+    if ts is None:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}))
+    src = te.column("src").cast(pa.int64()).to_numpy(zero_copy_only=False) if te is not None else np.array([], np.int64)
+    dst = te.column("dst").cast(pa.int64()).to_numpy(zero_copy_only=False) if te is not None else np.array([], np.int64)
+    seed = np.unique(ts.column("node").cast(pa.int64()).to_numpy(zero_copy_only=False))
+    if len(seed) == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}))
+    nodes = np.unique(np.concatenate([src, dst, seed]))
+    si, di = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+    INF = np.int64(1 << 60)
+    d = np.full(len(nodes), INF, np.int64)
+    d[np.searchsorted(nodes, seed)] = 0
+    for _ in range(n_hops):
+        nd = d.copy()
+        cand = d[si] + 1
+        np.minimum.at(nd, di, cand)
+        d = np.minimum(d, nd)
+    keep = d < INF
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes[keep], pa.int64()), "d": pa.array(d[keep], pa.int64())})
+    )

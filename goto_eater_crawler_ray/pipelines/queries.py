@@ -7799,6 +7799,111 @@ ORDER BY r DESC, s_suppkey LIMIT 20
 SQL_SUPPLIER_PAGERANK = _supplier_pagerank_sql()
 
 
+def q_supplier_reach(sf_dir: str):
+    """ORACLE-PINNED distributed BFS — bounded-hop reachability from a
+    seed set: minimum hop distance (0..3) from nation-7 suppliers
+    through the bidirectional gear-part ↔ supplier incidence graph,
+    reported as a (distance, node-count) histogram.  All-integer (hop
+    counts + groupby-Min), so bit-identical across widths and engines;
+    the DuckDB twin unrolls the three hops as CTEs
+    (`functions/graph.py` bfs_hops; frontier, never graph, is the
+    iterated state)."""
+    from ..functions.graph import bfs_hops
+
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
+        )
+        .group_by(["l_partkey", "l_suppkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .repartition(n_parts)  # zero-column empty-block scrub
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([2 * p, 2 * s + 1]), pa.int64()),
+                "dst": pa.array(np.concatenate([2 * s + 1, 2 * p]), pa.int64()),
+            }
+        )
+
+    seeds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.add(
+                    pc.multiply(
+                        t.filter(pc.equal(t["s_nationkey"].cast(pa.int64()), 7)).column("s_suppkey").cast(pa.int64()),
+                        2,
+                    ),
+                    1,
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dist = bfs_hops(pairs.map_batches(both_ways, batch_format="pyarrow"), seeds, n_hops=3)
+    return (
+        dist.groupby("d")
+        .aggregate(Count(alias_name="n_nodes"))
+        .map_batches(
+            lambda t: pa.table(
+                {"d": t.column("d").cast(pa.int64()), "n_nodes": t.column("n_nodes").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _supplier_reach_sql(n_hops: int = 3) -> str:
+    prev = "d0"
+    hops = []
+    for i in range(1, n_hops + 1):
+        hops.append(
+            f"""d{i} AS (
+  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.d + 1 AS d FROM {prev} p JOIN edges e ON e.src = p.node
+  ) GROUP BY 1
+)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(hops)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
+  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+  WHERE pt.p_name LIKE '%gear%'
+),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1, 2 * p FROM pairs
+),
+d0 AS (SELECT 2 * s_suppkey + 1 AS node, CAST(0 AS BIGINT) AS d FROM supplier WHERE s_nationkey = 7),
+{chain}
+SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM {prev} GROUP BY 1
+"""
+
+
+SQL_SUPPLIER_REACH = _supplier_reach_sql()
+
+
 def q_events_unpivot(sf_dir: str):
     """UNPIVOT / melt (wide -> long): the inverse of ``events_pivot`` —
     the per-user count matrix melts back to (user_id, event_type, n)
@@ -8507,6 +8612,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "vocab_growth": q_vocab_growth,
     "supplier_pagerank": q_supplier_pagerank,
+    "supplier_reach": q_supplier_reach,
     "events_unpivot": q_events_unpivot,
     "source_checksum": q_source_checksum,
     "events_anomaly_days": q_events_anomaly_days,
@@ -8681,6 +8787,7 @@ ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "supplier_pagerank": SQL_SUPPLIER_PAGERANK,
+    "supplier_reach": SQL_SUPPLIER_REACH,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "source_checksum": SQL_SOURCE_CHECKSUM,
     "events_anomaly_days": SQL_EVENTS_ANOMALY_DAYS,

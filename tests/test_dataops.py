@@ -4093,3 +4093,56 @@ class TestSupplierPagerank:
         )
         # EXACT claim: integer arithmetic makes both paths bit-identical
         assert local.to_dict("records") == dist.to_dict("records")
+
+
+class TestSupplierReach:
+    def test_hop_histogram(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_supplier_reach
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_name": pa.array(["hot gear", "cold gear"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        # chain: supp1(N7, seed) - part1 - supp2 - part2 - supp3... need
+        # shared parts: part1 <-> {supp1, supp2}; part2 <-> {supp2, supp3}
+        li = pd.DataFrame({"l_partkey": [1, 1, 2, 2], "l_suppkey": [1, 2, 2, 3]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                    "s_nationkey": pa.array([7, 0, 0], pa.int32()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        out = q_supplier_reach(str(tmp_path)).to_pandas().set_index("d")["n_nodes"].to_dict()
+        # d0: supp1; d1: part1; d2: supp2; d3: part2 (supp3 is 4 hops away)
+        assert out == {0: 1, 1: 1, 2: 1, 3: 1}
+
+    def test_distributed_path_bit_identical_to_local(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import bfs_hops
+
+        rng = np.random.default_rng(5)
+        src = rng.integers(0, 25, 80).astype(np.int64)
+        dst = rng.integers(0, 25, 80).astype(np.int64)
+        keep = src != dst
+        edges = pa.table({"src": pa.array(src[keep], pa.int64()), "dst": pa.array(dst[keep], pa.int64())})
+        seeds = pa.table({"node": pa.array([0, 7], pa.int64())})
+        local = bfs_hops(rd.from_arrow(edges), rd.from_arrow(seeds)).to_pandas().sort_values("node").reset_index(drop=True)
+        dist = (
+            bfs_hops(rd.from_arrow(edges), rd.from_arrow(seeds), max_local_edges=0)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert local.to_dict("records") == dist.to_dict("records")
