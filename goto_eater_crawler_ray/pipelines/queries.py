@@ -8076,9 +8076,13 @@ WHERE st.n >= 2
 # ---------------------------------------------------------------------------
 
 
-def _derived_partsupp(sf_dir: str, n_parts: int):
-    """(l_partkey, l_suppkey, cost_c, qty) — one combiner groupby over
-    batch-local pair partials; the exchange carries pairs, not lines."""
+def _partsupp_partials(sf_dir: str):
+    """BATCH-LOCAL pair partials (l_partkey, l_suppkey, cost_c, qty) of
+    the derived partsupp view — min-of-batch cost / sum-of-batch qty per
+    pair, NOT globally combined: every consumer finishes the reduction
+    inside its own partkey-keyed exchange anyway (min of minima / sum of
+    sums are associative), so a global (partkey, suppkey) groupby here
+    would be a redundant all-to-all."""
 
     def partials(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -8094,11 +8098,19 @@ def _derived_partsupp(sf_dir: str, n_parts: int):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    return rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    ).map_batches(partials, batch_format="pyarrow")
+
+
+def _derived_partsupp(sf_dir: str, n_parts: int):
+    """(l_partkey, l_suppkey, cost_c, qty) — the fully combined derived
+    partsupp view, for consumers that need EXACT DISTINCT pairs (the
+    graph edge lists); aggregate-first consumers should take
+    :func:`_partsupp_partials` and fold the combine into their own
+    partkey exchange."""
     return (
-        rd.read_parquet(
-            _p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
-        )
-        .map_batches(partials, batch_format="pyarrow")
+        _partsupp_partials(sf_dir)
         .groupby(["l_partkey", "l_suppkey"])
         .aggregate(Min("cost_c", alias_name="cost_c"), Sum("qty", alias_name="qty"))
         .repartition(n_parts)  # scrub zero-column empty aggregate blocks before joins
@@ -8163,19 +8175,24 @@ def q_min_cost_supplier(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    ps = _derived_partsupp(sf_dir, n_parts).map_batches(
+    # batch-local pair partials only — the per-part reducer below combines
+    # them (min of minima) inside the same partkey exchange, so the global
+    # pair groupby the derived view would run is a redundant all-to-all
+    ps = _partsupp_partials(sf_dir).map_batches(
         lambda t: t.filter(pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=eu_supps)), batch_format="pyarrow"
     )
     ps = ps.join(target_parts, join_type="inner", num_partitions=max(2, n_parts // 4), on=("l_partkey",), right_on=("p_partkey",))
 
     def min_per_part(df: pd.DataFrame) -> pd.DataFrame:
-        # per-part min cost + the winning suppliers at that cost, resolved
+        # combine pair partials (min of batch minima), then the per-part
+        # min cost + the winning suppliers at that cost — all resolved
         # in-partition (per-part rows are co-located by the groupby key)
-        m = df["cost_c"].min()
-        w = df[df["cost_c"] == m]
+        g = df.groupby("l_suppkey", as_index=False)["cost_c"].min()
+        m = g["cost_c"].min()
+        w = g[g["cost_c"] == m]
         return pd.DataFrame(
             {
-                "p_partkey": w["l_partkey"].astype(np.int64),
+                "p_partkey": np.full(len(w), df["l_partkey"].iloc[0], np.int64),
                 "s_suppkey": w["l_suppkey"].astype(np.int64),
                 "cost_c": w["cost_c"].astype(np.int64),
             }
@@ -8246,18 +8263,26 @@ def q_important_stock(sf_dir: str):
     n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
     supps = _nation_supplier_keys(sf_dir, [7])
 
-    def pair_value(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=supps))
-        # cost_c·qty fits int64 comfortably (≤ 2^47 per pair); the
-        # 10000× threshold products run as python bigints below
-        v = f.column("cost_c").to_numpy(zero_copy_only=False) * f.column("qty").to_numpy(zero_copy_only=False)
-        return pa.table({"l_partkey": f.column("l_partkey"), "value_c": pa.array(v, pa.int64())})
+    def part_value(df: pd.DataFrame) -> pd.DataFrame:
+        # combine pair partials in-partition (min cost / sum qty per
+        # pair), THEN value = cost·qty — the product needs the combined
+        # pair, so the fold must happen before it; cost_c·qty fits int64
+        # comfortably (≤ 2^47 per pair), the 10000× threshold products
+        # run as python bigints below
+        g = df.groupby("l_suppkey").agg(cost_c=("cost_c", "min"), qty=("qty", "sum"))
+        v = int((g["cost_c"].to_numpy() * g["qty"].to_numpy()).sum())
+        return pd.DataFrame(
+            {"l_partkey": np.array([df["l_partkey"].iloc[0]], np.int64), "value_c": np.array([v], np.int64)}
+        )
 
     per_part = (
-        _derived_partsupp(sf_dir, n_parts)
-        .map_batches(pair_value, batch_format="pyarrow")
+        _partsupp_partials(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=supps)),
+            batch_format="pyarrow",
+        )
         .groupby("l_partkey")
-        .aggregate(Sum("value_c", alias_name="value_c"))
+        .map_groups(part_value, batch_format="pandas")
         .to_pandas()  # |parts-with-nation-7-suppliers| rows — dim-bounded
     )
     total = sum(int(v) for v in per_part["value_c"])
@@ -8304,16 +8329,20 @@ def q_dominant_suppliers(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    ps = _derived_partsupp(sf_dir, n_parts).join(
+    # batch-local pair partials only — the reducer combines them (sum of
+    # sums) inside the same partkey exchange the quantifier needs anyway
+    ps = _partsupp_partials(sf_dir).join(
         gears, join_type="inner", num_partitions=max(2, n_parts // 4), on=("l_partkey",), right_on=("p_partkey",)
     )
     supp_set = set(supps.to_pylist())
 
     def dominant(df: pd.DataFrame) -> pd.DataFrame:
-        # the part's FULL volume needs every supplier's qty — co-located
-        # here by the groupby — while only nation-7 pairs can qualify
-        tot = df["qty"].sum()
-        w = df[df["l_suppkey"].isin(supp_set) & (10 * df["qty"] > tot)]
+        # combine pair partials, then the part's FULL volume needs every
+        # supplier's qty — co-located here by the groupby — while only
+        # nation-7 pairs can qualify
+        g = df.groupby("l_suppkey", as_index=False)["qty"].sum()
+        tot = g["qty"].sum()
+        w = g[g["l_suppkey"].isin(supp_set) & (10 * g["qty"] > tot)]
         return pd.DataFrame({"s_suppkey": w["l_suppkey"].astype(np.int64)})
 
     q = (
