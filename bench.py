@@ -320,6 +320,7 @@ def main() -> None:
         "doc_fluency",
         "supplier_pagerank",
         "supplier_reach",
+        "supplier_hits",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

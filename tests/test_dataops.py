@@ -4146,3 +4146,64 @@ class TestSupplierReach:
             .reset_index(drop=True)
         )
         assert local.to_dict("records") == dist.to_dict("records")
+
+
+class TestSupplierHits:
+    def test_matches_local_integer_iteration(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_supplier_hits
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_name": pa.array(["hot gear", "cold gear"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        # supp1 serves both gear parts, supp2 only part1
+        li = pd.DataFrame({"l_partkey": [1, 1, 2], "l_suppkey": [1, 2, 1]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_supplier_hits(str(tmp_path)).to_pandas()
+
+        edges = [(2, 3), (3, 2), (2, 5), (5, 2), (4, 3), (3, 4)]
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        hub = {n: 1_000_000_000 for n in nodes}
+        for _ in range(4):
+            a_raw = {n: 0 for n in nodes}
+            for s_, d_ in edges:
+                a_raw[d_] += hub[s_]
+            h_raw = {n: 0 for n in nodes}
+            for s_, d_ in edges:
+                h_raw[s_] += a_raw[d_]
+            am, hm = max(a_raw.values()), max(h_raw.values())
+            auth = {n: int(np.floor(abs(1e9 * a_raw[n] / am) + 0.5)) for n in nodes}
+            hub = {n: int(np.floor(abs(1e9 * h_raw[n] / hm) + 0.5)) for n in nodes}
+        want = sorted((((n - 1) // 2, auth[n]) for n in nodes if n % 2 == 1), key=lambda kv: (-kv[1], kv[0]))
+        assert list(zip(out["s_suppkey"], out["auth_nano"])) == want
+        # supp1 (both parts) is the stronger authority
+        assert out.iloc[0]["s_suppkey"] == 1 and out.iloc[0]["auth_nano"] == 1_000_000_000
+
+    def test_distributed_path_bit_identical_to_local(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import hits_exact
+
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, 20, 60).astype(np.int64)
+        dst = rng.integers(0, 20, 60).astype(np.int64)
+        keep = src != dst
+        edges = pa.table(
+            {
+                "src": pa.array(np.concatenate([src[keep], dst[keep]]), pa.int64()),
+                "dst": pa.array(np.concatenate([dst[keep], src[keep]]), pa.int64()),
+            }
+        )
+        local = hits_exact(rd.from_arrow(edges)).to_pandas().sort_values("node").reset_index(drop=True)
+        dist = (
+            hits_exact(rd.from_arrow(edges), max_local_edges=0).to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert local.to_dict("records") == dist.to_dict("records")
