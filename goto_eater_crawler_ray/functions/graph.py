@@ -232,15 +232,21 @@ def pagerank_exact(
             .aggregate(Sum("c", alias_name="s"))
             .repartition(num_partitions)  # empty-block scrub before the node join
         )
+        # LEFT outer: nodes with NO in-edges still exist and keep emitting
+        # their outbound contributions next round (an inner join would
+        # silently drop them and diverge from the local path on legal
+        # dangling-free-but-asymmetric graphs)
         ranks = (
-            nodes.join(sums, join_type="inner", num_partitions=num_partitions, on=("node",))
+            nodes.join(sums, join_type="left_outer", num_partitions=num_partitions, on=("node",))
             .map_batches(
                 lambda t: pa.table(
                     {
                         "node": t.column("node").cast(pa.int64()),
                         "outdeg": t.column("outdeg").cast(pa.int64()),
                         "rank_nano": pa.array(
-                            BASE + t.column("s").to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                            BASE
+                            + pc.fill_null(t.column("s"), 0).cast(pa.int64()).to_numpy(zero_copy_only=False),
+                            pa.int64(),
                         ),
                     }
                 ),
@@ -369,7 +375,7 @@ def hits_exact(edges_ds, n_iter: int = 4, num_partitions: int | None = None, max
     and engines and an unrolled CTE twin can hash-match it.  The
     per-iteration max is a scalar aggregate (the legal driver kind).
     Returns (node, hub_nano, auth_nano) for every node."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     edges = edges_ds.materialize()
     n_edges = edges.count()
@@ -378,16 +384,30 @@ def hits_exact(edges_ds, n_iter: int = 4, num_partitions: int | None = None, max
     if num_partitions is None:
         num_partitions = auto_num_partitions(n_edges)
 
-    def both(t: pa.Table) -> pa.Table:
+    def degs(t: pa.Table) -> pa.Table:
+        s = t.column("src").combine_chunks().cast(pa.int64())
+        d = t.column("dst").combine_chunks().cast(pa.int64())
+        n = len(s)
         return pa.table(
             {
-                "node": pa.concat_arrays(
-                    [t.column("src").combine_chunks().cast(pa.int64()), t.column("dst").combine_chunks().cast(pa.int64())]
-                )
+                "node": pa.concat_arrays([s, d]),
+                "outd": pa.array(np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)]), pa.int64()),
+                "ind": pa.array(np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)]), pa.int64()),
             }
-        ).group_by(["node"]).aggregate([])
+        )
 
-    nodes = edges.map_batches(both, batch_format="pyarrow").groupby("node").aggregate(Sum("node", alias_name="_s"))
+    nodes = (
+        edges.map_batches(degs, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("outd", alias_name="outd"), Sum("ind", alias_name="ind"))
+        .materialize()
+    )
+    # the per-iteration INNER joins keep exactly the nodes with both an
+    # in- and an out-edge — require that of EVERY node (any bidirectional
+    # edge list qualifies) so the distributed and local paths agree
+    deg_min = nodes.aggregate(Min("outd", alias_name="o"), Min("ind", alias_name="i"))
+    if int(deg_min["o"] or 0) == 0 or int(deg_min["i"] or 0) == 0:
+        raise ValueError("hits_exact requires every node to have both in- and out-edges (e.g. a bidirectional edge list)")
     scores = (
         nodes.map_batches(
             lambda t: pa.table(
@@ -426,8 +446,10 @@ def hits_exact(edges_ds, n_iter: int = 4, num_partitions: int | None = None, max
             .aggregate(Sum("s", alias_name="auth_raw"))
             .repartition(num_partitions)
         )
-        merged = scores.drop_columns(["auth_nano"]).join(
-            auth, join_type="inner", num_partitions=num_partitions, on=("node",)
+        merged = (
+            scores.drop_columns(["auth_nano"])
+            .join(auth, join_type="inner", num_partitions=num_partitions, on=("node",))
+            .materialize()  # consumed by BOTH the hub pass and the join-back (diamond-DAG hazard)
         )
         # hub pass: h(i) = Σ a_raw(j) over edges i -> j (pre-renorm sums,
         # matching the twin's CTE order), then renormalize both sides
@@ -473,12 +495,12 @@ def _hits_exact_local(edges, n_iter: int):
     nodes = np.unique(np.concatenate([src, dst]))
     si, di = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
     n = len(nodes)
+    outd = np.bincount(si, minlength=n)
+    ind = np.bincount(di, minlength=n)
+    if outd.min() == 0 or ind.min() == 0:
+        raise ValueError("hits_exact requires every node to have both in- and out-edges (e.g. a bidirectional edge list)")
     hub = np.full(n, 1_000_000_000, np.int64)
     auth = np.full(n, 1_000_000_000, np.int64)
-    # NOTE: matches the distributed loop's INNER joins — only nodes with
-    # both in- and out-edges survive iteration there; keep every node
-    # here but compute identically for the bidirectional graphs this is
-    # used on (where in-set == out-set == all nodes).
     for _ in range(n_iter):
         a_raw = np.zeros(n, np.int64)
         np.add.at(a_raw, di, hub[si])

@@ -6623,6 +6623,7 @@ def q_cust_order_distribution(sf_dir: str):
         rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="c_count"))
+        .materialize()  # feeds BOTH the scalar count and the distribution groupby
     )
     n_with_orders = per_cust.count()
     n_customers = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"]).count()
@@ -7003,6 +7004,17 @@ def q_nation_pair_volume(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # empty ship-date window -> all-empty join side emits zero-column
+    # blocks (hazard #1); the probe reads until one row
+    if li.limit(1).count() == 0:
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue_c": pa.array([], pa.int64()),
+            }
+        )
     a = li.join(supp, join_type="inner", num_partitions=n_parts, on=("l_suppkey",), right_on=("s_suppkey",)).map_batches(
         to_order_partials, batch_format="pyarrow"
     )
@@ -7149,6 +7161,11 @@ def q_nation_market_share(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    # empty window -> the all-empty right side poisons the join with
+    # zero-column blocks (hazard #1); the probe reads until one row
+    if orders.limit(1).count() == 0:
+        return pa.table({"o_year": pa.array([], pa.int64()), "share_ppm": pa.array([], pa.int64())})
+
     def to_cust_partials(t: pa.Table) -> pa.Table:
         g = (
             t.select(["o_custkey", "o_year", "rev_c", "num_c"])
@@ -7255,6 +7272,11 @@ def q_part_profit_by_nation(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    # no matching parts -> all-empty join side emits zero-column blocks
+    if gears.limit(1).count() == 0:
+        return pa.table(
+            {"nation": pa.array([], pa.string()), "o_year": pa.array([], pa.int64()), "profit_c": pa.array([], pa.int64())}
+        )
     a = li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
     supp = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
         lambda t: pa.table(
@@ -7577,14 +7599,14 @@ def q_top_supplier_revenue(sf_dir: str):
             }
         )
     winners = li.map_batches(
-        lambda t: pa.table(
-            {
-                "s_suppkey": t.filter(pc.equal(t["total_revenue_c"], mx)).column("l_suppkey").cast(pa.int64()),
-                "total_revenue_c": t.filter(pc.equal(t["total_revenue_c"], mx))
-                .column("total_revenue_c")
-                .cast(pa.int64()),
-            }
-        ),
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "s_suppkey": f.column("l_suppkey").cast(pa.int64()),
+                    "total_revenue_c": f.column("total_revenue_c").cast(pa.int64()),
+                }
+            )
+        )(t.filter(pc.equal(t["total_revenue_c"], mx))),
         batch_format="pyarrow",
     ).to_pandas()  # ≤|ties| rows
     keys = pa.array(winners["s_suppkey"].to_numpy(), pa.int64())
@@ -7701,19 +7723,12 @@ SELECT first_doc, CAST(sum(n_new) OVER (ORDER BY first_doc) AS BIGINT) AS vocab_
 """
 
 
-def q_supplier_pagerank(sf_dir: str):
-    """ORACLE-PINNED distributed PageRank — the iterative graph algorithm
-    made hash-checkable: ranks are nano-unit int64 and every edge
-    contribution rounds BEFORE the sum (`functions/graph.py`
-    pagerank_exact), so integer addition's order-independence makes the
-    result bit-identical across partitionings, widths and engines, and
-    the DuckDB twin is a 5-iteration unrolled CTE chain evaluating the
-    token-identical formula.  Graph: the bidirectional 'gear'-part ↔
-    supplier incidence graph from lineitem (node id = 2·partkey for
-    parts, 2·suppkey+1 for suppliers; bidirectional ⇒ dangling-free by
-    construction).  Output: top-20 suppliers by rank."""
-    from ..functions.graph import pagerank_exact
-
+def _gear_supplier_edges(sf_dir: str):
+    """The bidirectional 'gear'-part ↔ supplier incidence graph shared by
+    the three oracle-pinned graph queries (node id = 2·partkey for parts,
+    2·suppkey+1 for suppliers — the encoding the SQL twins' pairs/edges
+    CTEs mirror).  Distinct pairs from lineitem semi-joined to the
+    name-filtered part dim; bidirectional ⇒ dangling-free."""
     n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
     gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
         lambda t: pa.table(
@@ -7746,7 +7761,21 @@ def q_supplier_pagerank(sf_dir: str):
             }
         )
 
-    ranks = pagerank_exact(pairs.map_batches(both_ways, batch_format="pyarrow"), n_iter=5)
+    return pairs.map_batches(both_ways, batch_format="pyarrow")
+
+
+def q_supplier_pagerank(sf_dir: str):
+    """ORACLE-PINNED distributed PageRank — the iterative graph algorithm
+    made hash-checkable: ranks are nano-unit int64 and every edge
+    contribution rounds BEFORE the sum (`functions/graph.py`
+    pagerank_exact), so integer addition's order-independence makes the
+    result bit-identical across partitionings, widths and engines, and
+    the DuckDB twin is a 5-iteration unrolled CTE chain evaluating the
+    token-identical formula.  Graph: `_gear_supplier_edges` (dangling-
+    free by construction).  Output: top-20 suppliers by rank."""
+    from ..functions.graph import pagerank_exact
+
+    ranks = pagerank_exact(_gear_supplier_edges(sf_dir), n_iter=5)
     supps = ranks.map_batches(
         lambda t: (
             lambda f: pa.table(
@@ -7802,45 +7831,12 @@ SQL_SUPPLIER_PAGERANK = _supplier_pagerank_sql()
 def q_supplier_reach(sf_dir: str):
     """ORACLE-PINNED distributed BFS — bounded-hop reachability from a
     seed set: minimum hop distance (0..3) from nation-7 suppliers
-    through the bidirectional gear-part ↔ supplier incidence graph,
-    reported as a (distance, node-count) histogram.  All-integer (hop
-    counts + groupby-Min), so bit-identical across widths and engines;
-    the DuckDB twin unrolls the three hops as CTEs
-    (`functions/graph.py` bfs_hops; frontier, never graph, is the
+    through `_gear_supplier_edges`, reported as a (distance, node-count)
+    histogram.  All-integer (hop counts + groupby-Min), so bit-identical
+    across widths and engines; the DuckDB twin unrolls the three hops as
+    CTEs (`functions/graph.py` bfs_hops; frontier, never graph, is the
     iterated state)."""
     from ..functions.graph import bfs_hops
-
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
-    gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
-        lambda t: pa.table(
-            {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]).map_batches(
-        lambda t: pa.table(
-            {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
-        )
-        .group_by(["l_partkey", "l_suppkey"])
-        .aggregate([]),
-        batch_format="pyarrow",
-    )
-    pairs = (
-        li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .repartition(n_parts)  # zero-column empty-block scrub
-    )
-
-    def both_ways(t: pa.Table) -> pa.Table:
-        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([2 * p, 2 * s + 1]), pa.int64()),
-                "dst": pa.array(np.concatenate([2 * s + 1, 2 * p]), pa.int64()),
-            }
-        )
 
     seeds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
         lambda t: pa.table(
@@ -7856,7 +7852,7 @@ def q_supplier_reach(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    dist = bfs_hops(pairs.map_batches(both_ways, batch_format="pyarrow"), seeds, n_hops=3)
+    dist = bfs_hops(_gear_supplier_edges(sf_dir), seeds, n_hops=3)
     return (
         dist.groupby("d")
         .aggregate(Count(alias_name="n_nodes"))
@@ -7906,47 +7902,15 @@ SQL_SUPPLIER_REACH = _supplier_reach_sql()
 
 def q_supplier_hits(sf_dir: str):
     """ORACLE-PINNED distributed HITS (Kleinberg hubs/authorities) over
-    the bidirectional gear-part ↔ supplier graph — the third iterative
-    graph algorithm under the exact-oracle gate (after PageRank and
-    BFS): nano-unit int64 scores, exact integer sum passes, and a
-    per-iteration renormalization to max 1e9 via the one shared
+    `_gear_supplier_edges` — the third iterative graph algorithm under
+    the exact-oracle gate (after PageRank and BFS): nano-unit int64
+    scores, exact integer sum passes, and a per-iteration
+    renormalization to max 1e9 via the one shared
     ``round(1e9 * raw / max_raw)`` expression (`functions/graph.py`
     hits_exact).  Output: top-20 suppliers by authority."""
     from ..functions.graph import hits_exact
 
-    n_parts = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows, cap=64)
-    gears = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"]).map_batches(
-        lambda t: pa.table(
-            {"p_partkey": t.filter(pc.match_substring(t["p_name"], "gear")).column("p_partkey").cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]).map_batches(
-        lambda t: pa.table(
-            {"l_partkey": t.column("l_partkey").cast(pa.int64()), "l_suppkey": t.column("l_suppkey").cast(pa.int64())}
-        )
-        .group_by(["l_partkey", "l_suppkey"])
-        .aggregate([]),
-        batch_format="pyarrow",
-    )
-    pairs = (
-        li.join(gears, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .repartition(n_parts)  # zero-column empty-block scrub
-    )
-
-    def both_ways(t: pa.Table) -> pa.Table:
-        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([2 * p, 2 * s + 1]), pa.int64()),
-                "dst": pa.array(np.concatenate([2 * s + 1, 2 * p]), pa.int64()),
-            }
-        )
-
-    scores = hits_exact(pairs.map_batches(both_ways, batch_format="pyarrow"), n_iter=4)
+    scores = hits_exact(_gear_supplier_edges(sf_dir), n_iter=4)
     supps = scores.map_batches(
         lambda t: (
             lambda f: pa.table(
@@ -8386,6 +8350,8 @@ def q_important_stock(sf_dir: str):
         .map_groups(part_value, batch_format="pandas")
         .to_pandas()  # |parts-with-nation-7-suppliers| rows — dim-bounded
     )
+    if per_part.empty or "value_c" not in per_part.columns:  # no nation-7 pairs: schema-losing empty result
+        return pa.table({"p_partkey": pa.array([], pa.int64()), "value_c": pa.array([], pa.int64())})
     total = sum(int(v) for v in per_part["value_c"])
     keep = [
         (int(p), int(v)) for p, v in zip(per_part["l_partkey"], per_part["value_c"]) if int(v) * 10000 > total
@@ -8522,8 +8488,11 @@ def q_doc_fluency(sf_dir: str, max_vocab: int = 4_000_000):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    big = docs.map_batches(pair_partials, batch_format="pyarrow").groupby(["w1", "w2"]).aggregate(
-        Sum("c", alias_name="c")
+    big = (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # feeds the gate count AND the broadcast pull
     )
     n_big = big.count()
     if n_big > max_vocab:

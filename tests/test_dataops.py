@@ -4207,3 +4207,79 @@ class TestSupplierHits:
             hits_exact(rd.from_arrow(edges), max_local_edges=0).to_pandas().sort_values("node").reset_index(drop=True)
         )
         assert local.to_dict("records") == dist.to_dict("records")
+
+
+class TestReviewRegressionsLate:
+    def test_pagerank_exact_asymmetric_dangling_free(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import pagerank_exact
+
+        # every node has outdeg >= 1 but node 3 has NO in-edges: the
+        # distributed loop must keep it (and its contributions) alive
+        edges = pa.table({"src": pa.array([3, 1, 2], pa.int64()), "dst": pa.array([1, 2, 1], pa.int64())})
+        local = pagerank_exact(rd.from_arrow(edges)).to_pandas().sort_values("node").reset_index(drop=True)
+        dist = (
+            pagerank_exact(rd.from_arrow(edges), max_local_edges=0)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert local.to_dict("records") == dist.to_dict("records")
+        assert set(local["node"]) == {1, 2, 3}
+
+    def test_hits_rejects_asymmetric_graph(self, ray_session):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.graph import hits_exact
+
+        edges = pa.table({"src": pa.array([1, 2, 1], pa.int64()), "dst": pa.array([2, 1, 3], pa.int64())})
+        with pytest.raises(ValueError, match="in- and out-edges"):
+            hits_exact(rd.from_arrow(edges))  # local path
+        with pytest.raises(ValueError, match="in- and out-edges"):
+            hits_exact(rd.from_arrow(edges), max_local_edges=0)  # distributed path
+
+    def test_market_share_empty_window(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_nation_market_share
+
+        _write_nation_region(tmp_path)
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1], pa.int64()), "s_nationkey": pa.array([7], pa.int32())}),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([5], pa.int64()), "c_nationkey": pa.array([1], pa.int32())}),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10], pa.int64()),
+                    "o_custkey": pa.array([5], pa.int64()),
+                    "o_orderdate": pa.array([pd.Timestamp("1999-01-01")], pa.timestamp("us")),  # outside window
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        li = pd.DataFrame({"l_orderkey": [10], "l_suppkey": [1], "l_extendedprice": [1.0], "l_discount": [0.0]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_nation_market_share(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == ["o_year", "share_ppm"]
+
+    def test_important_stock_no_nation_pairs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_important_stock
+
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([1], pa.int64()), "s_nationkey": pa.array([0], pa.int32())}),
+            tmp_path / "supplier.parquet",
+        )
+        li = pd.DataFrame({"l_partkey": [1], "l_suppkey": [1], "l_extendedprice": [1.0], "l_quantity": [1.0]})
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), tmp_path / "lineitem.parquet")
+        out = q_important_stock(str(tmp_path))
+        assert out.num_rows == 0
+        assert out.column_names == ["p_partkey", "value_c"]
