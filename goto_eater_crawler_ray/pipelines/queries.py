@@ -7723,6 +7723,20 @@ SELECT first_doc, CAST(sum(n_new) OVER (ORDER BY first_doc) AS BIGINT) AS vocab_
 """
 
 
+# the one SQL rendering of _gear_supplier_edges, shared by the three
+# graph twins so the Python and SQL graph constructions can't drift apart
+_GEAR_EDGES_CTE = """WITH pairs AS (
+  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
+  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+  WHERE pt.p_name LIKE '%gear%'
+),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1, 2 * p FROM pairs
+),"""
+
+
 def _gear_supplier_edges(sf_dir: str):
     """The bidirectional 'gear'-part ↔ supplier incidence graph shared by
     the three oracle-pinned graph queries (node id = 2·partkey for parts,
@@ -7806,16 +7820,7 @@ def _supplier_pagerank_sql(n_iter: int = 5) -> str:
         prev = f"pr{i}"
     chain = ",\n".join(iters)
     return f"""
-WITH pairs AS (
-  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
-  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
-  WHERE pt.p_name LIKE '%gear%'
-),
-edges AS (
-  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
-  UNION ALL
-  SELECT 2 * s + 1, 2 * p FROM pairs
-),
+{_GEAR_EDGES_CTE}
 nodes AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
 pr0 AS (SELECT node, outdeg, CAST(1000000000 AS BIGINT) AS r FROM nodes),
 {chain}
@@ -7881,16 +7886,7 @@ def _supplier_reach_sql(n_hops: int = 3) -> str:
         prev = f"d{i}"
     chain = ",\n".join(hops)
     return f"""
-WITH pairs AS (
-  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
-  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
-  WHERE pt.p_name LIKE '%gear%'
-),
-edges AS (
-  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
-  UNION ALL
-  SELECT 2 * s + 1, 2 * p FROM pairs
-),
+{_GEAR_EDGES_CTE}
 d0 AS (SELECT 2 * s_suppkey + 1 AS node, CAST(0 AS BIGINT) AS d FROM supplier WHERE s_nationkey = 7),
 {chain}
 SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM {prev} GROUP BY 1
@@ -7948,16 +7944,7 @@ h{i} AS (
         prev_h = f"h{i}"
     chain = ",\n".join(iters)
     return f"""
-WITH pairs AS (
-  SELECT DISTINCT l.l_partkey AS p, l.l_suppkey AS s
-  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
-  WHERE pt.p_name LIKE '%gear%'
-),
-edges AS (
-  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
-  UNION ALL
-  SELECT 2 * s + 1, 2 * p FROM pairs
-),
+{_GEAR_EDGES_CTE}
 h0 AS (SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS h FROM edges),
 {chain}
 SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, a AS auth_nano
