@@ -2,11 +2,34 @@
 
 from __future__ import annotations
 
+# the box the literal caps were tuned on; a bigger cluster scales them up
+_BASELINE_CPUS = 32
+
+
+def _cluster_cpus() -> int:
+    """Total CPUs in the Ray cluster (the multi-node scale knob); falls
+    back to the tuning baseline when Ray isn't up yet (schema probes,
+    unit tests)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 0)) or _BASELINE_CPUS
+    except Exception:
+        pass
+    return _BASELINE_CPUS
+
 
 def auto_num_partitions(n_rows: int, cap: int = 256, rows_per_part: int = 100_000) -> int:
     """Shuffle-partition count sized to the data: one partition per
     ~``rows_per_part`` rows, at least 2 (no single-reducer bottleneck,
-    and never more partitions than a tiny group domain can fill), capped
-    at ``cap`` (scheduler / driver overhead bound).  Used for every join
-    / groupby whose key domain scales with the data."""
-    return max(2, min(cap, n_rows // rows_per_part + 1))
+    and never more partitions than a tiny group domain can fill).
+
+    The ``cap`` bounds scheduler/driver overhead but is CLUSTER-AWARE:
+    the literal caps (64 light / 256 wide) were tuned on a 32-cpu box,
+    and scale linearly with total cluster CPUs — on a 256-node cluster
+    the wide-exchange cap grows with the worker count so per-partition
+    input stays bounded (~rows_per_part rows) instead of concentrating
+    TB-scale partitions on a handful of reducers."""
+    scaled_cap = max(cap, cap * _cluster_cpus() // _BASELINE_CPUS)
+    return max(2, min(scaled_cap, n_rows // rows_per_part + 1))

@@ -307,12 +307,25 @@ def bfs_hops(edges_ds, seeds_ds, n_hops: int = 3, num_partitions: int | None = N
     if num_partitions is None:
         num_partitions = auto_num_partitions(n_edges)
 
-    dist = seeds.map_batches(
-        lambda t: pa.table(
-            {"node": t.column("node").cast(pa.int64()), "d": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    dist = (
+        seeds.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node").cast(pa.int64()), "d": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        # dedup the seed frontier up front: duplicate seed rows (or
+        # n_hops=0) would otherwise emit duplicate (node, d) rows,
+        # diverging from the local path's np.unique
+        .groupby("node")
+        .aggregate(Min("d", alias_name="d"))
+        .repartition(num_partitions)  # zero-column empty-block scrub
+        .materialize()
+    )
+    if dist.count() == 0:  # empty seed set: pin the (node, d) schema
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}))
     for _ in range(n_hops):
         hop = dist.join(edges, join_type="inner", num_partitions=num_partitions, on=("node",), right_on=("src",))
         nxt = hop.map_batches(

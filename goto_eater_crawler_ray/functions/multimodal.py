@@ -101,12 +101,20 @@ class ExtractFeatures:
     def __init__(self, dim: int = 16):
         self.dim = dim
 
+    def raw_u32(self, b: bytes) -> np.ndarray:
+        """The stub model's pre-normalization integers: dim little-endian
+        uint32 words of the repeated sha256 digest (word d = digest bytes
+        4d mod 32 ..) — exposed so the oracle projection
+        (queries.media_features_u32) pins the exact bytes the float
+        features divide."""
+        d = hashlib.sha256(b).digest()
+        return np.frombuffer((d * ((self.dim * 4) // len(d) + 1))[: self.dim * 4], dtype=np.uint32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         data = batch.column("media_bytes").to_pylist()
         vecs = []
         for b in data:
-            d = hashlib.sha256(b).digest()
-            raw = np.frombuffer((d * ((self.dim * 4) // len(d) + 1))[: self.dim * 4], dtype=np.uint32)
+            raw = self.raw_u32(b)
             vecs.append((raw / np.uint32(0xFFFFFFFF)).astype(np.float32))
         return pa.table(
             {

@@ -1740,16 +1740,82 @@ SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5 FROM documents
 
 
 def q_media_decode(sf_dir: str):
-    """STUB image decode over binary column (actor pool, small batches)."""
+    """STUB image decode over binary column (actor pool, small batches) —
+    ORACLE-pinned: the deterministic fake derives (width, height) from the
+    payload's first two md5 digest bytes, which the DuckDB twin reproduces
+    with ``md5_number_upper`` (first 8 md5 bytes, little-endian — the same
+    identity `fingerprint_hamming_pairs` pins).  Valid while the codec
+    seam routes every row to the fake (no Pillow in this container and
+    the corpus payloads are utf-8 text, not image containers); a real
+    codec would re-route magic-byte rows and the twin would then pin only
+    the non-image remainder."""
     from ..functions.multimodal import DecodeImage
 
     return _docs_as_media(sf_dir).map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id,
+       CAST(64 + (md5_number_upper(text) & 255) AS INTEGER) AS width,
+       CAST(64 + ((md5_number_upper(text) >> 8) & 255) AS INTEGER) AS height,
+       'RGB' AS mode
+FROM documents
+"""
 
 
 def q_media_features(sf_dir: str):
     from ..functions.multimodal import ExtractFeatures
 
     return _docs_as_media(sf_dir).map_batches(ExtractFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+def q_media_features_u32(sf_dir: str):
+    """The media feature-extraction stage's pre-normalization integers,
+    flat (doc_id, dim, feat_u32) — the ORACLE projection of
+    `media_features`: the stub model's feature d is the little-endian
+    uint32 at byte offset (4d mod 32) of sha256(payload), which the
+    DuckDB twin recomputes from the sha256 hex digest with per-byte hex
+    arithmetic.  Flat integers sidestep the float32-list hash-compare
+    hazard while pinning the exact bytes the float features divide."""
+    from ..functions.multimodal import ExtractFeatures
+
+    dim = 16
+    stage = ExtractFeatures(dim=dim)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.schema([("doc_id", pa.int64()), ("dim", pa.int64()), ("feat_u32", pa.int64())]).empty_table()
+        raws = [stage.raw_u32(b) for b in t.column("media_bytes").to_pylist()]
+        doc_ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n), pa.int64()),
+                "feat_u32": pa.array(np.concatenate(raws).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs_as_media(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def _media_features_u32_sql(dim: int = 16) -> str:
+    hexb = (
+        "((strpos('0123456789abcdef', substr(hx, 2*({p})+1, 1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(hx, 2*({p})+2, 1))-1))"
+    )
+    word = " + ".join(
+        f"{hexb.format(p=f'((dim*4)%32)+{k}')} * {1 << (8 * k)}" for k in range(4)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT unnest(range({dim})) AS dim)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST({word} AS BIGINT) AS feat_u32
+FROM h, d
+"""
+
+
+SQL_MEDIA_FEATURES_U32 = _media_features_u32_sql()
 
 
 def site_items_dataset(site_names: list[str] | None = None):
@@ -1791,8 +1857,31 @@ def q_site_items(sf_dir: str):
     """Concrete per-site extractor configurations (all 49 modules in
     sites/) run registry-driven over their reference-DOM-shaped fixture
     pages as a map_batches stage.  Non-SQL (fixture input, not an sf
-    table); goldens in tests/test_sites.py."""
+    table); goldens in tests/test_sites.py; hash-pinned via
+    `site_items_md5`."""
     return site_items_dataset()
+
+
+# frozen from the deterministic fixture corpus (sf-independent); re-freeze
+# with tools/freeze_crawl_pins.py if a site spec or fixture changes
+SITE_ITEMS_PIN_MD5 = "6ed66bd49d6abbc0e5a5c18475733988"
+
+
+def q_site_items_md5(sf_dir: str):
+    """Determinism PIN for the 49-site extractor suite: the canonical
+    content hash (driver-shaped: columns sorted, rows sorted, md5) of the
+    full `site_items` table.  The fixture corpus is deterministic and
+    sf-independent, so the hash is a CONSTANT and the oracle twin is the
+    frozen literal — the same contract as `crawl_determinism`, turning
+    the per-site golden coverage into a driver-visible hash-checked row."""
+    import ray
+
+    tabs = [t for t in ray.get(site_items_dataset().to_arrow_refs()) if t.num_rows > 0]
+    t = pa.concat_tables(tabs)
+    return pa.table({"metric": pa.array(["site_items_md5"], pa.string()), "value": pa.array([_canonical_table_md5(t)], pa.string())})
+
+
+SQL_SITE_ITEMS_MD5 = f"SELECT 'site_items_md5' AS metric, '{SITE_ITEMS_PIN_MD5}' AS value"
 
 
 # ---------------------------------------------------------------------------
@@ -2317,28 +2406,23 @@ FROM bits GROUP BY doc_id, j // 16
 """
 
 
-def q_simhash_groups_md5(sf_dir: str):
-    """Exact-simhash collision groups (hamming-0 near-dups) under the md5
-    hash family — `simhash_dup_groups`'s groupby-Min/Count machinery
-    ORACLE-pinned: the DuckDB twin recomputes the 64-bit signature from
-    the `simhash_sigs` bit-vote CTE, assembles the four BIGINT-safe
-    16-bit pieces into one HUGEINT, wraps to two's-complement int64
-    (matching the batch path's uint64 -> int64 bit reinterpretation), and
-    groups by the assembled value."""
-    from ray.data.aggregate import Count, Min
-
+def _simhash_md5_ds(sf_dir: str, as_uint64: bool = False):
+    """Shared md5-family SimHash signature dataset: (doc_id int64,
+    simhash).  The same distinct-token bit-vote core as q_simhash_sigs,
+    assembled to one 64-bit value — int64 two's-complement by default
+    (matching the DuckDB HUGEINT-wrap twins), uint64 when feeding
+    `hamming_near_pairs` (which XORs in uint64)."""
     from ..functions.sampling import md5_u64
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     BITS = np.arange(64, dtype=np.uint64)
-    empty = pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
+    out_type = pa.uint64() if as_uint64 else pa.int64()
+    empty = pa.schema([("doc_id", pa.int64()), ("simhash", out_type)])
 
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
             return empty.empty_table()
-        # same distinct-token bit-vote core as q_simhash_sigs, assembled
-        # to one int64 instead of four 16-bit pieces
         wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(t.column("text")))).combine_chunks()
         flat = wl.flatten()
         parents = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
@@ -2356,19 +2440,50 @@ def q_simhash_groups_md5(sf_dir: str):
         return pa.table(
             {
                 "doc_id": t.column("doc_id").cast(pa.int64()),
-                "simhash": pa.array(sims.view(np.int64), pa.int64()),
+                "simhash": pa.array(sims if as_uint64 else sims.view(np.int64), out_type),
             }
         )
 
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_simhash_groups_md5(sf_dir: str):
+    """Exact-simhash collision groups (hamming-0 near-dups) under the md5
+    hash family — `simhash_dup_groups`'s groupby-Min/Count machinery
+    ORACLE-pinned: the DuckDB twin recomputes the 64-bit signature from
+    the `simhash_sigs` bit-vote CTE, assembles the four BIGINT-safe
+    16-bit pieces into one HUGEINT, wraps to two's-complement int64
+    (matching the batch path's uint64 -> int64 bit reinterpretation), and
+    groups by the assembled value."""
+    from ray.data.aggregate import Count, Min
+
     grouped = (
-        ds.map_batches(fn, batch_format="pyarrow")
+        _simhash_md5_ds(sf_dir)
         .groupby("simhash")
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_docs"))
     )
     return grouped.filter(lambda r: r["n_docs"] > 1)
 
 
-SQL_SIMHASH_GROUPS_MD5 = """
+def q_simhash_near_pairs_md5(sf_dir: str):
+    """Hamming<=3 SimHash near-dup pairs under the md5 hash family —
+    the `simhash_near_pairs` pigeonhole-banding machinery with the
+    oracle-replicable signature, so the whole explode->bucket->verify->
+    dedup path is hash-checked: the DuckDB twin recomputes the md5-family
+    simhash per doc (the `simhash_groups_md5` vals CTE) and forms the
+    exact radius with a quadratic ``bit_count(xor(a,b)) <= 3`` self-join
+    (banding has recall 1.0 for the radius, so the sets are equal — the
+    same trick as `fingerprint_hamming_pairs`, now over the production
+    SimHash bit-vote signature instead of a raw fingerprint)."""
+    from ..functions.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(_simhash_md5_ds(sf_dir, as_uint64=True), max_hamming=3)
+
+
+# shared md5-family simhash value CTE chain: documents -> per-doc 64-bit
+# signature, wrapped to two's-complement BIGINT (matches the batch path's
+# uint64 -> int64 bit reinterpretation)
+_SIMHASH_MD5_VALS_CTE = """
 WITH toks AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)) AS ws
@@ -2390,10 +2505,25 @@ vals AS (
          sum(CAST(value AS HUGEINT) * CASE piece WHEN 0 THEN 1 WHEN 1 THEN 65536
              WHEN 2 THEN 4294967296 ELSE 281474976710656 END) AS h
   FROM pieces GROUP BY doc_id
-)
-SELECT CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS simhash,
-       min(doc_id) AS keep_id, count(*) AS n_docs
-FROM vals GROUP BY h HAVING count(*) > 1
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS simhash
+  FROM vals
+)"""
+
+SQL_SIMHASH_GROUPS_MD5 = f"""
+{_SIMHASH_MD5_VALS_CTE}
+SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+SQL_SIMHASH_NEAR_PAIRS_MD5 = f"""
+{_SIMHASH_MD5_VALS_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -6797,7 +6927,11 @@ def q_only_late_supplier(sf_dir: str):
         cutoff = pairs["l_orderkey"].map(dates)
         keep = cutoff.notna().to_numpy()  # inner-join semantics: drop orphan lines
         pairs = pairs[keep]
-        late = (pairs["ship_us"].to_numpy() > cutoff.to_numpy()[keep] + LATE_US).astype(np.int64)
+        # compare in int64 AFTER the keep-mask: an unmatched orderkey would
+        # promote the cutoff to float64, and epoch-microseconds (~8e17)
+        # exceed 2^53 — a ~128µs quantization footgun if sub-second
+        # timestamps ever appear
+        late = (pairs["ship_us"].to_numpy() > cutoff.to_numpy()[keep].astype(np.int64) + LATE_US).astype(np.int64)
         # masked max: the late supplier's identity, exact when n_late == 1
         pairs = pairs.assign(late=late, ls=np.where(late == 1, pairs["l_suppkey"].to_numpy(), -1))
         po = pairs.groupby("l_orderkey").agg(
@@ -7809,11 +7943,15 @@ def _supplier_pagerank_sql(n_iter: int = 5) -> str:
     iters = []
     for i in range(1, n_iter + 1):
         iters.append(
+            # LEFT JOIN + COALESCE keeps nodes with no in-edges at the base
+            # term each iteration — matching pagerank_exact's left-outer
+            # semantics on legal asymmetric (dangling-free) graphs instead
+            # of silently dropping them from the CTE chain
             f"""pr{i} AS (
   SELECT n.node, n.outdeg,
-         CAST(150000000 + sum(CAST(round(0.85 * p.r / p.outdeg) AS BIGINT)) AS BIGINT) AS r
-  FROM nodes n JOIN edges e ON e.dst = n.node
-               JOIN {prev} p ON p.node = e.src
+         CAST(150000000 + COALESCE(sum(CAST(round(0.85 * p.r / p.outdeg) AS BIGINT)), 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+               LEFT JOIN {prev} p ON p.node = e.src
   GROUP BY 1, 2
 )"""
         )
@@ -7858,15 +7996,14 @@ def q_supplier_reach(sf_dir: str):
         batch_format="pyarrow",
     )
     dist = bfs_hops(_gear_supplier_edges(sf_dir), seeds, n_hops=3)
-    return (
-        dist.groupby("d")
-        .aggregate(Count(alias_name="n_nodes"))
-        .map_batches(
-            lambda t: pa.table(
-                {"d": t.column("d").cast(pa.int64()), "n_nodes": t.column("n_nodes").cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
+    # ≤n_hops+1 rows — pin_small so an EMPTY seed set (sf0.001 has no
+    # nation-7 supplier) can't erase the (d, n_nodes) schema via the
+    # aggregate's zero-column empty blocks
+    from ..functions.guards import pin_small
+
+    return pin_small(
+        dist.groupby("d").aggregate(Count(alias_name="n_nodes")),
+        pa.schema([("d", pa.int64()), ("n_nodes", pa.int64())]),
     )
 
 
@@ -8226,6 +8363,9 @@ def q_min_cost_supplier(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+        .repartition(2)  # zero-column empty-block scrub: at tiny scale the
+        # gear+size-15 filter can empty EVERY block, and the join's shuffle
+        # then loses the right side's p_partkey schema (ArrowInvalid)
     )
     # batch-local pair partials only — the per-part reducer below combines
     # them (min of minima) inside the same partkey exchange, so the global
@@ -8235,22 +8375,35 @@ def q_min_cost_supplier(sf_dir: str):
     )
     ps = ps.join(target_parts, join_type="inner", num_partitions=max(2, n_parts // 4), on=("l_partkey",), right_on=("p_partkey",))
 
+    # coarse-hash the partkey domain (the small_qty_revenue idiom): the
+    # group-call count is O(coarse), not O(parts), and per-part minima are
+    # complete within a coarse group by construction
+    coarse = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_pp", pa.array((k % coarse).astype(np.int32), pa.int32()))
+
     def min_per_part(df: pd.DataFrame) -> pd.DataFrame:
-        # combine pair partials (min of batch minima), then the per-part
-        # min cost + the winning suppliers at that cost — all resolved
-        # in-partition (per-part rows are co-located by the groupby key)
-        g = df.groupby("l_suppkey", as_index=False)["cost_c"].min()
-        m = g["cost_c"].min()
-        w = g[g["cost_c"] == m]
+        # combine pair partials (min of batch minima), then each part's
+        # min cost + the winning suppliers at that cost
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["cost_c"].min()
+        m = g.groupby("l_partkey")["cost_c"].transform("min")
+        w = g[g["cost_c"] == m.to_numpy()]
         return pd.DataFrame(
             {
-                "p_partkey": np.full(len(w), df["l_partkey"].iloc[0], np.int64),
-                "s_suppkey": w["l_suppkey"].astype(np.int64),
-                "cost_c": w["cost_c"].astype(np.int64),
+                "p_partkey": w["l_partkey"].astype(np.int64).to_numpy(),
+                "s_suppkey": w["l_suppkey"].astype(np.int64).to_numpy(),
+                "cost_c": w["cost_c"].astype(np.int64).to_numpy(),
             }
         )
 
-    winners = ps.groupby("l_partkey").map_groups(min_per_part, batch_format="pandas").to_pandas()
+    winners = (
+        ps.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(min_per_part, batch_format="pandas")
+        .to_pandas()
+    )
     if winners.empty:
         return pa.table(
             {
@@ -8389,18 +8542,27 @@ def q_dominant_suppliers(sf_dir: str):
         gears, join_type="inner", num_partitions=max(2, n_parts // 4), on=("l_partkey",), right_on=("p_partkey",)
     )
     supp_set = set(supps.to_pylist())
+    # coarse-hash the partkey domain (the small_qty_revenue idiom): the
+    # group-call count is O(coarse), not O(parts in corpus), and per-part
+    # stats stay complete within a coarse group by construction
+    coarse = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_pp", pa.array((k % coarse).astype(np.int32), pa.int32()))
 
     def dominant(df: pd.DataFrame) -> pd.DataFrame:
-        # combine pair partials, then the part's FULL volume needs every
-        # supplier's qty — co-located here by the groupby — while only
+        # combine pair partials, then each part's FULL volume needs every
+        # supplier's qty — co-located here by the coarse hash — while only
         # nation-7 pairs can qualify
-        g = df.groupby("l_suppkey", as_index=False)["qty"].sum()
-        tot = g["qty"].sum()
-        w = g[g["l_suppkey"].isin(supp_set) & (10 * g["qty"] > tot)]
-        return pd.DataFrame({"s_suppkey": w["l_suppkey"].astype(np.int64)})
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["qty"].sum()
+        tot = g.groupby("l_partkey")["qty"].transform("sum")
+        w = g[g["l_suppkey"].isin(supp_set) & (10 * g["qty"] > tot.to_numpy())]
+        return pd.DataFrame({"s_suppkey": w["l_suppkey"].astype(np.int64).to_numpy()})
 
     q = (
-        ps.groupby("l_partkey")
+        ps.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_pp")
         .map_groups(dominant, batch_format="pandas")
         .groupby("s_suppkey")
         .aggregate(Count(alias_name="n_parts_dominated"))
@@ -8595,35 +8757,46 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dedup_filter": q_dedup_filter,
     "char_jaccard": q_char_jaccard,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_near_pairs": q_simhash_near_pairs,
+    "minhash_pairs_md5": q_minhash_pairs_md5,
+    "simhash_near_pairs_md5": q_simhash_near_pairs_md5,
     "fingerprint_hamming_pairs": q_fingerprint_hamming_pairs,
-    "simhash_groups": q_simhash_groups,
+    "simhash_groups_md5": q_simhash_groups_md5,
     "langid": q_langid,
-    "dedup_groups": q_dedup_groups,
+    "dedup_groups_md5": q_dedup_groups_md5,
     "approx_distinct_users": q_approx_distinct_users,
     "hll_registers": q_hll_registers,
     "ann_topk": q_ann_topk,
     "cosine_dups": q_cosine_dups,
     "embedding_dup_groups": q_embedding_dup_groups,
     "lsh_ann": q_lsh_ann,
-    "ivf_ann": q_ivf_ann,
+    "ivf_ann_frozen": q_ivf_ann_frozen,
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
-    "media_features": q_media_features,
-    "crawl_lineage": q_crawl_lineage,
-    "crawl_documents": q_crawl_documents,
-    "site_items": q_site_items,
-    "doc_spans": q_doc_spans,
+    "media_features_u32": q_media_features_u32,
+    "crawl_determinism": q_crawl_determinism,
+    "near_dedup_md5": q_near_dedup_md5,
+    "site_items_md5": q_site_items_md5,
+    "minhash_sigs": q_minhash_sigs,
     "doc_spans_flat": q_doc_spans_flat,
     "doc_sample": q_doc_sample,
+    # --- beyond the driver's 50-row correctness window ---
     "doc_split": q_doc_split,
     "doc_stratified_sample": q_doc_stratified_sample,
     "tfidf": q_tfidf,
     "kmeans_clusters": q_kmeans_clusters,
     "kmeans_assign": q_kmeans_assign,
+    # rows-only variants (each family's oracle twin sits in the window above)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "simhash_groups": q_simhash_groups,
+    "dedup_groups": q_dedup_groups,
+    "ivf_ann": q_ivf_ann,
+    "media_features": q_media_features,
+    "crawl_lineage": q_crawl_lineage,
+    "crawl_documents": q_crawl_documents,
+    "site_items": q_site_items,
+    "doc_spans": q_doc_spans,
     "pca_project_frozen": q_pca_project_frozen,
-    "crawl_determinism": q_crawl_determinism,
     "doc_chunks": q_doc_chunks,
     "embedding_quantize": q_embedding_quantize,
     "events_hopping": q_events_hopping,
@@ -8632,14 +8805,8 @@ QUERIES = {
     "doc_redact": q_doc_redact,
     "span_dedup": q_span_dedup,
     "span_reassemble": q_span_reassemble,
-    "minhash_sigs": q_minhash_sigs,
     "simhash_sigs": q_simhash_sigs,
-    "minhash_pairs_md5": q_minhash_pairs_md5,
-    "dedup_groups_md5": q_dedup_groups_md5,
-    "near_dedup_md5": q_near_dedup_md5,
-    "simhash_groups_md5": q_simhash_groups_md5,
     "events_pct_rank": q_events_pct_rank,
-    "ivf_ann_frozen": q_ivf_ann_frozen,
     "events_bucketize": q_events_bucketize,
     "events_clip": q_events_clip,
     "events_dedup_latest": q_events_dedup_latest,
@@ -8768,6 +8935,10 @@ ORACLES = {
     "cosine_dups": SQL_COSINE_DUPS,
     "embedding_dup_groups": SQL_EMBEDDING_DUP_GROUPS,
     "media_metadata": SQL_MEDIA_METADATA,
+    "media_decode": SQL_MEDIA_DECODE,
+    "media_features_u32": SQL_MEDIA_FEATURES_U32,
+    "site_items_md5": SQL_SITE_ITEMS_MD5,
+    "simhash_near_pairs_md5": SQL_SIMHASH_NEAR_PAIRS_MD5,
     "doc_spans_flat": SQL_DOC_SPANS_FLAT,
     "doc_sample": SQL_DOC_SAMPLE,
     "doc_split": SQL_DOC_SPLIT,

@@ -326,3 +326,119 @@ class TestPrefixSumPackProperty:
         starts = np.concatenate(([0], np.cumsum(lengths)[:-1])).astype(np.int64)
         assert got["start_offset"].tolist() == starts.tolist()
         assert got["seq_id"].tolist() == (starts // seq_len).tolist()
+
+
+class TestGraphDegenerateProperty:
+    """The zero-column-block hazard class: graph ops at degenerate scales
+    (empty seed set, single node, seeds disjoint from the graph, duplicate
+    seeds, n_hops=0) must keep their schema and match the local path
+    bit-for-bit on BOTH sides of the small-graph gate."""
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10), st.integers(0, 10)).filter(lambda p: p[0] != p[1]),
+            min_size=0,
+            max_size=15,
+        ),
+        st.lists(st.integers(0, 15), min_size=0, max_size=5),  # may be empty / dup / disjoint
+        st.sampled_from([0, 1, 3]),
+    )
+    def test_bfs_local_vs_distributed(self, ray_session, edges, seeds, n_hops):
+        from goto_eater_crawler_ray.functions.graph import bfs_hops
+
+        e = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        s = pa.table({"node": pa.array(seeds, pa.int64())})
+        local_ds = bfs_hops(rd.from_arrow(e), rd.from_arrow(s), n_hops=n_hops)
+        dist_ds = bfs_hops(rd.from_arrow(e), rd.from_arrow(s), n_hops=n_hops, max_local_edges=0)
+        # the DATASET schema must survive the empty-seed path on both sides
+        # (to_pandas() on an empty dataset drops columns — a Ray quirk, so
+        # schema is asserted at the Dataset level)
+        assert sorted(local_ds.schema().names) == sorted(dist_ds.schema().names) == ["d", "node"]
+        local, dist = local_ds.to_pandas(), dist_ds.to_pandas()
+        if local.empty and dist.empty:
+            local = pd.DataFrame({"node": [], "d": []})
+            dist = pd.DataFrame({"node": [], "d": []})
+        key = ["node", "d"]
+        assert (
+            local.sort_values(key).reset_index(drop=True).to_dict("records")
+            == dist.sort_values(key).reset_index(drop=True).to_dict("records")
+        )
+        # reference: plain BFS over the edge list
+        import collections
+
+        adj = collections.defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+        ref = {n: 0 for n in set(seeds)}
+        frontier = set(seeds)
+        for d in range(1, n_hops + 1):
+            frontier = {m for n in frontier for m in adj[n] if m not in ref}
+            for m in frontier:
+                ref[m] = d
+        got = dict(zip(local["node"], local["d"]))
+        assert got == ref
+
+    def test_pagerank_hits_empty_graph_keep_schema(self, ray_session):
+        from goto_eater_crawler_ray.functions.graph import hits_exact, pagerank_exact
+
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        for force in (262_144, 0):
+            pr = pagerank_exact(rd.from_arrow(empty), max_local_edges=force)
+            assert pr.count() == 0 and sorted(pr.schema().names) == ["node", "rank_nano"]
+            ht = hits_exact(rd.from_arrow(empty), max_local_edges=force)
+            assert ht.count() == 0 and sorted(ht.schema().names) == ["auth_nano", "hub_nano", "node"]
+
+    def test_pagerank_hits_single_node_cycle(self, ray_session):
+        # the smallest legal (dangling-free, in-degree>=1) graph: 1 <-> 2
+        from goto_eater_crawler_ray.functions.graph import hits_exact, pagerank_exact
+
+        e = pa.table({"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())})
+        for force in (262_144, 0):
+            pr = pagerank_exact(rd.from_arrow(e), max_local_edges=force).to_pandas().sort_values("node")
+            assert pr["node"].tolist() == [1, 2]
+            assert pr["rank_nano"].tolist() == [1_000_000_000, 1_000_000_000]
+            ht = hits_exact(rd.from_arrow(e), max_local_edges=force).to_pandas().sort_values("node")
+            assert ht["hub_nano"].tolist() == [1_000_000_000, 1_000_000_000]
+
+
+class TestPartitionSizing:
+    """auto_num_partitions must keep per-partition input bounded as data
+    grows (one partition per ~rows_per_part rows) and scale its cap with
+    the CLUSTER, not a constant tuned for one 32-cpu box."""
+
+    def test_per_partition_rows_bounded_until_cap(self):
+        from goto_eater_crawler_ray.functions._partitions import auto_num_partitions
+
+        for n in [1, 10_000, 1_000_000, 10_000_000]:
+            p = auto_num_partitions(n, cap=256, rows_per_part=100_000)
+            if p < 256:  # below the cap the bound holds exactly
+                assert n / p <= 100_000
+        assert auto_num_partitions(50, cap=256) == 2  # no single-reducer floor
+
+    def test_cap_scales_with_cluster_cpus(self, monkeypatch):
+        from goto_eater_crawler_ray.functions import _partitions
+
+        monkeypatch.setattr(_partitions, "_cluster_cpus", lambda: 32)
+        assert _partitions.auto_num_partitions(10**12, cap=256) == 256  # baseline box: unchanged
+        monkeypatch.setattr(_partitions, "_cluster_cpus", lambda: 32 * 256)  # 256-node cluster
+        assert _partitions.auto_num_partitions(10**12, cap=256) == 256 * 256
+        # and the bound per partition shrinks back toward rows_per_part
+        assert 10**12 / _partitions.auto_num_partitions(10**12, cap=256) <= 10**12 / 256 / 255
+
+    def test_sf01_lowered_rows_per_part_demonstration(self):
+        # the reduce-side-join family's sizing input at sf0.1: lowering
+        # rows_per_part 10x must raise the partition count ~10x (the same
+        # mechanism that keeps per-task input bounded as sf grows 1000x)
+        from goto_eater_crawler_ray.functions._partitions import auto_num_partitions
+
+        n_sf01 = 600_000  # ~sf0.1 lineitem rows
+        base = auto_num_partitions(n_sf01, cap=256, rows_per_part=100_000)
+        lowered = auto_num_partitions(n_sf01, cap=256, rows_per_part=10_000)
+        assert lowered >= 8 * base
+        assert n_sf01 / lowered <= 10_000

@@ -2,7 +2,11 @@
 entry at a given sf and compare to its oracle_sql() twin via DuckDB —
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [sf_dir ...] [query ...]
+
+Any argument that is a directory is an sf dir (several may be given —
+the round gate runs sf0.001 AND sf0.01 in one command); the rest are
+query-name filters.  With no dirs, defaults to /root/testdata/sf0.01.
 """
 
 from __future__ import annotations
@@ -36,18 +40,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import ray
-
-    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
-    sys.path.insert(0, ".")
+def run_scale(sf_dir: str, only: set[str]) -> list[str]:
     from goto_eater_crawler_ray.pipelines.queries import ORACLES, QUERIES
 
     con = duckdb.connect()
@@ -87,11 +80,37 @@ def main():
             failures.append(name)
         else:
             print(f"ok   {name}: {len(got)} rows match oracle ({dt:.1f}s)")
+    con.close()
+    return failures
+
+
+def main():
+    import os
+
+    sf_dirs = [a for a in sys.argv[1:] if os.path.isdir(a)]
+    only = {a for a in sys.argv[1:] if not os.path.isdir(a)}
+    if not sf_dirs:
+        sf_dirs = ["/root/testdata/sf0.01"]
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, ".")
+
+    all_failures = {}
+    for sf_dir in sf_dirs:
+        print(f"=== {sf_dir} ===")
+        f = run_scale(sf_dir, only)
+        if f:
+            all_failures[sf_dir] = f
     ray.shutdown()
-    if failures:
-        print("FAILURES:", failures)
+    if all_failures:
+        print("FAILURES:", all_failures)
         sys.exit(1)
-    print("ALL PARITY CHECKS PASSED")
+    print(f"ALL PARITY CHECKS PASSED ({', '.join(sf_dirs)})")
 
 
 if __name__ == "__main__":
