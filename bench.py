@@ -215,6 +215,56 @@ def main() -> None:
     for a in actors:
         ray.kill(a)
 
+    # --- crawl variants (skipped in the lean scaling phases) ------------
+    # 1. forced-DISTRIBUTED admission (driver_admit_max_pages=0): the
+    #    dataset-native explode->first_per_key dedup->admit->schedule path
+    #    every wave, i.e. what every real >20k-page wave runs.
+    # 2. deep multi-wave (chain_mode=False, 12-page chains -> 13+ waves):
+    #    per-wave fixed costs + distributed admission per wave — the
+    #    reference's dominant workload shape is long pagination chains
+    #    (osaka 881 pages, tokyo_gnavi 16k details).
+    dist_pps = None
+    multiwave_pps = None
+    multiwave_waves = None
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        frac = float(os.environ.get("GRAFT_BENCH_VARIANT_FRAC", "1"))  # smoke-tests shrink the variants
+        for tag, kwargs, spec_kw in (
+            (
+                "distadmit",
+                {"driver_admit_max_pages": 0},
+                {"paginated_hosts": max(2, int(8192 * frac)), "mesh_count": max(2, int(4000 * frac))},
+            ),
+            (
+                "multiwave",
+                {"driver_admit_max_pages": 0, "chain_mode": False},
+                {"paginated_hosts": max(2, int(2048 * frac)), "pages_per_host": 12, "mesh_count": max(2, int(2000 * frac))},
+            ),
+        ):
+            vdir = f"/dev/shm/bench_crawl_{tag}_cpu{ncpu}"
+            shutil.rmtree(vdir, ignore_errors=True)
+            vspec = ScaleSpec.bench(**spec_kw)
+            t0 = time.time()
+            veng = CrawlEngine(
+                vspec,
+                vdir,
+                n_seen_shards=8,
+                n_sched_shards=4,
+                n_parts=max(8, ncpu),
+                seen_capacity=2_000_000,
+                checkpoint_interval=8,
+                **kwargs,
+            )
+            vtot = veng.run()
+            vsec = time.time() - t0
+            veng.shutdown()
+            shutil.rmtree(vdir, ignore_errors=True)
+            pps = round(vtot["pages"] / vsec, 1)
+            log(f"--- crawl[{tag}]: {vtot['pages']} pages, {vtot['waves']} waves, {vsec:.1f}s = {pps} pages/s")
+            if tag == "distadmit":
+                dist_pps = pps
+            else:
+                multiwave_pps, multiwave_waves = pps, vtot["waves"]
+
     # --- query timings over sf_dir -------------------------------------
     bench_queries = [
         "lineitem_agg",
@@ -357,6 +407,9 @@ def main() -> None:
                 "fetch_task_rows_skew_max_over_median": task_rows_skew,
                 "fetch_parse_sec": round(totals.get("fetch_parse_sec", crawl_sec), 3),
                 "fetch_parse_pages_per_sec": round(pages / max(totals.get("fetch_parse_sec", crawl_sec), 1e-9), 1),
+                "crawl_distadmit_pages_per_sec": dist_pps,
+                "crawl_multiwave_pages_per_sec": multiwave_pps,
+                "crawl_multiwave_waves": multiwave_waves,
             }
         )
     )

@@ -468,11 +468,15 @@ def percent_rank_per_key(
     )
 
 
-def _last_per_group_indices(t: pa.Table, key_cols: list[str], order_cols: list[str]) -> np.ndarray:
-    """Row indices of the LAST row per composite key under ascending
-    ``order_cols`` order.  String keys are dictionary-encoded to int
-    codes (grouping needs equality, not lexicographic order); order
-    columns must be naturally ordered (ints / timestamps)."""
+def _extreme_per_group_indices(
+    t: pa.Table, key_cols: list[str], order_cols: list[str], keep: str = "last"
+) -> np.ndarray:
+    """Row indices of the FIRST or LAST row per composite key under
+    ascending ``order_cols`` order.  String keys are dictionary-encoded
+    to int codes (grouping needs equality, not lexicographic order);
+    string ORDER columns are ordinal-encoded via ``np.unique`` (whose
+    inverse codes are rank-ordered, preserving lexicographic order) so
+    the lexsort runs on ints."""
     import pyarrow.compute as pc
 
     kcs = []
@@ -481,7 +485,13 @@ def _last_per_group_indices(t: pa.Table, key_cols: list[str], order_cols: list[s
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             col = pc.dictionary_encode(col).indices
         kcs.append(col.to_numpy(zero_copy_only=False))
-    ocs = [t.column(c).combine_chunks().to_numpy(zero_copy_only=False) for c in order_cols]
+    ocs = []
+    for c in order_cols:
+        col = t.column(c).combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            arr = np.unique(arr, return_inverse=True)[1]
+        ocs.append(arr)
     order = np.lexsort(tuple(reversed(ocs)) + tuple(reversed(kcs)))
     n = len(order)
     seg_start = np.zeros(n, bool)
@@ -489,8 +499,14 @@ def _last_per_group_indices(t: pa.Table, key_cols: list[str], order_cols: list[s
     for k in kcs:
         sk = k[order]
         seg_start[1:] |= sk[1:] != sk[:-1]
+    if keep == "first":
+        return order[seg_start]
     seg_end = np.concatenate((seg_start[1:], [True]))  # last row of each key segment
     return order[seg_end]
+
+
+def _last_per_group_indices(t: pa.Table, key_cols: list[str], order_cols: list[str]) -> np.ndarray:
+    return _extreme_per_group_indices(t, key_cols, order_cols, keep="last")
 
 
 def latest_per_key(
@@ -510,14 +526,34 @@ def latest_per_key(
     per key before the shuffle (the partial-aggregate trick — the
     exchange carries at most |distinct keys in batch| rows per input
     batch, not the changelog), then one coarse hash shuffle on
-    ``part_col`` (must be an integer member of ``key_cols``; a partition
-    holds complete part_col groups, hence complete composite-key groups)
-    and a segment-vectorized final pick.  No per-key Python calls."""
+    ``part_col`` (an integer DETERMINED BY the key — a member of
+    ``key_cols`` or a hash of it; a partition holds complete part_col
+    groups, hence complete composite-key groups) and a
+    segment-vectorized final pick.  No per-key Python calls."""
+    return _pick_per_key(ds, key_cols, order_cols, part_col, n_key_parts, keep="last")
 
+
+def first_per_key(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    part_col: str,
+    n_key_parts: int = 64,
+):
+    """First-wins compaction — ``row_number() OVER (PARTITION BY keys
+    ORDER BY order ASC) = 1``: per composite key, keep the single row
+    that is FIRST in ascending ``order_cols`` order (the crawl
+    admission's earliest-discovery-wins link dedup).  Same scale shape
+    as :func:`latest_per_key` (batch-local pre-prune, one coarse hash
+    exchange, segment-vectorized pick — no per-key Python calls)."""
+    return _pick_per_key(ds, key_cols, order_cols, part_col, n_key_parts, keep="first")
+
+
+def _pick_per_key(ds, key_cols, order_cols, part_col, n_key_parts, keep):
     def prune(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("_key_part", pa.array([], pa.int32()))
-        idx = _last_per_group_indices(batch, key_cols, order_cols)
+        idx = _extreme_per_group_indices(batch, key_cols, order_cols, keep)
         out = batch.take(pa.array(np.sort(idx)))
         k = out.column(part_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return out.append_column("_key_part", pa.array((k % n_key_parts).astype(np.int32), pa.int32()))
@@ -526,7 +562,7 @@ def latest_per_key(
         part = part.drop_columns(["_key_part"])
         if part.num_rows == 0:
             return part
-        idx = _last_per_group_indices(part, key_cols, order_cols)
+        idx = _extreme_per_group_indices(part, key_cols, order_cols, keep)
         return part.take(pa.array(np.sort(idx)))
 
     return (

@@ -1090,14 +1090,30 @@ class CrawlEngine:
         )
         links = links_src.map_batches(explode_links, batch_format="pyarrow")
 
-        def dedup_group(df):
-            return df.sort_values(["discovered_at", "parent_key", "url"]).head(1)
+        # first-discovery-wins link dedup via the segment-vectorized
+        # first_per_key shape (batch-local pre-prune, ONE coarse hash
+        # exchange on a hash of the key, vectorized per-partition pick) —
+        # NOT a per-distinct-URL map_groups: on any wave past
+        # driver_admit_max_pages that would mean one pandas call per
+        # discovered URL
+        from ..functions.window import first_per_key
 
-        deduped = (
-            links.map_batches(lambda t: t.append_column("dedup_key", _dedup_key(t)), batch_format="pyarrow")
-            .groupby("dedup_key")
-            .map_groups(dedup_group, batch_format="pandas")
-        )
+        def with_dedup_key(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            dk = _dedup_key(t)
+            kp = pd.util.hash_array(dk.to_numpy(zero_copy_only=False)).view(np.int64)
+            return t.append_column("dedup_key", dk).append_column(
+                "_dk_hash", pa.array(kp, pa.int64())
+            )
+
+        deduped = first_per_key(
+            links.map_batches(with_dedup_key, batch_format="pyarrow"),
+            key_cols=["dedup_key"],
+            order_cols=["discovered_at", "parent_key", "url"],
+            part_col="_dk_hash",
+            n_key_parts=self._n_blocks(n_pages),
+        ).map_batches(lambda t: t.drop_columns(["_dk_hash"]), batch_format="pyarrow")
         admitted = deduped.map_batches(make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts), batch_format="pyarrow")
         scheduled = admitted.groupby("sched_shard").map_groups(
             make_schedule_fn(self.sched_actors, self.n_parts, self.mega_hosts, chain_mode=self.chain_mode),

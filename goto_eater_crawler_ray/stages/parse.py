@@ -345,16 +345,74 @@ def parse_file_csv_coded(url: str, body: bytes, meta: dict, depth: int) -> Parse
     return res
 
 
+def _xlsx_rows_stdlib(body: bytes) -> list[list[str]]:
+    """Stdlib .xlsx decode — the container is a zip of XML (ECMA-376
+    SpreadsheetML, a public spec), so ``zipfile`` + ``xml.etree`` cover
+    the reference's ``dtype=str`` read (nara.py:31) with no openpyxl:
+    resolve sheet 'リスト' (else the workbook's first sheet) through
+    workbook.xml + its .rels, expand the sharedStrings table, and read
+    each row's cells (shared / inline / plain values) as strings, with
+    gaps filled from the cell reference column letters.  Malformed zip
+    bodies raise ``zipfile.BadZipFile`` — explicit, never silent garbage."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    PR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    zf = zipfile.ZipFile(io.BytesIO(body))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    targets = {r.get("Id"): r.get("Target") for r in rels.findall(f"{PR}Relationship")}
+    sheets = [(s.get("name"), targets[s.get(f"{RNS}id")]) for s in wb.find(f"{NS}sheets")]
+    target = next((t for n, t in sheets if n == "リスト"), sheets[0][1])
+    target = target.lstrip("/")
+    if not target.startswith("xl/"):
+        target = "xl/" + target
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sst.findall(f"{NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+    sheet = ET.fromstring(zf.read(target))
+    rows: list[list[str]] = []
+    for row in sheet.iter(f"{NS}row"):
+        cells: list[str] = []
+        for c in row.findall(f"{NS}c"):
+            col = 0
+            for ch in c.get("r") or "":  # 'B3' -> column 2
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            idx = col - 1 if col else len(cells)
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                v = "".join(x.text or "" for x in c.iter(f"{NS}t"))
+            else:
+                ve = c.find(f"{NS}v")
+                v = (ve.text or "") if ve is not None else ""
+                if t == "s" and v:
+                    v = shared[int(v)]
+            while len(cells) < idx:
+                cells.append("")
+            cells.append(v)
+        rows.append(cells)
+    return rows
+
+
 def _xlsx_rows_real(body: bytes) -> list[list[str]] | None:
-    """Codec seam: real .xlsx decode when openpyxl imports (sheet 'リスト'
-    preferred, else active — nara.py:31 semantics); None when the codec is
-    absent so the caller can fall back to the deterministic fake."""
+    """Real .xlsx decode: openpyxl when installed (sheet 'リスト'
+    preferred, else active — nara.py:31 semantics), else the stdlib
+    zip+XML reader (same sheet preference) — the seam is CLOSED, a real
+    zip container always decodes."""
     try:
         import io
 
         import openpyxl  # noqa: PLC0415
     except ImportError:
-        return None
+        return _xlsx_rows_stdlib(body)
     wb = openpyxl.load_workbook(io.BytesIO(body), read_only=True, data_only=True)
     ws = wb["リスト"] if "リスト" in wb.sheetnames else wb.active
     return [["" if c is None else str(c) for c in row] for row in ws.iter_rows(values_only=True)]

@@ -149,22 +149,82 @@ def test_retryable_failures_deterministic(store):
     assert p1.latency_ms == p2.latency_ms
 
 
+def _build_real_xlsx(sheet_name: str, rows, sparse: bool = False) -> bytes:
+    """Minimal REAL xlsx container (ECMA-376 SpreadsheetML) built with
+    stdlib zipfile: workbook + rels + sharedStrings + one sheet.  With
+    ``sparse=True``, None cells are omitted (the reader must gap-fill
+    from cell references), the first data cell uses an inline string,
+    and digit strings are written as numeric cells."""
+    import io
+    import zipfile
+
+    shared: list[str] = []
+
+    def sref(s: str) -> int:
+        if s not in shared:
+            shared.append(s)
+        return shared.index(s)
+
+    def colletter(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    xml_rows = []
+    for ri, row in enumerate(rows, 1):
+        cells = []
+        for ci, v in enumerate(row):
+            if v is None:
+                continue
+            ref = f"{colletter(ci)}{ri}"
+            if sparse and isinstance(v, str) and v.isdigit():
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')  # numeric cell
+            elif sparse and ri > 1 and ci == 0:
+                cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>')
+            else:
+                cells.append(f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>')
+        xml_rows.append(f'<row r="{ri}">' + "".join(cells) + "</row>")
+
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    workbook = (
+        f'<workbook xmlns="{M}" xmlns:r="{R}"><sheets>'
+        f'<sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<Relationships xmlns="{P}">'
+        f'<Relationship Id="rId1" Type="{R}/worksheet" Target="worksheets/sheet1.xml"/>'
+        f"</Relationships>"
+    )
+    sst = f'<sst xmlns="{M}" count="{len(shared)}" uniqueCount="{len(shared)}">' + "".join(
+        f"<si><t>{s}</t></si>" for s in shared
+    ) + "</sst>"
+    sheet = f'<worksheet xmlns="{M}"><sheetData>' + "".join(xml_rows) + "</sheetData></worksheet>"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
 class TestCodecSeams:
     """The xlsx/pdf/image codec seams: deterministic fakes keep plumbing
     testable in this container; REAL bodies either decode through the real
     library (conditional tests, skipped when absent) or raise an explicit
     NotImplementedError — never silent garbage."""
 
-    def test_real_xlsx_body_without_codec_raises(self):
+    def test_malformed_xlsx_zip_raises_explicitly(self):
+        import zipfile
+
         from goto_eater_crawler_ray.stages.parse import parse_file_xlsx
 
-        try:
-            import openpyxl  # noqa: F401
-
-            pytest.skip("openpyxl installed; the no-codec branch is unreachable")
-        except ImportError:
-            pass
-        with pytest.raises(NotImplementedError, match="openpyxl"):
+        with pytest.raises((NotImplementedError, zipfile.BadZipFile)):
             parse_file_xlsx("u", b"PK\x03\x04 not really a sheet", {}, 0)
 
     def test_real_pdf_body_without_codec_raises(self):
@@ -179,11 +239,25 @@ class TestCodecSeams:
         with pytest.raises(NotImplementedError, match="pdf"):
             parse_file_pdf("u", b"%PDF-1.7 fake", {}, 0)
 
-    def test_real_xlsx_decode_when_codec_present(self):
+    def test_real_xlsx_decode_stdlib(self):
+        # a REAL xlsx container built with zipfile in the test (ECMA-376
+        # minimum: workbook + rels + sharedStrings + one sheet) decodes
+        # through the stdlib seam with no openpyxl — the seam is CLOSED
+        from goto_eater_crawler_ray.stages.parse import parse_file_xlsx
+
+        body = _build_real_xlsx(
+            "リスト",
+            [["店名", "住所", "電話"], ["店A", "奈良市1-1", "0742-00-0001"]],
+        )
+        res = parse_file_xlsx("u", body, {}, 0)
+        assert res.items[0]["shop_name"] == "店A"
+        assert res.items[0]["address"] == "奈良市1-1"
+
+    def test_real_xlsx_decode_matches_openpyxl_when_present(self):
         openpyxl = pytest.importorskip("openpyxl")
         import io
 
-        from goto_eater_crawler_ray.stages.parse import parse_file_xlsx
+        from goto_eater_crawler_ray.stages.parse import _xlsx_rows_stdlib
 
         wb = openpyxl.Workbook()
         ws = wb.active
@@ -192,8 +266,23 @@ class TestCodecSeams:
         ws.append(["店A", "奈良市1-1", "0742-00-0001"])
         buf = io.BytesIO()
         wb.save(buf)
-        res = parse_file_xlsx("u", buf.getvalue(), {}, 0)
-        assert res.items[0]["shop_name"] == "店A"
+        assert _xlsx_rows_stdlib(buf.getvalue())[:2] == [
+            ["店名", "住所", "電話"],
+            ["店A", "奈良市1-1", "0742-00-0001"],
+        ]
+
+    def test_stdlib_xlsx_gap_fill_and_inline_strings(self):
+        # sparse cells (B skipped), inline strings, and numeric cells all
+        # land as gap-filled strings — the dtype=str contract (nara.py:31)
+        from goto_eater_crawler_ray.stages.parse import _xlsx_rows_stdlib
+
+        body = _build_real_xlsx(
+            "リスト",
+            [["h1", "h2", "h3"], ["a", None, "42"]],
+            sparse=True,
+        )
+        rows = _xlsx_rows_stdlib(body)
+        assert rows == [["h1", "h2", "h3"], ["a", "", "42"]]
 
     def test_real_image_decode_when_codec_present(self):
         PIL = pytest.importorskip("PIL")  # noqa: F841

@@ -250,19 +250,35 @@ class TestNara:
         assert a["official_page"] == "http://kakinoha.example"
         assert (b["tel"], b["official_page"]) == (None, None)  # fillna (nara.py:31)
 
-    def test_real_xlsx_body_without_codec_is_explicit(self):
+    def test_malformed_xlsx_zip_is_explicit(self):
+        import zipfile
+
         import pytest as _pytest
 
         from goto_eater_crawler_ray.sites.nara import parse
 
-        try:
-            import openpyxl  # noqa: F401
-
-            _pytest.skip("openpyxl installed; real decode path covered elsewhere")
-        except ImportError:
-            pass
-        with _pytest.raises(NotImplementedError):
+        with _pytest.raises((NotImplementedError, zipfile.BadZipFile)):
             parse("https://premium-gift.jp/x.xlsx", b"PK\x03\x04junk", {}, 0)
+
+    def test_real_xlsx_decode_stdlib(self):
+        # REAL zip-container xlsx (built with stdlib zipfile) decodes
+        # through nara's column mapping with no openpyxl — the seam is
+        # closed per reference nara.py:31 (sheet リスト, dtype=str)
+        from goto_eater_crawler_ray.sites.nara import parse
+        from tests.test_parse_golden import _build_real_xlsx
+
+        body = _build_real_xlsx(
+            "リスト",
+            [
+                ["エリア", "店舗名称", "カテゴリー", "住所", "電話番号", "URL"],
+                ["奈良市 ", "柿の葉すし", " 和食", " 奈良市角振町5-5 ", "0742-00-0001", "http://kakinoha.example"],
+            ],
+        )
+        res = parse("https://premium-gift.jp/x.xlsx", body, {}, 0)
+        a = res.items[0]
+        assert (a["area_name"], a["genre_name"], a["address"]) == ("奈良市", "和食", "奈良市角振町5-5")
+        assert a["shop_name"] == "柿の葉すし"
+        assert a["official_page"] == "http://kakinoha.example"
 
 
 class TestTokyo:
