@@ -37,6 +37,13 @@ def run_scaling() -> None:
     # makes the ratio self-controlled — pair A = phases 1+2, pair B =
     # phases 3+4, and the headline is the best pairwise efficiency (the
     # cleanest co-located sample), with every phase's raw number reported.
+    #
+    # --isolate: pin the 8-cpu legs to a FIXED cpuset (taskset 0-7, which
+    # child raylet/worker processes inherit) so the narrow legs measure an
+    # honest 8-core box — without it, 8 Ray workers spread over all 32
+    # physical cores and contend with nothing, inflating the denominator
+    # the way no real 8-cpu node would.
+    isolate = "--isolate" in sys.argv
     phases = []
     for ncpu in (8, 32, 32, 8):
         # crawl-only phases: skipping the ~40-query loop keeps adjacent
@@ -48,8 +55,11 @@ def run_scaling() -> None:
             GRAFT_BENCH_MESH="16000",
             GRAFT_SKIP_QUERIES="1",
         )
-        log(f"--- scaling phase {len(phases) + 1}/4: num_cpus={ncpu}")
-        r = subprocess.run([sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True)
+        cmd = [sys.executable, "bench.py"]
+        if isolate and ncpu == 8:
+            cmd = ["taskset", "-c", "0-7"] + cmd
+        log(f"--- scaling phase {len(phases) + 1}/4: num_cpus={ncpu}{' (cpuset 0-7)' if isolate and ncpu == 8 else ''}")
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         rec = json.loads(r.stdout.strip().splitlines()[-1])
         rec["num_cpus"] = ncpu
         phases.append(rec)
@@ -73,7 +83,8 @@ def run_scaling() -> None:
                 "metric": "scaling_efficiency_8_to_32_cpus",
                 "value": best,
                 "unit": "ratio",
-                "protocol": "interleaved 8,32,32,8 — pairwise efficiencies, best pair headline",
+                "protocol": "interleaved 8,32,32,8 — pairwise efficiencies, best pair headline"
+                + (" — 8-cpu legs pinned to cpuset 0-7 (taskset)" if isolate else ""),
                 "pair_a_phases_1_2": pair_a,
                 "pair_b_phases_4_3": pair_b,
                 "crawl_pages_per_sec_phases": [p["crawl_pages_per_sec"] for p in phases],

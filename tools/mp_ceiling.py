@@ -39,12 +39,16 @@ def _worker(seconds: float, out):
     out.put(pages)
 
 
-def run(n_procs: int, seconds: float) -> float:
+def run(n_procs: int, seconds: float, cpuset: set[int] | None = None) -> float:
     q = mp.Queue()
     procs = [mp.Process(target=_worker, args=(seconds, q)) for _ in range(n_procs)]
     t0 = time.time()
     for p in procs:
         p.start()
+        if cpuset is not None:  # mirror bench --isolate: pin the narrow leg
+            import os
+
+            os.sched_setaffinity(p.pid, cpuset)
     for p in procs:
         p.join()
     wall = time.time() - t0
@@ -53,8 +57,10 @@ def run(n_procs: int, seconds: float) -> float:
 
 
 def main():
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
-    r8 = run(8, seconds)
+    args = [a for a in sys.argv[1:] if a != "--isolate"]
+    isolate = "--isolate" in sys.argv  # pin the 8-proc leg to cores 0-7
+    seconds = float(args[0]) if args else 10.0
+    r8 = run(8, seconds, cpuset=set(range(8)) if isolate else None)
     time.sleep(3)
     r32 = run(32, seconds)
     print(
@@ -66,6 +72,7 @@ def main():
                 "pages_per_sec_per_proc_8": round(r8, 1),
                 "pages_per_sec_per_proc_32": round(r32, 1),
                 "seconds_per_run": seconds,
+                "isolated_8_leg": isolate,
             }
         )
     )
