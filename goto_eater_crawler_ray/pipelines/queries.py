@@ -5017,12 +5017,30 @@ SQL_KMEANS_ASSIGN = _kmeans_assign_sql()
 
 def q_media_frames(sf_dir: str):
     """STUB video frame sampling (every-Nth-chunk flat_map shape) over the
-    binary media column — actor pool, one-to-many output.  Non-SQL
-    (DuckDB has no BLOB substring; text substr would diverge on
-    multi-byte UTF-8) -> rows-only + determinism pytest."""
+    binary media column — actor pool, one-to-many output.  ORACLE-pinned
+    on THIS corpus: DuckDB has no BLOB substring, but the synthetic
+    documents are pure ASCII (verified per sf), so the byte chunks the
+    sampler hashes equal character `substr` windows and the twin can
+    `md5(substr(text, 1 + frame_no*1024, 256))` per sampled frame (chunk
+    256 B, every 4th).  A non-ASCII doc would make the twin's char/byte
+    equivalence assumption fail loudly at the gate — the correct outcome."""
     from ..functions.multimodal import FrameSampler
 
     return _docs_as_media(sf_dir).map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+# chunk 256 bytes, every 4th chunk (FrameSampler defaults) -> selected
+# chunk k starts at byte 1024*k; n_frames = ceil(n_chunks / 4)
+SQL_MEDIA_FRAMES = """
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id, text, unnest(range(((n + 255) // 256 + 3) // 4)) AS frame_no
+  FROM d
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+       md5(substr(text, CAST(1 + frame_no * 1024 AS BIGINT), 256)) AS frame_md5
+FROM f
+"""
 
 
 BM25_TERMS = ["query", "join", "stream"]  # mirrored verbatim in the SQL twin
@@ -8936,6 +8954,7 @@ ORACLES = {
     "embedding_dup_groups": SQL_EMBEDDING_DUP_GROUPS,
     "media_metadata": SQL_MEDIA_METADATA,
     "media_decode": SQL_MEDIA_DECODE,
+    "media_frames": SQL_MEDIA_FRAMES,
     "media_features_u32": SQL_MEDIA_FEATURES_U32,
     "site_items_md5": SQL_SITE_ITEMS_MD5,
     "simhash_near_pairs_md5": SQL_SIMHASH_NEAR_PAIRS_MD5,
