@@ -33,3 +33,18 @@ def auto_num_partitions(n_rows: int, cap: int = 256, rows_per_part: int = 100_00
     TB-scale partitions on a handful of reducers."""
     scaled_cap = max(cap, cap * _cluster_cpus() // _BASELINE_CPUS)
     return max(2, min(scaled_cap, n_rows // rows_per_part + 1))
+
+
+def coarse_part_key(key_col: str, out_col: str, n: int):
+    """Batch fn appending ``out_col = key % n`` as int32 — the shared
+    coarse-hash partition key for partition-local reducers (one coarse
+    exchange, segment-vectorized group work; the `small_qty_revenue`
+    idiom).  The key column must be integer-typed."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return t.append_column(out_col, pa.array((k % n).astype(np.int32), pa.int32()))
+
+    return fn

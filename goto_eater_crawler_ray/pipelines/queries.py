@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions._partitions import auto_num_partitions
+from ..functions._partitions import auto_num_partitions, coarse_part_key
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -547,9 +547,7 @@ def q_events_sessionize(sf_dir: str):
     GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("user_id", "_key_part", N_PARTS)
 
     def sessionize(part: pa.Table) -> pa.Table:
         out_schema = pa.schema(
@@ -1159,7 +1157,11 @@ def q_fingerprint_hamming_pairs(sf_dir: str):
         )
         return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(h, pa.uint64())})
 
-    pairs = hamming_near_pairs(ds.map_batches(fp64, batch_format="pyarrow"), max_hamming=20, n_pieces=32)
+    # hot-bucket star guard disabled in the ORACLE variant (it trades
+    # recall for bounded work on degenerate buckets; the twin is exact)
+    pairs = hamming_near_pairs(
+        ds.map_batches(fp64, batch_format="pyarrow"), max_hamming=20, n_pieces=32, hot_bucket_cap=1 << 30
+    )
     return pairs.map_batches(
         lambda t: t.set_column(t.column_names.index("hamming"), "hamming", pc.cast(t.column("hamming"), pa.int64())),
         batch_format="pyarrow",
@@ -2474,10 +2476,15 @@ def q_simhash_near_pairs_md5(sf_dir: str):
     exact radius with a quadratic ``bit_count(xor(a,b)) <= 3`` self-join
     (banding has recall 1.0 for the radius, so the sets are equal — the
     same trick as `fingerprint_hamming_pairs`, now over the production
-    SimHash bit-vote signature instead of a raw fingerprint)."""
+    SimHash bit-vote signature instead of a raw fingerprint).  The
+    ORACLE variant disables the hot-bucket star guard
+    (``hot_bucket_cap``): the guard intentionally trades recall for
+    bounded work on degenerate mega-collision buckets, which would
+    diverge from the exact twin; the production default
+    (`simhash_near_pairs`) keeps it."""
     from ..functions.dedup import hamming_near_pairs
 
-    return hamming_near_pairs(_simhash_md5_ds(sf_dir, as_uint64=True), max_hamming=3)
+    return hamming_near_pairs(_simhash_md5_ds(sf_dir, as_uint64=True), max_hamming=3, hot_bucket_cap=1 << 30)
 
 
 # shared md5-family simhash value CTE chain: documents -> per-doc 64-bit
@@ -3720,9 +3727,7 @@ def q_user_paths(sf_dir: str):
     N_PARTS = 64
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"])
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column("_key_part", pa.array((k % N_PARTS).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("user_id", "_key_part", N_PARTS)
 
     def paths(part: pa.Table) -> pa.Table:
         schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
@@ -4315,9 +4320,7 @@ def q_orders_exists_late_ship(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_orderkey", "_op", n_parts)
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         om = df[df["odate_us"] >= 0].set_index("l_orderkey")
@@ -6847,9 +6850,7 @@ def q_small_qty_revenue(sf_dir: str):
     )
     j = li.join(brand_parts, join_type="inner", num_partitions=n_parts, on=("l_partkey",), right_on=("p_partkey",))
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_pp", pa.array((k % coarse).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_partkey", "_pp", coarse)
 
     def qualify_part(df: pd.DataFrame) -> pd.DataFrame:
         st = df.groupby("l_partkey")[["qty_c"]].agg(sum_qc=("qty_c", "sum"), n=("qty_c", "size"))
@@ -6935,21 +6936,20 @@ def q_only_late_supplier(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_orderkey", "_op", n_parts)
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         dates = df[df["order_us"] >= 0].set_index("l_orderkey")["order_us"]
         pairs = df[df["order_us"] < 0].groupby(["l_orderkey", "l_suppkey"], as_index=False)["ship_us"].max()
-        cutoff = pairs["l_orderkey"].map(dates)
-        keep = cutoff.notna().to_numpy()  # inner-join semantics: drop orphan lines
-        pairs = pairs[keep]
-        # compare in int64 AFTER the keep-mask: an unmatched orderkey would
-        # promote the cutoff to float64, and epoch-microseconds (~8e17)
-        # exceed 2^53 — a ~128µs quantization footgun if sub-second
-        # timestamps ever appear
-        late = (pairs["ship_us"].to_numpy() > cutoff.to_numpy()[keep].astype(np.int64) + LATE_US).astype(np.int64)
+        # inner-join semantics: drop orphan lines BEFORE the map — a single
+        # unmatched key makes Series.map emit NaN and promote the whole
+        # cutoff column to float64 AT MAP TIME, and epoch-microseconds
+        # (~8e17) exceed 2^53, a ~128µs quantization footgun if sub-second
+        # timestamps ever appear; filtering first keeps the lookup int64
+        pairs = pairs[pairs["l_orderkey"].isin(dates.index).to_numpy()]
+        cutoff = pairs["l_orderkey"].map(dates).to_numpy()
+        assert cutoff.dtype == np.int64, cutoff.dtype  # all keys matched -> no float promotion
+        late = (pairs["ship_us"].to_numpy() > cutoff + LATE_US).astype(np.int64)
         # masked max: the late supplier's identity, exact when n_late == 1
         pairs = pairs.assign(late=late, ls=np.where(late == 1, pairs["l_suppkey"].to_numpy(), -1))
         po = pairs.groupby("l_orderkey").agg(
@@ -7540,9 +7540,7 @@ def q_returned_item_customers(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_orderkey", "_op", n_parts)
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         om = df[df["o_custkey"] >= 0].set_index("l_orderkey")["o_custkey"]
@@ -7662,9 +7660,7 @@ def q_late_priority_counts(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_op", pa.array((k % n_parts).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_orderkey", "_op", n_parts)
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         om = df[df["order_us"] >= 0].set_index("l_orderkey")
@@ -8398,9 +8394,7 @@ def q_min_cost_supplier(sf_dir: str):
     # complete within a coarse group by construction
     coarse = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_pp", pa.array((k % coarse).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_partkey", "_pp", coarse)
 
     def min_per_part(df: pd.DataFrame) -> pd.DataFrame:
         # combine pair partials (min of batch minima), then each part's
@@ -8565,9 +8559,7 @@ def q_dominant_suppliers(sf_dir: str):
     # stats stay complete within a coarse group by construction
     coarse = auto_num_partitions(pq.ParquetFile(_p(sf_dir, "lineitem")).metadata.num_rows)
 
-    def part_key(t: pa.Table) -> pa.Table:
-        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        return t.append_column("_pp", pa.array((k % coarse).astype(np.int32), pa.int32()))
+    part_key = coarse_part_key("l_partkey", "_pp", coarse)
 
     def dominant(df: pd.DataFrame) -> pd.DataFrame:
         # combine pair partials, then each part's FULL volume needs every

@@ -11,10 +11,12 @@ Reference configuration ported (nara.py:11-41):
     (nara.py:33-39)
 
 Body decode goes through the SAME codec seam as the generic filetab
-family (stages/parse.py ``_xlsx_rows_real``): a real zip container needs
-openpyxl (explicit NotImplementedError when absent); the deterministic
-FAKE-XLSX TSV fake — here WITH a header row carrying the reference's
-column names — keeps the column-mapping logic testable without the codec.
+family (stages/parse.py ``_xlsx_rows_real``): a real zip container
+decodes via openpyxl when installed, else the stdlib zip+XML reader
+(seam CLOSED; malformed zips raise ``zipfile.BadZipFile``); the
+deterministic FAKE-XLSX TSV fake — here WITH a header row carrying the
+reference's column names — keeps the column-mapping logic testable in
+isolation.
 """
 
 from __future__ import annotations
@@ -37,10 +39,7 @@ COL_AREA, COL_NAME, COL_GENRE, COL_ADDR, COL_TEL, COL_URL = (
 
 def _rows(body: bytes) -> list[list[str]]:
     if body[:2] == b"PK":  # real xlsx (zip container)
-        rows = _xlsx_rows_real(body)
-        if rows is None:
-            raise NotImplementedError("real .xlsx decode requires openpyxl (not installed in this container)")
-        return rows
+        return _xlsx_rows_real(body)
     lines = body.decode("utf-8", "replace").splitlines()
     if not lines or not lines[0].startswith("FAKE-XLSX"):
         raise NotImplementedError("unrecognized xlsx body (neither real zip nor FAKE-XLSX fixture)")

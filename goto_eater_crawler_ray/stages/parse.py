@@ -399,14 +399,23 @@ def _xlsx_rows_stdlib(body: bytes) -> list[list[str]]:
                 cells.append("")
             cells.append(v)
         rows.append(cells)
+    # pad ragged rows to the sheet width (openpyxl iter_rows semantics):
+    # writers omit trailing empty cells, and a data row narrower than the
+    # header would otherwise be silently dropped by column-count guards
+    width = max((len(r) for r in rows), default=0)
+    for r in rows:
+        r.extend([""] * (width - len(r)))
     return rows
 
 
-def _xlsx_rows_real(body: bytes) -> list[list[str]] | None:
+def _xlsx_rows_real(body: bytes) -> list[list[str]]:
     """Real .xlsx decode: openpyxl when installed (sheet 'リスト'
     preferred, else active — nara.py:31 semantics), else the stdlib
     zip+XML reader (same sheet preference) — the seam is CLOSED, a real
-    zip container always decodes."""
+    zip container always decodes (malformed zips raise BadZipFile).
+    Note one divergence on NUMERIC cells: the stdlib path returns the
+    stored string ('42'), openpyxl the Python repr ('42.0') — the
+    reference reads dtype=str string data, where both paths agree."""
     try:
         import io
 
@@ -436,10 +445,7 @@ def parse_file_xlsx(url: str, body: bytes, meta: dict, depth: int) -> ParseResul
         res.spans.append(("text", parts[1].strip(), ""))
 
     if body[:2] == b"PK":  # real xlsx (zip container)
-        rows = _xlsx_rows_real(body)
-        if rows is None:
-            raise NotImplementedError("real .xlsx decode requires openpyxl (not installed in this container)")
-        for parts in rows[1:]:  # header row
+        for parts in _xlsx_rows_real(body)[1:]:  # header row
             add(parts)
         return res
     lines = body.decode("utf-8", "replace").splitlines()

@@ -247,11 +247,16 @@ class TestCodecSeams:
 
         body = _build_real_xlsx(
             "リスト",
-            [["店名", "住所", "電話"], ["店A", "奈良市1-1", "0742-00-0001"]],
+            # second row: writer omits the trailing empty tel cell — the
+            # reader must pad to sheet width (openpyxl iter_rows semantics)
+            # or the 3-column guard silently drops the shop
+            [["店名", "住所", "電話"], ["店A", "奈良市1-1", "0742-00-0001"], ["店B", "奈良市2-2"]],
         )
         res = parse_file_xlsx("u", body, {}, 0)
+        assert len(res.items) == 2
         assert res.items[0]["shop_name"] == "店A"
         assert res.items[0]["address"] == "奈良市1-1"
+        assert res.items[1]["shop_name"] == "店B"
 
     def test_real_xlsx_decode_matches_openpyxl_when_present(self):
         openpyxl = pytest.importorskip("openpyxl")

@@ -91,6 +91,15 @@ def main():
     only = {a for a in sys.argv[1:] if not os.path.isdir(a)}
     if not sf_dirs:
         sf_dirs = ["/root/testdata/sf0.01"]
+    # fail LOUDLY on unknown filters — a mistyped sf dir lands here and
+    # must not make the gate pass vacuously with zero checks run
+    sys.path.insert(0, ".")
+    from goto_eater_crawler_ray.pipelines.queries import QUERIES as _Q
+
+    unknown = only - set(_Q)
+    if unknown:
+        print(f"ERROR: not a directory and not a query name: {sorted(unknown)}")
+        sys.exit(2)
 
     import ray
 
