@@ -1977,6 +1977,56 @@ def q_crawl_determinism(sf_dir: str):
 CRAWL_PIN_DOCUMENTS_MD5 = "d19e7f29ac448495423ed2ee83f19226"
 CRAWL_PIN_LINEAGE_MD5 = "09c90d430c4fb8e610d85acca8dda000"
 CRAWL_PIN_PAGERANK_MD5 = "87aaf2103f077d259fa171dc1846e25e"
+# wave-free lineage (url, host, depth, visit_seq) — identical between the
+# chain-following and strict-wave engines (the wave column legitimately
+# differs: chains fold a host's hops into the seed's wave)
+CRAWL_PIN_LINEAGE_NOWAVE_MD5 = "4cce0de973ace977a1382191aa343791"
+
+
+def q_crawl_determinism_strict(sf_dir: str):
+    """Determinism PIN for the OTHER engine path — strict waves
+    (chain_mode=False, one global barrier per hop) with forced
+    DISTRIBUTED admission (driver_admit_max_pages=0, the dataset-native
+    explode -> first_per_key dedup -> admit -> schedule path every
+    wave).  The chain-vs-wave equivalence contract (same visit order,
+    same seen set, same documents) becomes a driver-visible hash row:
+    documents must hash to the SAME frozen constant as the chain path,
+    and lineage is pinned wave-free."""
+    import os as _os
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from ..sources.pagestore import ScaleSpec
+    from .crawl import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawl_strict_")
+    eng = CrawlEngine(
+        ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4,
+        chain_mode=False, driver_admit_max_pages=0,
+    )
+    eng.run()
+    eng.shutdown()
+    docs = pads.dataset(_os.path.join(out, "documents")).to_table().sort_by("doc_id")
+    lin = (
+        pads.dataset(_os.path.join(out, "lineage"))
+        .to_table()
+        .select(["url", "host", "depth", "visit_seq"])
+        .sort_by([("host", "ascending"), ("visit_seq", "ascending")])
+    )
+    return pa.table(
+        {
+            "metric": pa.array(["documents_md5", "lineage_nowave_md5"], pa.string()),
+            "value": pa.array([_canonical_table_md5(docs), _canonical_table_md5(lin)], pa.string()),
+        }
+    )
+
+
+SQL_CRAWL_DETERMINISM_STRICT = f"""
+SELECT 'documents_md5' AS metric, '{CRAWL_PIN_DOCUMENTS_MD5}' AS value
+UNION ALL
+SELECT 'lineage_nowave_md5', '{CRAWL_PIN_LINEAGE_NOWAVE_MD5}'
+"""
 
 SQL_CRAWL_DETERMINISM = f"""
 SELECT 'documents_md5' AS metric, '{CRAWL_PIN_DOCUMENTS_MD5}' AS value
@@ -8784,6 +8834,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_features_u32": q_media_features_u32,
     "crawl_determinism": q_crawl_determinism,
+    "crawl_determinism_strict": q_crawl_determinism_strict,
     "near_dedup_md5": q_near_dedup_md5,
     "site_items_md5": q_site_items_md5,
     "minhash_sigs": q_minhash_sigs,
@@ -8979,6 +9030,7 @@ ORACLES = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "pca_project_frozen": SQL_PCA_PROJECT_FROZEN,
     "crawl_determinism": SQL_CRAWL_DETERMINISM,
+    "crawl_determinism_strict": SQL_CRAWL_DETERMINISM_STRICT,
     "doc_chunks": SQL_DOC_CHUNKS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "events_hopping": SQL_EVENTS_HOPPING,
