@@ -17,10 +17,11 @@ Reference configuration ported (tokyo.py:13-98):
     (tokyo.py:92-98)
 
 PDF bodies go through the SAME codec seam as the generic filetab family
-(stages/parse.py ``_pdf_pages_real``): real %PDF needs pdfplumber
-(explicit NotImplementedError when absent — the reference needs
-tabula+JVM, neither in this container); the deterministic form-feed CSV
-fake keeps the repair logic testable without a codec.
+(stages/parse.py ``_pdf_pages_real``): the seam is CLOSED — pdfplumber
+when installed, else the stdlib object-scan + content-stream extractor
+(the reference needs tabula+JVM, neither in this container); the
+deterministic form-feed CSV fake keeps the repair logic exercised on
+the deterministic corpus.
 """
 
 from __future__ import annotations
@@ -57,10 +58,8 @@ def parse(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
 
 def parse_from_pdf(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
     res = ParseResult()
-    if body[:5] == b"%PDF-":  # real pdf container -> codec seam
+    if body[:5] == b"%PDF-":  # real pdf container -> codec seam (closed)
         pages = _pdf_pages_real(body)
-        if pages is None:
-            raise NotImplementedError("real .pdf decode requires pdfplumber or tabula (not installed in this container)")
     else:
         pages = body.decode("utf-8", "replace").split("\f")
 

@@ -456,17 +456,212 @@ def parse_file_xlsx(url: str, body: bytes, meta: dict, depth: int) -> ParseResul
     return res
 
 
-def _pdf_pages_real(body: bytes) -> list[str] | None:
-    """Codec seam: real PDF table extraction when a pdf library imports
-    (pdfplumber; the reference uses tabula+JVM, tokyo.py:50-63 — neither
-    is in this container).  Returns per-page CSV text, or None when no
-    codec is available."""
+def _pdf_content_texts(stream: bytes) -> list[tuple[float, float, str]]:
+    """Extract positioned text runs ``(y, x, text)`` from ONE decoded PDF
+    content stream — the ISO 32000 text-object subset that table PDFs
+    use: ``BT``/``ET`` blocks, ``Tm``/``Td``/``TD``/``T*``/``TL``
+    positioning, ``Tj``/``'``/``TJ`` show ops, literal ``(…)`` strings
+    (escape-aware) and ``<…>`` hex strings.  Glyph advance widths need
+    font metrics we don't have, so each SHOW op is one run at the
+    CURRENT text position — exactly what positional table
+    reconstruction needs (cells are separate show ops)."""
+    runs: list[tuple[float, float, str]] = []
+    stack: list = []
+    x = y = lx = ly = 0.0
+    leading = 0.0
+    i, n = 0, len(stream)
+
+    def _lit_string(j: int) -> tuple[str, int]:
+        out, depth = bytearray(), 1
+        j += 1
+        while j < n and depth:
+            c = stream[j]
+            if c == 0x5C and j + 1 < n:  # backslash escape
+                nxt = stream[j + 1]
+                out.append({0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09}.get(nxt, nxt))
+                j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if not depth:
+                    j += 1
+                    break
+            out.append(c)
+            j += 1
+        return out.decode("utf-8", "replace"), j
+
+    while i < n:
+        c = stream[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == 0x28:  # ( literal string
+            s, i = _lit_string(i)
+            stack.append(s)
+        elif c == 0x3C:  # < hex string
+            j = stream.index(b">", i)
+            hx = bytes(ch for ch in stream[i + 1 : j] if ch not in b" \t\r\n")
+            if len(hx) % 2:
+                hx += b"0"
+            stack.append(bytes.fromhex(hx.decode("ascii", "replace")).decode("utf-8", "replace"))
+            i = j + 1
+        elif c == 0x5B:  # [ array — flatten; TJ pops the pieces it finds
+            stack.append("[")
+            i += 1
+        elif c == 0x5D:
+            i += 1
+        elif c == 0x2F:  # /Name
+            j = i + 1
+            while j < n and stream[j] not in b" \t\r\n[]()<>/":
+                j += 1
+            stack.append(stream[i:j].decode("latin-1"))
+            i = j
+        else:
+            j = i
+            while j < n and stream[j] not in b" \t\r\n[]()<>/":
+                j += 1
+            tok = stream[i:j].decode("latin-1")
+            i = j
+            try:
+                stack.append(float(tok))
+                continue
+            except ValueError:
+                pass
+            if tok == "Tm" and len(stack) >= 6:
+                x = lx = float(stack[-2])
+                y = ly = float(stack[-1])
+            elif tok in ("Td", "TD") and len(stack) >= 2:
+                tx, ty = float(stack[-2]), float(stack[-1])
+                if tok == "TD":
+                    leading = -ty
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+            elif tok == "TL" and stack:
+                leading = float(stack[-1])
+            elif tok == "T*":
+                ly -= leading
+                x, y = lx, ly
+            elif tok in ("Tj", "'"):
+                if tok == "'":
+                    ly -= leading
+                    x, y = lx, ly
+                s = next((v for v in reversed(stack) if isinstance(v, str) and v != "["), "")
+                if s:
+                    runs.append((y, x, s))
+            elif tok == "TJ":
+                # array show: concatenate the string pieces back to the
+                # matching '[' (kerning numbers are advance tweaks only)
+                parts: list[str] = []
+                while stack:
+                    v = stack.pop()
+                    if v == "[":
+                        break
+                    if isinstance(v, str):
+                        parts.append(v)
+                s = "".join(reversed(parts))
+                if s:
+                    runs.append((y, x, s))
+            elif tok == "BT":
+                x = y = lx = ly = 0.0
+            stack.clear()
+    return runs
+
+
+def _pdf_pages_stdlib(body: bytes) -> list[str]:
+    """Stdlib .pdf table extraction — no pdfplumber/tabula: scan the
+    object table (``N G obj … endobj``), follow the ``/Pages`` tree's
+    ``/Kids`` for page ORDER, pull each page's ``/Contents`` stream(s)
+    (zlib inflates ``/FlateDecode`` — the only filter table writers
+    use), extract positioned text runs, then reconstruct the table the
+    way pdfplumber's word-clustering does: cluster run y's into rows
+    (tolerance 3 units), sort each row's cells by x, join with commas.
+    A ``%PDF`` body with no parsable page raises ``ValueError`` —
+    explicit, never silent garbage."""
+    import zlib
+
+    objs: dict[int, bytes] = {}
+    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", body, re.S):
+        objs[int(m.group(1))] = m.group(2)
+
+    def dict_of(raw: bytes) -> bytes:
+        s = raw.find(b"<<")
+        return raw[s:] if s >= 0 else b""
+
+    def stream_of(raw: bytes) -> bytes | None:
+        m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", raw, re.S)
+        if not m:
+            return None
+        data = m.group(1)
+        if b"/FlateDecode" in dict_of(raw):
+            data = zlib.decompress(data)
+        return data
+
+    # page order: the catalog's /Pages tree, depth-first over /Kids
+    page_ids: list[int] = []
+
+    def walk(num: int, seen: frozenset = frozenset()):
+        if num in seen or num not in objs:
+            return
+        d = objs[num]
+        if re.search(rb"/Type\s*/Pages\b", d):
+            kids = re.search(rb"/Kids\s*\[(.*?)\]", d, re.S)
+            for km in re.finditer(rb"(\d+)\s+\d+\s+R", kids.group(1) if kids else b""):
+                walk(int(km.group(1)), seen | {num})
+        elif re.search(rb"/Type\s*/Page\b", d):
+            page_ids.append(num)
+
+    root = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", body)
+    cat = objs.get(int(root.group(1)), b"") if root else b""
+    pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", cat)
+    if pm:
+        walk(int(pm.group(1)))
+    if not page_ids:  # fallback: object-order scan
+        page_ids = [k for k, v in sorted(objs.items()) if re.search(rb"/Type\s*/Page\b", v)]
+    if not page_ids:
+        raise ValueError("pdf: no page objects found (unsupported container layout)")
+
+    pages: list[str] = []
+    for pid in page_ids:
+        d = objs[pid]
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", d) or re.search(rb"/Contents\s*\[(.*?)\]", d, re.S)
+        refs = [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(1))] if cm and b"[" in cm.group(0) else (
+            [int(cm.group(1))] if cm else []
+        )
+        content = b"\n".join(s for r in refs if (s := stream_of(objs.get(r, b""))) is not None)
+        runs = _pdf_content_texts(content)
+        runs.sort(key=lambda r: (-r[0], r[1]))
+        # column-aware reconstruction (pdfplumber's text-vertical
+        # strategy): cluster x starts page-wide into columns so an EMPTY
+        # cell stays an empty CSV field instead of shifting its row left
+        xs: list[float] = []
+        for _, rx, _ in sorted(runs, key=lambda r: r[1]):
+            if not xs or rx - xs[-1] > 5.0:
+                xs.append(rx)
+        rows: list[list[str]] = []
+        cur_y = None
+        for ry, rx, txt in runs:
+            if cur_y is None or abs(ry - cur_y) > 3.0:
+                rows.append([""] * len(xs))
+                cur_y = ry
+            col = min(range(len(xs)), key=lambda k: abs(xs[k] - rx))
+            rows[-1][col] = (rows[-1][col] + txt) if rows[-1][col] else txt
+        pages.append("\n".join(",".join(r) for r in rows))
+    return pages
+
+
+def _pdf_pages_real(body: bytes) -> list[str]:
+    """Real PDF table extraction: pdfplumber when installed (the
+    reference uses tabula+JVM, tokyo.py:50-63 — neither is in this
+    container), else the stdlib object-scan + content-stream extractor
+    — the seam is CLOSED, a real %PDF body always decodes (a container
+    with no parsable page raises ValueError, never silent garbage)."""
     try:
         import io
 
         import pdfplumber  # noqa: PLC0415
     except ImportError:
-        return None
+        return _pdf_pages_stdlib(body)
     pages = []
     with pdfplumber.open(io.BytesIO(body)) as pdf:
         for page in pdf.pages:
@@ -477,15 +672,14 @@ def _pdf_pages_real(body: bytes) -> list[str] | None:
 
 def parse_file_pdf(url: str, body: bytes, meta: dict, depth: int) -> ParseResult:
     """PDF table parse with per-page fan-out + df repair (tokyo.py:50-98).
-    Codec SEAM: a real %PDF body decodes via pdfplumber when installed
-    (explicit NotImplementedError otherwise); the page store's form-feed
-    CSV fake keeps the plumbing testable without a codec."""
+    Codec seam CLOSED: a real %PDF body decodes via pdfplumber when
+    installed, else the stdlib object-scan extractor (zlib inflates
+    FlateDecode); a container with no parsable page raises ValueError —
+    explicit, never silent garbage.  The page store's form-feed CSV fake
+    keeps the engine plumbing exercised on the deterministic corpus."""
     res = ParseResult()
     if body[:5] == b"%PDF-":  # real pdf container
-        pages = _pdf_pages_real(body)
-        if pages is None:
-            raise NotImplementedError("real .pdf decode requires pdfplumber or tabula (not installed in this container)")
-        text = "\f".join(pages)
+        text = "\f".join(_pdf_pages_real(body))
     else:
         text = body.decode("utf-8", "replace")
     for page in text.split("\f"):

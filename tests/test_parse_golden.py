@@ -213,6 +213,69 @@ def _build_real_xlsx(sheet_name: str, rows, sparse: bool = False) -> bytes:
     return buf.getvalue()
 
 
+def _build_real_pdf(pages: list[list[list[str]]], compress: bool = True) -> bytes:
+    """Minimal REAL PDF (ISO 32000 subset) built with stdlib only: a
+    catalog → /Pages tree → one /Page + content stream per page, correct
+    xref table and trailer.  Each table cell is one positioned show op —
+    row 0 is placed with ``Tm``, later rows step down with ``Td``/``T*``,
+    and alternating cells use ``Tj`` literal strings (with an escaped
+    paren), ``TJ`` kerned arrays, and ``<hex>`` strings so the reader's
+    whole operator surface is exercised.  ``compress=True`` FlateDecodes
+    the content streams (what real writers emit)."""
+    import zlib
+
+    n_pages = len(pages)
+    objs: list[bytes] = []
+    kid_ids = [3 + 2 * i for i in range(n_pages)]
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    kids = " ".join(f"{k} 0 R" for k in kid_ids)
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())  # 2
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    for i, rows in enumerate(pages):
+        content = ["BT", "/F1 10 Tf", "14 TL"]
+        for ri, row in enumerate(rows):
+            # row start: absolute Tm; within the row: relative Td steps
+            content.append(f"1 0 0 1 50 {760 - 20 * ri} Tm")
+            for ci, cell in enumerate(row):
+                if ci:
+                    content.append("170 0 Td")
+                style = (ri + ci) % 3
+                if style == 0:
+                    content.append(f"({esc(cell)}) Tj")
+                elif style == 1:
+                    mid = max(1, len(cell) // 2)
+                    content.append(f"[({esc(cell[:mid])}) -120 ({esc(cell[mid:])})] TJ")
+                else:
+                    content.append(f"<{cell.encode('utf-8').hex()}> Tj")
+        content.append("ET")
+        data = "\n".join(content).encode()
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents {kid_ids[i] + 1} 0 R >>".encode()
+        )
+        objs.append(b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n" + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
 class TestCodecSeams:
     """The xlsx/pdf/image codec seams: deterministic fakes keep plumbing
     testable in this container; REAL bodies either decode through the real
@@ -227,17 +290,52 @@ class TestCodecSeams:
         with pytest.raises((NotImplementedError, zipfile.BadZipFile)):
             parse_file_xlsx("u", b"PK\x03\x04 not really a sheet", {}, 0)
 
-    def test_real_pdf_body_without_codec_raises(self):
+    def test_malformed_pdf_raises_explicitly(self):
+        # a %PDF header with no parsable page object is an explicit
+        # error (the xlsx BadZipFile pattern), never silent garbage
         from goto_eater_crawler_ray.stages.parse import parse_file_pdf
 
         try:
             import pdfplumber  # noqa: F401
 
-            pytest.skip("pdfplumber installed; the no-codec branch is unreachable")
+            pytest.skip("pdfplumber installed; the stdlib branch is shadowed")
         except ImportError:
             pass
-        with pytest.raises(NotImplementedError, match="pdf"):
+        with pytest.raises(ValueError, match="pdf"):
             parse_file_pdf("u", b"%PDF-1.7 fake", {}, 0)
+
+    def test_real_pdf_decode_stdlib(self):
+        # a REAL multi-page PDF built with stdlib (correct xref,
+        # FlateDecode streams, Tm/Td positioning, Tj / kerned-TJ / hex
+        # show ops, escaped parens) decodes through the stdlib seam
+        # with no pdfplumber — the seam is CLOSED
+        from goto_eater_crawler_ray.stages.parse import parse_file_pdf
+
+        body = _build_real_pdf(
+            [
+                [
+                    ["店名", "住所", "電話"],
+                    ["店(P)A", "東京都港区1-1", "03-0000-0001"],
+                    ["店B", "東京都北区2-2", "03-0000-0002"],
+                ],
+                [
+                    ["店名", "住所", "電話"],
+                    ["店C", "東京都台東区3-3", "03-0000-0003"],
+                ],
+            ]
+        )
+        res = parse_file_pdf("u", body, {}, 0)
+        assert [it["shop_name"] for it in res.items] == ["店(P)A", "店B", "店C"]
+        assert res.items[0]["address"] == "東京都港区1-1"
+        assert res.items[2]["tel"] == "03-0000-0003"
+
+    def test_real_pdf_decode_stdlib_uncompressed(self):
+        # same container with raw (no /Filter) streams — both branches
+        # of the stream decoder are real
+        from goto_eater_crawler_ray.stages.parse import _pdf_pages_stdlib
+
+        body = _build_real_pdf([[["h1", "h2"], ["a", "b"]]], compress=False)
+        assert _pdf_pages_stdlib(body) == ["h1,h2\na,b"]
 
     def test_real_xlsx_decode_stdlib(self):
         # a REAL xlsx container built with zipfile in the test (ECMA-376

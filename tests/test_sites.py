@@ -305,6 +305,32 @@ class TestTokyo:
         assert by_name["権八西麻布"]["official_page"] is None
         assert "もんじゃ浜膳" not in by_name
 
+    def test_real_pdf_decode_stdlib(self):
+        # REAL multi-page PDF (stdlib-built: xref + FlateDecode +
+        # Tm/Td/Tj/TJ/hex) decodes through tokyo's named-column repair
+        # with no pdfplumber — the codec seam is closed (tokyo.py:48-98)
+        from goto_eater_crawler_ray.sites.tokyo import parse
+        from tests.test_parse_golden import _build_real_pdf
+
+        body = _build_real_pdf(
+            [
+                [
+                    ["紙", "電子", "飲食店名", "店舗住所", "店舗電話番号", "URL", "業態"],
+                    ["○", "", "銀座すし勘", "中央区銀座1-1", "03-1111-0001", "http://sushikan.example", "寿司"],
+                    ["", "○", "飲食店名", "店舗住所", "店舗電話番号", "URL", "業態"],  # header echo -> dropped
+                ],
+                [
+                    ["紙", "電子", "飲食店名", "店舗住所", "店舗電話番号", "URL", "業態"],
+                    ["○", "○", "神田やぶそば", "千代田区神田3-3", "03-1111-0003", "", "そば"],
+                ],
+            ]
+        )
+        res = parse("https://pr.gnavi.co.jp/promo/gotoeat-tokyo/pdf/shop9.pdf", body, {}, 0)
+        by_name = {i["shop_name"]: i for i in res.items}
+        assert set(by_name) == {"銀座すし勘", "神田やぶそば"}
+        assert by_name["銀座すし勘"]["official_page"] == "http://sushikan.example"
+        assert by_name["神田やぶそば"]["address"] == "千代田区神田3-3"
+
 
 class TestNagasaki:
     def test_golden_page1(self):
