@@ -237,6 +237,7 @@ def main() -> None:
     dist_pps = None
     multiwave_pps = None
     multiwave_waves = None
+    multiwave_fused_pps = None
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         frac = float(os.environ.get("GRAFT_BENCH_VARIANT_FRAC", "1"))  # smoke-tests shrink the variants
         for tag, kwargs, spec_kw in (
@@ -248,6 +249,14 @@ def main() -> None:
             (
                 "multiwave",
                 {"driver_admit_max_pages": 0, "chain_mode": False},
+                {"paginated_hosts": max(2, int(2048 * frac)), "pages_per_host": 12, "mesh_count": max(2, int(2000 * frac))},
+            ),
+            (
+                # the SAME deep multi-wave corpus with fused waves (one
+                # dataset execution per wave): the pair A/Bs the per-wave
+                # fixed-cost halving on the reference's dominant shape
+                "multiwave_fused",
+                {"driver_admit_max_pages": 0, "chain_mode": False, "fused_wave": True},
                 {"paginated_hosts": max(2, int(2048 * frac)), "pages_per_host": 12, "mesh_count": max(2, int(2000 * frac))},
             ),
         ):
@@ -273,6 +282,8 @@ def main() -> None:
             log(f"--- crawl[{tag}]: {vtot['pages']} pages, {vtot['waves']} waves, {vsec:.1f}s = {pps} pages/s")
             if tag == "distadmit":
                 dist_pps = pps
+            elif tag == "multiwave_fused":
+                multiwave_fused_pps = pps
             else:
                 multiwave_pps, multiwave_waves = pps, vtot["waves"]
 
@@ -421,6 +432,7 @@ def main() -> None:
                 "crawl_distadmit_pages_per_sec": dist_pps,
                 "crawl_multiwave_pages_per_sec": multiwave_pps,
                 "crawl_multiwave_waves": multiwave_waves,
+                "crawl_multiwave_fused_pages_per_sec": multiwave_fused_pps,
             }
         )
     )

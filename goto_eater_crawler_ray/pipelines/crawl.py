@@ -179,7 +179,7 @@ def make_parse_emit(wave: int):
 CHAIN_EPS = 1e-6
 
 
-def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None, fetch_kind: str = "simulated", http_opts: dict | None = None, derived_root: str | None = None):
+def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, n_sched_shards: int, wave: int, max_retries: int = 8, registry=None, fetch_kind: str = "simulated", http_opts: dict | None = None, derived_root: str | None = None, parsed_root: str | None = None):
     """Chain-following fetch+parse stage (the scale-critical design move).
 
     Politeness is per-host SERIAL (reference settings.py:34), so a host's
@@ -455,6 +455,15 @@ def make_chain_fetch_fn(spec: ScaleSpec, seen_shards: list, sched_actors: list, 
         tbl = tbl.append_column("wave", pa.array([wave] * len(tbl), pa.int32()))
         if derived_root is not None and len(tbl):
             _write_derived(tbl, derived_root, wave)
+        if parsed_root is not None:
+            # fused-wave mode: persist the parsed store from the fetch task
+            # itself (same deterministic-fingerprint idempotency as the
+            # derived stores) and hand ONLY the link columns downstream —
+            # the admission chain runs in the SAME dataset execution, so a
+            # wave costs one pipeline startup instead of two
+            if len(tbl):
+                _write_parsed(tbl, parsed_root, wave)
+            return tbl.select(["links", "url", "url_key", "prefecture", "depth", "fetched_at"])
         return tbl
 
     return fn
@@ -484,6 +493,22 @@ def _write_derived(tbl: pa.Table, root: str, wave: int) -> None:
         d = os.path.join(root, sub, f"w{wave}")
         os.makedirs(d, exist_ok=True)
         pq.write_table(derive(tbl), os.path.join(d, f"b-{tag}.parquet"))
+
+
+def _write_parsed(tbl: pa.Table, root: str, wave: int) -> None:
+    """Fused-wave in-task parsed-store write: same layout the standard
+    path's ``write_parquet`` produces (``parsed/wave={w}``), same
+    deterministic-fingerprint file naming as :func:`_write_derived` so a
+    retried fetch task overwrites its own file instead of duplicating."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    keys = tbl.column("url_key")
+    tag = hashlib.md5(keys[0].as_py() + keys[len(tbl) - 1].as_py() + len(tbl).to_bytes(4, "big")).hexdigest()[:16]
+    d = os.path.join(root, "parsed", f"wave={wave}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, f"b-{tag}.parquet"))
 
 
 def parse_emit_batch(batch: pa.Table) -> pa.Table:
@@ -814,6 +839,7 @@ class CrawlEngine:
         checkpoint_interval: int = 1,
         driver_admit_max_pages: int = 20_000,
         chain_mode: bool = True,
+        fused_wave: bool = False,
         registry=None,
         fetch_kind: str = "simulated",
         http_opts: dict | None = None,
@@ -831,6 +857,14 @@ class CrawlEngine:
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.driver_admit_max_pages = driver_admit_max_pages
         self.chain_mode = chain_mode
+        # fused-wave mode: fetch tasks persist the parsed store themselves
+        # and the admission chain runs in the SAME dataset execution (one
+        # pipeline startup per wave instead of two — the per-wave fixed
+        # cost is the dominant term of a deep many-wave crawl).  Requires
+        # distributed admission (driver_admit_max_pages=0): the driver
+        # path needs the page count before choosing, which a fused
+        # pipeline can't know mid-stream.
+        self.fused_wave = fused_wave and driver_admit_max_pages == 0
         self.registry = registry  # ParserSpec registry (None -> module PARSERS)
         self.debug_timing = os.environ.get("CRAWL_DEBUG_TIMING", "") == "1"
         self.store = PageStore(spec)
@@ -1046,6 +1080,7 @@ class CrawlEngine:
             self.spec, self.seen_shards, self.sched_actors, self.n_sched_shards, wave,
             registry=self.registry, fetch_kind=self.fetch_kind, http_opts=self.http_opts,
             derived_root=self.out_dir if in_task_derived else None,
+            parsed_root=self.out_dir if self.fused_wave else None,
         )
         parsed_dir = os.path.join(self.out_dir, "parsed", f"wave={wave}")
         shutil.rmtree(parsed_dir, ignore_errors=True)  # idempotent re-run of a killed wave
@@ -1066,10 +1101,26 @@ class CrawlEngine:
         batch = self.fetch_batch_size or min(2048, max(256, -(-n_frontier // (5 * cpus))))
         fetch_nb = int(os.environ.get("CRAWL_FETCH_NB", "0")) or max(1, -(-n_frontier // batch))
         frontier_ds = rd.read_parquet(frontier_path, override_num_blocks=fetch_nb)
-        (
-            frontier_ds.map_batches(chain_fn, batch_format="pyarrow", batch_size=batch)
-            .write_parquet(parsed_dir)
-        )
+        fetched = frontier_ds.map_batches(chain_fn, batch_format="pyarrow", batch_size=batch)
+
+        if self.fused_wave:
+            # ONE dataset execution per wave: fetch tasks persisted the
+            # parsed store in-task and emitted only the link columns, so
+            # the admission chain streams straight off the fetch stage
+            # (n_key_parts sized from the frontier — non-chain waves have
+            # pages ≈ frontier rows, and the count is a perf knob only)
+            next_path = self._admission_chain(fetched, wave, self._n_blocks(max(n_frontier, 1)))
+            t_wave = _time.time() - t0
+            self.totals["fetch_parse_sec"] = self.totals.get("fetch_parse_sec", 0.0) + t_wave
+            n_pages = pads.dataset(parsed_dir).count_rows() if os.path.isdir(parsed_dir) else 0
+            n_next = pads.dataset(next_path).count_rows() if os.path.isdir(next_path) else 0
+            if self.debug_timing:
+                print(f"[wave {wave}] pages={n_pages} fused wave={t_wave:.2f}s", file=sys.stderr, flush=True)
+            self.totals["pages"] += n_pages
+            self.totals["waves"] = wave + 1
+            return n_pages, n_next
+
+        fetched.write_parquet(parsed_dir)
         t_fetch = _time.time() - t0
         self.totals["fetch_parse_sec"] = self.totals.get("fetch_parse_sec", 0.0) + t_fetch
         n_pages = pads.dataset(parsed_dir).count_rows()
@@ -1088,15 +1139,26 @@ class CrawlEngine:
             columns=["links", "url", "url_key", "prefecture", "depth", "fetched_at"],
             override_num_blocks=self._n_blocks(n_pages),
         )
-        links = links_src.map_batches(explode_links, batch_format="pyarrow")
+        next_path = self._admission_chain(links_src, wave, self._n_blocks(n_pages))
+        n_next = pads.dataset(next_path).count_rows() if os.path.isdir(next_path) else 0
+        self.totals["pages"] += n_pages
+        self.totals["waves"] = wave + 1
+        return n_pages, n_next
 
-        # first-discovery-wins link dedup via the segment-vectorized
-        # first_per_key shape (batch-local pre-prune, ONE coarse hash
-        # exchange on a hash of the key, vectorized per-partition pick) —
-        # NOT a per-distinct-URL map_groups: on any wave past
-        # driver_admit_max_pages that would mean one pandas call per
-        # discovered URL
+    def _admission_chain(self, links_src, wave: int, n_key_parts: int) -> str:
+        """The distributed admission pipeline (shared by the standard and
+        fused wave paths): explode links -> first-discovery-wins dedup via
+        the segment-vectorized ``first_per_key`` shape (batch-local
+        pre-prune, ONE coarse hash exchange on a hash of the key,
+        vectorized per-partition pick — NOT a per-distinct-URL
+        ``map_groups``) -> seen-set admit -> per-shard schedule -> next
+        frontier parquet.  Returns the next frontier path (execution is
+        driven by the ``write_parquet``)."""
+        import pyarrow.dataset as pads  # noqa: F401
+
         from ..functions.window import first_per_key
+
+        links = links_src.map_batches(explode_links, batch_format="pyarrow")
 
         def with_dedup_key(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -1112,7 +1174,7 @@ class CrawlEngine:
             key_cols=["dedup_key"],
             order_cols=["discovered_at", "parent_key", "url"],
             part_col="_dk_hash",
-            n_key_parts=self._n_blocks(n_pages),
+            n_key_parts=n_key_parts,
         ).map_batches(lambda t: t.drop_columns(["_dk_hash"]), batch_format="pyarrow")
         admitted = deduped.map_batches(make_admit_fn(self.seen_shards, self.n_sched_shards, self.allowed_hosts), batch_format="pyarrow")
         scheduled = admitted.groupby("sched_shard").map_groups(
@@ -1123,10 +1185,7 @@ class CrawlEngine:
         next_path = os.path.join(self.out_dir, "frontier", f"wave={wave + 1}")
         shutil.rmtree(next_path, ignore_errors=True)
         next_frontier.write_parquet(next_path)
-        n_next = pads.dataset(next_path).count_rows() if os.path.isdir(next_path) else 0
-        self.totals["pages"] += n_pages
-        self.totals["waves"] = wave + 1
-        return n_pages, n_next
+        return next_path
 
     def finalize(self):
         """Metrics aggregate ONLY.  The row-level derived stores (items /

@@ -177,6 +177,37 @@ def test_distributed_admission_path_identical(ray_session, crawl_out, tmp_path):
     assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
 
 
+def test_fused_wave_equivalence(ray_session, crawl_out, tmp_path):
+    """Fused-wave mode (fetch tasks persist the parsed store in-task and
+    the admission chain streams in the SAME dataset execution — one
+    pipeline startup per wave instead of two) must produce IDENTICAL
+    lineage and parsed rows as the two-execution engine, in both the
+    strict-wave and chain-following shapes.  The dedup exchange inside
+    ``first_per_key`` is an all-to-all barrier, so admission still happens
+    strictly after every fetch task of the wave completes — ordering
+    semantics are unchanged, only the pipeline startup count drops."""
+    runs = {}
+    for tag, chain in (("w", False), ("c", True)):
+        for mode, fused in (("std", False), ("fused", True)):
+            out = str(tmp_path / f"{tag}_{mode}")
+            eng = CrawlEngine(
+                ScaleSpec.golden(), out, n_seen_shards=2, n_sched_shards=2, n_parts=4,
+                driver_admit_max_pages=0, chain_mode=chain, fused_wave=fused,
+            )
+            eng.run()
+            eng.shutdown()
+            runs[(tag, mode)] = out
+    for tag in ("w", "c"):
+        l1 = pads.dataset(os.path.join(runs[(tag, "std")], "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+        l2 = pads.dataset(os.path.join(runs[(tag, "fused")], "lineage")).to_table().to_pandas().sort_values("url_key").reset_index(drop=True)
+        assert len(l1) == len(l2)
+        assert l1[["url_key", "visit_seq", "depth", "host"]].equals(l2[["url_key", "visit_seq", "depth", "host"]])
+        cols = ["url_key", "status", "depth", "n_links", "n_items", "bytes"]
+        p1 = pads.dataset(os.path.join(runs[(tag, "std")], "parsed")).to_table(columns=cols).to_pandas().sort_values("url_key").reset_index(drop=True)
+        p2 = pads.dataset(os.path.join(runs[(tag, "fused")], "parsed")).to_table(columns=cols).to_pandas().sort_values("url_key").reset_index(drop=True)
+        assert p1.equals(p2)
+
+
 def test_chain_vs_strict_wave_equivalence(ray_session, crawl_out, tmp_path):
     """The chain-following engine (default) must produce the IDENTICAL
     lineage (url_key, visit_seq, depth, host) as the strict-wave engine —
