@@ -1,14 +1,20 @@
 """Multimodal (binary) column stages — real Ray plumbing, stubbed codecs.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The decode libraries (Pillow, ffmpeg, etc.) are NOT in this container, so
-the codec step is explicitly stubbed two ways (per the build brief):
+The decode libraries (Pillow, ffmpeg, etc.) are NOT in this container;
+the codec step is layered (per the build brief):
 
-  * ``DecodeImage(strict=True)`` raises ``NotImplementedError`` — the
-    honest production behavior without a codec;
+  * real PNG bodies decode through :func:`png_decode_stdlib` — the seam
+    is CLOSED for PNG with stdlib only (zlib inflate + scanline
+    unfiltering + PLTE expansion); Pillow auto-upgrades all formats
+    when importable;
+  * ``DecodeImage(strict=True)`` raises ``NotImplementedError`` for
+    non-PNG formats without Pillow — the honest production behavior
+    without a codec (JPEG/GIF/WebP need real codec libraries);
   * ``DecodeImage(strict=False)`` runs a deterministic fake decode
-    (dimensions derived from a content hash) so the Ray-side plumbing —
-    schema, actor signature, batch sizing, output layout — is testable.
+    (dimensions derived from a content hash) for non-image payloads so
+    the Ray-side plumbing — schema, actor signature, batch sizing,
+    output layout — is testable on the synthetic corpus.
 
 All stages are callable classes (actor pools): a real codec/model load
 belongs in ``__init__`` once per actor, with small ``batch_size`` because
@@ -45,6 +51,88 @@ def _looks_like_image(b: bytes) -> bool:
     return any(b.startswith(m) for m in _IMAGE_MAGICS)
 
 
+# PNG color type -> (Pillow mode name, samples per pixel)
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 3: ("P", 1), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def png_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Stdlib PNG decode — the full critical-chunk path with no Pillow
+    (PNG is a public ISO/W3C spec and its only compression is zlib, which
+    IS stdlib): walk the chunk stream, parse IHDR, concatenate + inflate
+    IDAT, reverse the five scanline filters (None/Sub/Up/Average/Paeth),
+    and expand PLTE for palette images.  Returns
+    ``(width, height, mode, pixels[h, w, channels] uint8)``; palette
+    images come back as expanded RGB pixels with mode 'P' (the indexed
+    mode name, Pillow-compatible, pixels already resolved).  Supports bit
+    depth 8, non-interlaced — anything else raises ``ValueError``
+    explicitly, never silent garbage."""
+    import struct
+    import zlib
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("png: bad signature")
+    pos, n = 8, len(b)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("png: no IHDR chunk")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype_n not in _PNG_MODES:
+        raise ValueError(f"png: unsupported format (depth={depth} color={ctype_n} interlace={interlace})")
+    mode, spp = _PNG_MODES[ctype_n]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * spp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: IDAT length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry a left-pixel dependency
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - spp] if x >= spp else 0
+                bb = prev[x]
+                if f == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[x] = (cur[x] + (a + bb) // 2) & 0xFF
+                elif f == 4:  # Paeth
+                    c = prev[x - spp] if x >= spp else 0
+                    p = a + bb - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (bb if pb_ <= pc_ else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"png: unknown filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, spp)
+    if ctype_n == 3:  # palette: resolve indices through PLTE
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return w, h, mode, px
+
+
 class DecodeImage:
     """binary -> (width, height, mode) — codec SEAM: rows whose bytes carry
     a real image magic (PNG/JPEG/GIF/BMP/WebP) decode through Pillow when
@@ -69,10 +157,16 @@ class DecodeImage:
 
             with self._pil.open(io.BytesIO(b)) as im:
                 return im.width, im.height, im.mode
+        if b.startswith(b"\x89PNG\r\n\x1a\n"):
+            # PNG seam CLOSED without Pillow: full stdlib pixel decode
+            # (zlib is the format's only compression); a malformed or
+            # unsupported-variant PNG raises ValueError explicitly
+            w, h, mode, _ = png_decode_stdlib(b)
+            return w, h, mode
         if self.strict:
             raise NotImplementedError(
-                "image decode requires Pillow and image-magic bytes "
-                "(non-image payload or codec not installed in this container)"
+                "image decode requires Pillow for non-PNG formats "
+                "(JPEG/GIF/BMP/WebP need codecs not in this container)"
             )
         d = hashlib.md5(b).digest()
         return 64 + d[0], 64 + d[1], "RGB"  # deterministic fake dims

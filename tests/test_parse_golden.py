@@ -276,6 +276,58 @@ def _build_real_pdf(pages: list[list[list[str]]], compress: bool = True) -> byte
     return bytes(out)
 
 
+def _build_real_png(pixels, color_type: int = 2, filters=(0,), palette=None) -> bytes:
+    """Minimal REAL PNG built with stdlib only (struct chunks + zlib +
+    correct CRCs): applies the GIVEN scanline filter per row (cycling
+    ``filters``), so the decoder's whole unfilter surface — None/Sub/Up/
+    Average/Paeth — is exercised with exact-pixel round-trips.
+    ``pixels`` is uint8 ``[h, w, spp]``; ``color_type`` 0/2/3/4/6 with
+    spp 1/3/1/2/4 (type 3 needs ``palette`` [n, 3])."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, spp = pixels.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+    raw = bytearray()
+    prev = np.zeros(w * spp, np.int32)
+    for y in range(h):
+        cur = pixels[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        out = np.zeros(w * spp, np.int32)
+        for x in range(w * spp):
+            a = cur[x - spp] if x >= spp else 0
+            b = prev[x]
+            c = prev[x - spp] if x >= spp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            out[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw += out.astype(np.uint8).tobytes()
+        prev = cur
+    body = b"\x89PNG\r\n\x1a\n"
+    body += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    body += chunk(b"IEND", b"")
+    return body
+
+
 class TestCodecSeams:
     """The xlsx/pdf/image codec seams: deterministic fakes keep plumbing
     testable in this container; REAL bodies either decode through the real
@@ -400,3 +452,53 @@ class TestCodecSeams:
         out = DecodeImage()(pa.table({"doc_id": ["d1"], "media_bytes": [buf.getvalue()]}))
         assert out.column("width")[0].as_py() == 17
         assert out.column("height")[0].as_py() == 9
+
+    def test_real_png_decode_stdlib(self):
+        # a REAL PNG built with stdlib (struct chunks + zlib + one of EACH
+        # of the five scanline filters) decodes to the EXACT pixels with
+        # no Pillow — the image seam is CLOSED for PNG
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage, png_decode_stdlib
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+        body = _build_real_png(px, filters=[0, 1, 2, 3, 4])
+        w, h, mode, got = png_decode_stdlib(body)
+        assert (w, h, mode) == (6, 5, "RGB")
+        assert np.array_equal(got, px)
+        out = DecodeImage()(pa.table({"doc_id": ["d1"], "media_bytes": [body]}))
+        assert out.to_pylist()[0] == {"doc_id": "d1", "width": 6, "height": 5, "mode": "RGB"}
+
+    def test_real_png_decode_stdlib_variants(self):
+        # grayscale, RGBA, and palette containers through the same seam
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import png_decode_stdlib
+
+        gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+        w, h, mode, got = png_decode_stdlib(_build_real_png(gray, color_type=0, filters=[4, 1, 3]))
+        assert (w, h, mode) == (4, 3, "L") and np.array_equal(got, gray)
+
+        rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+        w, h, mode, got = png_decode_stdlib(_build_real_png(rgba, color_type=6, filters=[2, 4, 0]))
+        assert (w, h, mode) == (4, 3, "RGBA") and np.array_equal(got, rgba)
+
+        palette = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+        idx = np.array([[0, 1], [1, 0]], np.uint8)[:, :, None]
+        w, h, mode, got = png_decode_stdlib(_build_real_png(idx, color_type=3, filters=[1, 2], palette=palette))
+        assert (w, h, mode) == (2, 2, "P")
+        assert np.array_equal(got, palette[idx[:, :, 0]])  # indices resolved through PLTE
+
+    def test_malformed_png_raises_explicitly(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import png_decode_stdlib
+
+        with pytest.raises(ValueError, match="png"):
+            png_decode_stdlib(b"\x89PNG\r\n\x1a\n garbage")
+        # unsupported variant (16-bit) is explicit, never silent garbage
+        body = bytearray(_build_real_png(np.zeros((1, 1, 3), np.uint8), filters=[0]))
+        body[24] = 16  # IHDR bit-depth byte
+        with pytest.raises(ValueError, match="unsupported"):
+            png_decode_stdlib(bytes(body))
