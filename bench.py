@@ -408,8 +408,9 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
         log(f"--- query {name}: {n} rows in {qtimes[name]}s")
 
-    ray.shutdown()
-    shutil.rmtree(prof_dir, ignore_errors=True)
+    # print the contract line BEFORE ray.shutdown(): after hundreds of
+    # dataset executions teardown can transiently wedge (observed once in
+    # this sandbox), and a wedged teardown must not cost the recorded run
     print(
         json.dumps(
             {
@@ -434,8 +435,11 @@ def main() -> None:
                 "crawl_multiwave_waves": multiwave_waves,
                 "crawl_multiwave_fused_pages_per_sec": multiwave_fused_pps,
             }
-        )
+        ),
+        flush=True,
     )
+    ray.shutdown()
+    shutil.rmtree(prof_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
