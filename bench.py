@@ -11,7 +11,12 @@ write — not network sleeps).
                               load is self-controlled (both widths sample
                               both halves of the window); reports per-phase
                               throughputs + pairwise and best-of
-                              efficiency = pps32 / (4*pps8)
+                              efficiency = pps_wide / ((wide/narrow)*pps_narrow)
+  --isolate                   pin every sub-box-width leg to its own cpuset
+                              (emulates nodes of exactly that core count)
+  GRAFT_SCALING_CPUS=2,8,8,2  run the interleaved protocol at a different
+                              N→4N pair (2→8 sits below this box's
+                              memory-bus saturation; see BASELINE.md)
 
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Everything except the final JSON goes to stderr.
@@ -44,8 +49,15 @@ def run_scaling() -> None:
     # physical cores and contend with nothing, inflating the denominator
     # the way no real 8-cpu node would.
     isolate = "--isolate" in sys.argv
+    # GRAFT_SCALING_CPUS="2,8,8,2" runs the SAME interleaved protocol at a
+    # different N→4N pair: 2→8 sits below this box's memory-bus saturation
+    # point, so it measures the engine's own scaling where the hardware can
+    # actually supply 4× resources (the 8→32 pair is bounded by the bus —
+    # see tools/mp_ceiling.py)
+    widths = tuple(int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32,32,8").split(","))
+    narrow, wide = min(widths), max(widths)
     phases = []
-    for ncpu in (8, 32, 32, 8):
+    for ncpu in widths:
         # crawl-only phases: skipping the ~40-query loop keeps adjacent
         # legs ~2 min closer in time, which matters on a drifting host
         env = dict(
@@ -56,9 +68,15 @@ def run_scaling() -> None:
             GRAFT_SKIP_QUERIES="1",
         )
         cmd = [sys.executable, "bench.py"]
-        if isolate and ncpu == 8:
-            cmd = ["taskset", "-c", "0-7"] + cmd
-        log(f"--- scaling phase {len(phases) + 1}/4: num_cpus={ncpu}{' (cpuset 0-7)' if isolate and ncpu == 8 else ''}")
+        # --isolate pins EVERY leg that is narrower than the box to its own
+        # fixed cpuset, so a 2→8 pair emulates a 2-core node vs an 8-core
+        # node (neither leg borrows idle cores the emulated node wouldn't
+        # have); legs as wide as the box run unpinned (pinning would be a
+        # no-op).
+        pinned = isolate and ncpu < (os.cpu_count() or ncpu)
+        if pinned:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        log(f"--- scaling phase {len(phases) + 1}/4: num_cpus={ncpu}{f' (cpuset 0-{ncpu - 1})' if pinned else ''}")
         r = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         rec = json.loads(r.stdout.strip().splitlines()[-1])
         rec["num_cpus"] = ncpu
@@ -66,7 +84,7 @@ def run_scaling() -> None:
         time.sleep(10)  # let the object store / page cache settle between sessions
 
     def eff(p8, p32, key):
-        return round(p32[key] / (4 * p8[key]), 3)
+        return round(p32[key] / ((wide / narrow) * p8[key]), 3)
 
     pair_a = {
         "crawl": eff(phases[0], phases[1], "crawl_pages_per_sec"),
@@ -80,11 +98,11 @@ def run_scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_8_to_32_cpus",
+                "metric": f"scaling_efficiency_{narrow}_to_{wide}_cpus",
                 "value": best,
                 "unit": "ratio",
-                "protocol": "interleaved 8,32,32,8 — pairwise efficiencies, best pair headline"
-                + (" — 8-cpu legs pinned to cpuset 0-7 (taskset)" if isolate else ""),
+                "protocol": f"interleaved {','.join(str(w) for w in widths)} — pairwise efficiencies, best pair headline"
+                + (" — every sub-box-width leg pinned to its own cpuset (taskset)" if isolate else ""),
                 "pair_a_phases_1_2": pair_a,
                 "pair_b_phases_4_3": pair_b,
                 "crawl_pages_per_sec_phases": [p["crawl_pages_per_sec"] for p in phases],

@@ -57,22 +57,28 @@ def run(n_procs: int, seconds: float, cpuset: set[int] | None = None) -> float:
 
 
 def main():
+    import os
+
     args = [a for a in sys.argv[1:] if a != "--isolate"]
-    isolate = "--isolate" in sys.argv  # pin the 8-proc leg to cores 0-7
+    isolate = "--isolate" in sys.argv  # pin the narrow leg to a fixed cpuset
     seconds = float(args[0]) if args else 10.0
-    r8 = run(8, seconds, cpuset=set(range(8)) if isolate else None)
+    # MP_CEILING_PROCS="2,8" probes a different N→4N pair (matches
+    # bench.py's GRAFT_SCALING_CPUS); default is the 8→32 headline pair
+    narrow, wide = (int(x) for x in os.environ.get("MP_CEILING_PROCS", "8,32").split(","))
+    n_box = os.cpu_count() or wide
+    r8 = run(narrow, seconds, cpuset=set(range(narrow)) if isolate and narrow < n_box else None)
     time.sleep(3)
-    r32 = run(32, seconds)
+    r32 = run(wide, seconds, cpuset=set(range(wide)) if isolate and wide < n_box else None)
     print(
         json.dumps(
             {
-                "metric": "mp_weak_scaling_ceiling_8_to_32",
+                "metric": f"mp_weak_scaling_ceiling_{narrow}_to_{wide}",
                 "value": round(r32 / r8, 3),
                 "unit": "ratio",
-                "pages_per_sec_per_proc_8": round(r8, 1),
-                "pages_per_sec_per_proc_32": round(r32, 1),
+                f"pages_per_sec_per_proc_{narrow}": round(r8, 1),
+                f"pages_per_sec_per_proc_{wide}": round(r32, 1),
                 "seconds_per_run": seconds,
-                "isolated_8_leg": isolate,
+                "isolated_narrow_leg": isolate,
             }
         )
     )
