@@ -278,26 +278,32 @@ def main() -> None:
                 {"paginated_hosts": max(2, int(2048 * frac)), "pages_per_host": 12, "mesh_count": max(2, int(2000 * frac))},
             ),
         ):
-            vdir = f"/dev/shm/bench_crawl_{tag}_cpu{ncpu}"
-            shutil.rmtree(vdir, ignore_errors=True)
             vspec = ScaleSpec.bench(**spec_kw)
-            t0 = time.time()
-            veng = CrawlEngine(
-                vspec,
-                vdir,
-                n_seen_shards=8,
-                n_sched_shards=4,
-                n_parts=max(8, ncpu),
-                seen_capacity=2_000_000,
-                checkpoint_interval=8,
-                **kwargs,
-            )
-            vtot = veng.run()
-            vsec = time.time() - t0
-            veng.shutdown()
-            shutil.rmtree(vdir, ignore_errors=True)
-            pps = round(vtot["pages"] / vsec, 1)
-            log(f"--- crawl[{tag}]: {vtot['pages']} pages, {vtot['waves']} waves, {vsec:.1f}s = {pps} pages/s")
+            # the multiwave pair is the std-vs-fused A/B: a single cold
+            # sample right after the 215k-page headline crawl can read
+            # 40% low (object-store churn), so take best-of-2 for those
+            n_runs = 2 if tag.startswith("multiwave") else 1
+            pps, vtot = 0.0, None
+            for it in range(n_runs):
+                vdir = f"/dev/shm/bench_crawl_{tag}_cpu{ncpu}_{it}"
+                shutil.rmtree(vdir, ignore_errors=True)
+                t0 = time.time()
+                veng = CrawlEngine(
+                    vspec,
+                    vdir,
+                    n_seen_shards=8,
+                    n_sched_shards=4,
+                    n_parts=max(8, ncpu),
+                    seen_capacity=2_000_000,
+                    checkpoint_interval=8,
+                    **kwargs,
+                )
+                vtot = veng.run()
+                vsec = time.time() - t0
+                veng.shutdown()
+                shutil.rmtree(vdir, ignore_errors=True)
+                pps = max(pps, round(vtot["pages"] / vsec, 1))
+                log(f"--- crawl[{tag}] run {it + 1}/{n_runs}: {vtot['pages']} pages, {vtot['waves']} waves, {vsec:.1f}s = {round(vtot['pages'] / vsec, 1)} pages/s")
             if tag == "distadmit":
                 dist_pps = pps
             elif tag == "multiwave_fused":
