@@ -6169,6 +6169,76 @@ FROM toks, LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i)
 """
 
 
+BPE_K = 12
+
+# frozen by tools/freeze_bpe_pins.py from the INDEPENDENT single-process
+# reference implementation (functions/bpe.bpe_train_local — textbook
+# Sennrich scan, no Ray, no code shared with the distributed trainer),
+# keyed by sum(n_chars) of each gate scale's documents table (the two
+# gate corpora have the same row COUNT, so the char total is the
+# discriminating corpus stat).  Re-freeze when the test corpus or BPE_K
+# changes.
+BPE_PINS: dict[int, list] = {
+    153156: [  # /root/testdata/sf0.001
+        (1, "e", "r", "er", 4650),
+        (2, "e", "</w>", "e</w>", 4644),
+        (3, "n", "</w>", "n</w>", 2898),
+        (4, "o", "r", "or", 2880),
+        (5, "t", "</w>", "t</w>", 2850),
+        (6, "er", "</w>", "er</w>", 2781),
+        (7, "o", "w", "ow", 2763),
+        (8, "ow", "</w>", "ow</w>", 2763),
+        (9, "l", "u", "lu", 1928),
+        (10, "i", "n", "in", 1922),
+        (11, "y", "</w>", "y</w>", 1879),
+        (12, "a", "r", "ar", 1873),
+    ],
+    149174: [  # /root/testdata/sf0.01
+        (1, "e", "r", "er", 4568),
+        (2, "e", "</w>", "e</w>", 4473),
+        (3, "n", "</w>", "n</w>", 2834),
+        (4, "er", "</w>", "er</w>", 2779),
+        (5, "o", "w", "ow", 2747),
+        (6, "ow", "</w>", "ow</w>", 2747),
+        (7, "o", "r", "or", 2696),
+        (8, "s", "t", "st", 2676),
+        (9, "h", "</w>", "h</w>", 1884),
+        (10, "a", "t", "at", 1845),
+        (11, "l", "u", "lu", 1831),
+        (12, "i", "n", "in", 1796),
+    ],
+}
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (`functions/bpe.py`): learn the
+    first 12 merges over the documents corpus — word-freq vocab table
+    once (the only corpus-scaled pass), then per merge one
+    alphabet-bounded pair-count groupby (combiner-first; global pair
+    domain <= (|alphabet|+k)^2 rows regardless of corpus size) and one
+    segment-vectorized merge rewrite of the vocab's symbol sequences.
+    Exact int64 counts + (count DESC, left, right) tie-break make the
+    merge table bit-identical across widths; the oracle twin serves the
+    merge table computed by the independent local reference
+    implementation, frozen per gate scale (a true cross-implementation
+    compare, the frozen-model contract)."""
+    from ..functions.bpe import bpe_train
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return bpe_train(docs, BPE_K)
+
+
+def _bpe_merges_sql() -> str:
+    blocks = []
+    for n_chars, rows in BPE_PINS.items():
+        values = ",\n    ".join(f"({rank}, '{a}', '{b}', '{m}', {c})" for rank, a, b, m, c in rows)
+        blocks.append(
+            f"SELECT * FROM (VALUES\n    {values}\n) t(rank, pair_left, pair_right, merged, pair_count)\n"
+            f"WHERE (SELECT sum(n_chars) FROM documents) = {n_chars}"
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
 def q_events_zscore(sf_dir: str):
     """Per-group feature normalization (z-score of value within its event
     type) — the standard ML feature-scaling op.  One tiny groupby
@@ -8822,6 +8892,7 @@ QUERIES = {
     "fingerprint_hamming_pairs": q_fingerprint_hamming_pairs,
     "simhash_groups_md5": q_simhash_groups_md5,
     "langid": q_langid,
+    "bpe_merges": q_bpe_merges,
     "dedup_groups_md5": q_dedup_groups_md5,
     "approx_distinct_users": q_approx_distinct_users,
     "hll_registers": q_hll_registers,
@@ -9015,6 +9086,7 @@ ORACLES = {
     "events_time_delta": SQL_EVENTS_TIME_DELTA,
     "doc_pack": SQL_DOC_PACK,
     "langid": SQL_LANGID,
+    "bpe_merges": _bpe_merges_sql(),
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "bigram_pmi": SQL_BIGRAM_PMI,
