@@ -64,7 +64,11 @@ def bpe_train_local(texts, k: int) -> list[tuple[str, str, str, int]]:
     """Textbook single-process BPE (Sennrich alg. 1): returns up to ``k``
     merges as (left, right, merged, pair_count) in learning order.  The
     cross-implementation oracle for :func:`bpe_train`."""
-    vocab = {tuple(w) + (END_OF_WORD,): n for w, n in _word_freqs_local(texts).items()}
+    return _merges_from_vocab(_word_freqs_local(texts), k)
+
+
+def _merges_from_vocab(word_freqs: dict[str, int], k: int) -> list[tuple[str, str, str, int]]:
+    vocab = {tuple(w) + (END_OF_WORD,): n for w, n in word_freqs.items()}
     merges: list[tuple[str, str, str, int]] = []
     for _ in range(k):
         counts: dict[tuple[str, str], int] = {}
@@ -183,11 +187,20 @@ def _apply_merge(a: str, b: str):
     return fn
 
 
-def bpe_train(docs_ds, k: int) -> pa.Table:
+def bpe_train(docs_ds, k: int, max_local_vocab: int = 200_000) -> pa.Table:
     """Learn up to ``k`` BPE merges over ``docs_ds.text`` distributed;
     returns (rank int64 1-based, pair_left, pair_right, merged,
     pair_count int64) in learning order — bit-identical to
-    :func:`bpe_train_local` on the same corpus."""
+    :func:`bpe_train_local` on the same corpus.
+
+    The corpus-scaled work (documents -> word-freq vocab) is always
+    distributed; when the resulting DISTINCT-WORD table fits under
+    ``max_local_vocab`` rows the merge loop runs locally on the driver
+    (bounded by the gate, like ``pagerank_exact``'s small-graph path) —
+    the k merge rounds are pure vocab-table iteration, and k pipeline
+    executions of fixed cost dwarf the compute at small vocab.  Forced-
+    path equivalence is pytest-pinned (``max_local_vocab=0`` vs default
+    in tests/test_bpe.py)."""
     from ray.data.aggregate import Sum
 
     vocab = (
@@ -197,6 +210,13 @@ def bpe_train(docs_ds, k: int) -> pa.Table:
         .map_batches(_explode_syms, batch_format="pyarrow")
         .materialize()  # vocab-sized (distinct words), re-read each merge round
     )
+    if vocab.count() <= max_local_vocab:
+        freqs: dict[str, int] = {}
+        for t in (pa.table(b) for b in vocab.iter_batches(batch_format="pyarrow")):
+            for w, n in zip(t.column("word").to_pylist(), t.column("freq").to_pylist()):
+                freqs[w] = freqs.get(w, 0) + n
+        rows = [(i + 1, a, b, m, c) for i, (a, b, m, c) in enumerate(_merges_from_vocab(freqs, k))]
+        return _merge_rows_table(rows)
     rows = []
     for rank in range(1, k + 1):
         counts = (
@@ -217,6 +237,10 @@ def bpe_train(docs_ds, k: int) -> pa.Table:
         a, b = top.column("l")[0].as_py(), top.column("r")[0].as_py()
         rows.append((rank, a, b, a + b, top.column("c")[0].as_py()))
         vocab = vocab.map_batches(_apply_merge(a, b), batch_format="pyarrow").materialize()
+    return _merge_rows_table(rows)
+
+
+def _merge_rows_table(rows) -> pa.Table:
     return pa.table(
         {
             "rank": pa.array([r[0] for r in rows], pa.int64()),

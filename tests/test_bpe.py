@@ -21,11 +21,12 @@ def _as_tuples(t: pa.Table):
     )
 
 
-def _train_ds(texts, k, n_parts=3):
+def _train_ds(texts, k, n_parts=3, **kw):
     import ray.data as rd
 
+    kw.setdefault("max_local_vocab", 0)  # force the distributed merge loop
     ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
-    return bpe_train(ds.repartition(n_parts) if n_parts else ds, k)
+    return bpe_train(ds.repartition(n_parts) if n_parts else ds, k, **kw)
 
 
 class TestLocalReference:
@@ -76,6 +77,14 @@ class TestDistributedEquivalence:
     @pytest.mark.parametrize("texts", CORPORA)
     def test_matches_local_reference(self, ray_session, texts):
         assert _as_tuples(_train_ds(texts, 10)) == bpe_train_local(texts, 10)
+
+    def test_gated_local_path_equivalence(self, ray_session):
+        # the small-vocab driver fast path must be bit-identical to the
+        # forced distributed merge loop (the pagerank_exact gate contract)
+        texts = self.CORPORA[0] + self.CORPORA[1]
+        fast = _train_ds(texts, 10, max_local_vocab=200_000)
+        forced = _train_ds(texts, 10, max_local_vocab=0)
+        assert fast.equals(forced)
 
     def test_width_independent(self, ray_session):
         texts = ["the quick brown fox jumps over the lazy dog"] * 7 + ["pack my box with five dozen jugs"]
