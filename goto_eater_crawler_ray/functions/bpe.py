@@ -97,6 +97,28 @@ def _merges_from_vocab(word_freqs: dict[str, int], k: int) -> list[tuple[str, st
     return merges
 
 
+def bpe_encode_local(texts, merges) -> dict[str, int]:
+    """Textbook BPE APPLICATION (the independent reference for
+    :func:`bpe_token_counts`): tokenize every word with the merge list in
+    learning order, return total count per emitted token."""
+    counts: dict[str, int] = {}
+    for w, n in _word_freqs_local(texts).items():
+        syms = list(w) + [END_OF_WORD]
+        for a, b, *_ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for s in syms:
+            counts[s] = counts.get(s, 0) + n
+    return counts
+
+
 # ---------------------------------------------------------------------------
 # distributed path
 # ---------------------------------------------------------------------------
@@ -149,36 +171,39 @@ def _pair_partials(t: pa.Table) -> pa.Table:
     return pa.table({"l": part.column("l"), "r": part.column("r"), "c": part.column("w_sum").cast(pa.int64())})
 
 
+def _merge_flat(flat: np.ndarray, parents: np.ndarray, a: str, b: str):
+    """One merge pass over a flattened symbol array: rewrite adjacent
+    (a, b) within each parent segment to a+b, left-to-right
+    non-overlapping exactly like the reference scan — within a RUN of
+    consecutive matching positions only even offsets merge (position i
+    and i+1 share symbol i+1, and BPE keeps the leftmost)."""
+    n = len(flat)
+    if n >= 2:
+        m = (parents[:-1] == parents[1:]) & (flat[:-1] == a) & (flat[1:] == b)
+        idx = np.flatnonzero(m)
+    else:
+        idx = np.empty(0, np.int64)
+    if not len(idx):
+        return flat, parents
+    run_start = np.r_[True, np.diff(idx) != 1]
+    run_id = np.cumsum(run_start) - 1
+    starts = idx[run_start]
+    keep = idx[(idx - starts[run_id]) % 2 == 0]
+    flat = flat.copy()
+    flat[keep] = a + b
+    mask = np.ones(n, bool)
+    mask[keep + 1] = False
+    return flat[mask], parents[mask]
+
+
 def _apply_merge(a: str, b: str):
-    """Batch fn rewriting every symbol sequence for merge (a, b) -> a+b,
-    left-to-right non-overlapping exactly like the reference scan: within
-    a RUN of consecutive matching positions only even offsets merge
-    (position i and i+1 share symbol i+1, and BPE keeps the leftmost)."""
-    merged = a + b
+    """Batch fn rewriting every vocab row's symbol sequence for merge
+    (a, b) via :func:`_merge_flat`."""
 
     def fn(t: pa.Table) -> pa.Table:
         flat, parents, _ = _flat_view(t)
-        n = len(flat)
-        if n >= 2:
-            m = (parents[:-1] == parents[1:]) & (flat[:-1] == a) & (flat[1:] == b)
-            idx = np.flatnonzero(m)
-        else:
-            idx = np.empty(0, np.int64)
-        if len(idx):
-            # run-parity: consecutive match positions overlap; keep even
-            # offsets within each run (== the sequential scan's choices)
-            run_start = np.r_[True, np.diff(idx) != 1]
-            run_id = np.cumsum(run_start) - 1
-            starts = idx[run_start]
-            keep = idx[(idx - starts[run_id]) % 2 == 0]
-            flat = flat.copy()
-            flat[keep] = merged
-            mask = np.ones(n, bool)
-            mask[keep + 1] = False
-            new_flat, new_parents = flat[mask], parents[mask]
-        else:
-            new_flat, new_parents = flat, parents
-        lengths = np.bincount(new_parents, minlength=t.num_rows) if n else np.zeros(t.num_rows, np.int64)
+        new_flat, new_parents = _merge_flat(flat, parents, a, b)
+        lengths = np.bincount(new_parents, minlength=t.num_rows) if len(new_flat) else np.zeros(t.num_rows, np.int64)
         offsets = np.zeros(t.num_rows + 1, np.int64)
         np.cumsum(lengths, out=offsets[1:])
         syms = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(new_flat, pa.string()))
@@ -238,6 +263,53 @@ def bpe_train(docs_ds, k: int, max_local_vocab: int = 200_000) -> pa.Table:
         rows.append((rank, a, b, a + b, top.column("c")[0].as_py()))
         vocab = vocab.map_batches(_apply_merge(a, b), batch_format="pyarrow").materialize()
     return _merge_rows_table(rows)
+
+
+def bpe_token_counts(docs_ds, merges) -> "object":
+    """Tokenize ``docs_ds.text`` with a learned merge list (pairs in
+    learning order) and count tokens — the corpus-scaled APPLY side.
+    Per batch: whitespace words -> char+``</w>`` symbol stream -> the k
+    merges as k segment-vectorized :func:`_merge_flat` passes -> one
+    batch-local count (the combiner; output rows bounded by the token
+    vocabulary, <= |alphabet| + k symbols).  One tiny token groupby
+    globally; the text never shuffles.  Returns a Dataset of
+    (token, n int64)."""
+    from ray.data.aggregate import Sum
+
+    pairs = [(m[0], m[1]) for m in merges]
+
+    def encode(t: pa.Table) -> pa.Table:
+        wl = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        flat_words = wl.flatten()
+        flat_words = flat_words.filter(pc.greater(pc.binary_length(flat_words), 0))
+        words = flat_words.to_pylist()
+        # symbol stream: chars of each word + terminal, parent = word index
+        lens = pc.utf8_length(flat_words).to_numpy(zero_copy_only=False).astype(np.int64) if words else np.empty(0, np.int64)
+        total = int((lens + 1).sum())
+        flat = np.empty(total, dtype=object)
+        term_pos = np.cumsum(lens + 1) - 1
+        char_mask = np.ones(total, bool)
+        char_mask[term_pos] = False
+        joined = "".join(words)
+        try:  # ASCII fast path: one C-level decode instead of a char loop
+            chars = np.frombuffer(joined.encode("ascii"), dtype="S1").astype("U1").astype(object)
+        except UnicodeEncodeError:
+            chars = np.asarray(list(joined), dtype=object)
+        flat[char_mask] = chars
+        flat[~char_mask] = END_OF_WORD
+        parents = np.repeat(np.arange(len(words), dtype=np.int64), lens + 1)
+        for a, b in pairs:
+            flat, parents = _merge_flat(flat, parents, a, b)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        toks, cnts = np.unique(flat.astype(str), return_counts=True)
+        return pa.table({"token": pa.array(toks, pa.string()), "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    return (
+        docs_ds.map_batches(encode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
 
 
 def _merge_rows_table(rows) -> pa.Table:

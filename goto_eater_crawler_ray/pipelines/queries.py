@@ -6228,6 +6228,114 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(docs, BPE_K)
 
 
+# frozen by tools/freeze_bpe_pins.py (reference bpe_train_local +
+# bpe_encode_local), keyed like BPE_PINS
+BPE_TOKEN_PINS: dict[int, list] = {
+    153156: [  # /root/testdata/sf0.001
+        ('</w>', 10124),
+        ('a', 11076),
+        ('ar', 1873),
+        ('b', 2703),
+        ('c', 4692),
+        ('d', 2876),
+        ('e', 2795),
+        ('e</w>', 4644),
+        ('er', 1869),
+        ('er</w>', 2781),
+        ('f', 1830),
+        ('g', 4665),
+        ('h', 3666),
+        ('i', 2743),
+        ('in', 1922),
+        ('j', 936),
+        ('k', 1855),
+        ('l', 5483),
+        ('lu', 1928),
+        ('m', 4619),
+        ('n</w>', 2898),
+        ('o', 3737),
+        ('or', 2880),
+        ('ow</w>', 2763),
+        ('p', 2836),
+        ('q', 934),
+        ('r', 2719),
+        ('s', 8331),
+        ('t', 7275),
+        ('t</w>', 2850),
+        ('u', 2786),
+        ('v', 1881),
+        ('w', 976),
+        ('y</w>', 1879),
+    ],
+    149174: [  # /root/testdata/sf0.01
+        ('</w>', 12448),
+        ('a', 10805),
+        ('at', 1845),
+        ('b', 2721),
+        ('c', 4653),
+        ('d', 2732),
+        ('e', 2696),
+        ('e</w>', 4473),
+        ('er', 1789),
+        ('er</w>', 2779),
+        ('f', 1787),
+        ('g', 4474),
+        ('h', 1787),
+        ('h</w>', 1884),
+        ('i', 2773),
+        ('in', 1796),
+        ('j', 964),
+        ('k', 1776),
+        ('l', 5525),
+        ('lu', 1831),
+        ('m', 4602),
+        ('n</w>', 2834),
+        ('o', 3710),
+        ('or', 2696),
+        ('ow</w>', 2747),
+        ('p', 2662),
+        ('q', 871),
+        ('r', 4467),
+        ('s', 5481),
+        ('st', 2676),
+        ('t', 5343),
+        ('u', 2709),
+        ('v', 1809),
+        ('w', 886),
+        ('y', 1767),
+    ],
+}
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """End-to-end BPE train+APPLY: learn the BPE_K merges, then tokenize
+    the whole corpus with them and count tokens (`functions/bpe.py`
+    bpe_token_counts).  The apply side is the corpus-scaled stage: per
+    batch, k segment-vectorized merge passes over the flattened symbol
+    stream, then a batch-local count — output rows are bounded by the
+    token vocabulary (<= |alphabet| + k), so the global groupby is tiny
+    and the text never shuffles.  Oracle: the token-count table from the
+    independent local reference (train + textbook scan-encode), frozen
+    per gate scale."""
+    from ..functions.bpe import bpe_token_counts, bpe_train
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    merges_t = bpe_train(docs, BPE_K)
+    merges = list(zip(merges_t.column("pair_left").to_pylist(), merges_t.column("pair_right").to_pylist()))
+    return bpe_token_counts(docs, merges).sort("token")
+
+
+def _bpe_token_counts_sql() -> str:
+    blocks = []
+    for n_chars, rows in BPE_TOKEN_PINS.items():
+        values = ",\n    ".join(f"('{tok}', {n})" for tok, n in rows)
+        blocks.append(
+            f"SELECT * FROM (VALUES\n    {values}\n) t(token, n)\n"
+            f"WHERE (SELECT sum(n_chars) FROM documents) = {n_chars}"
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
 def _bpe_merges_sql() -> str:
     blocks = []
     for n_chars, rows in BPE_PINS.items():
@@ -8893,6 +9001,7 @@ QUERIES = {
     "simhash_groups_md5": q_simhash_groups_md5,
     "langid": q_langid,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "dedup_groups_md5": q_dedup_groups_md5,
     "approx_distinct_users": q_approx_distinct_users,
     "hll_registers": q_hll_registers,
@@ -9087,6 +9196,7 @@ ORACLES = {
     "doc_pack": SQL_DOC_PACK,
     "langid": SQL_LANGID,
     "bpe_merges": _bpe_merges_sql(),
+    "bpe_token_counts": _bpe_token_counts_sql(),
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "bigram_pmi": SQL_BIGRAM_PMI,

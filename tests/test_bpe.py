@@ -7,7 +7,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from goto_eater_crawler_ray.functions.bpe import END_OF_WORD, bpe_train, bpe_train_local
+from goto_eater_crawler_ray.functions.bpe import END_OF_WORD, bpe_encode_local, bpe_train, bpe_train_local
 
 
 def _as_tuples(t: pa.Table):
@@ -107,6 +107,44 @@ class TestDistributedEquivalence:
     )
     def test_random_corpora_match_reference(self, ray_session, texts):
         assert _as_tuples(_train_ds(texts, 6)) == bpe_train_local(texts, 6)
+
+
+class TestEncode:
+    def _counts_ds(self, texts, merges):
+        import ray.data as rd
+
+        from goto_eater_crawler_ray.functions.bpe import bpe_token_counts
+
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())})).repartition(3)
+        t = bpe_token_counts(ds, [(a, b) for a, b, *_ in merges]).sort("token").take_all()
+        return {r["token"]: r["n"] for r in t}
+
+    @pytest.mark.parametrize("texts", TestDistributedEquivalence.CORPORA)
+    def test_matches_local_reference(self, ray_session, texts):
+        merges = bpe_train_local(texts, 6)
+        assert self._counts_ds(texts, merges) == bpe_encode_local(texts, merges)
+
+    def test_zero_merges_is_char_counts(self, ray_session):
+        texts = ["ab ba a"]
+        got = self._counts_ds(texts, [])
+        assert got == {"a": 3, "b": 2, END_OF_WORD: 3}
+
+    def test_token_total_preserves_symbol_mass(self, ray_session):
+        # merging never creates or drops words: sum over tokens of
+        # (token's symbol count * n) == initial symbol count
+        texts = ["the cat sat", "a cat sat on a mat"]
+        merges = bpe_train_local(texts, 5)
+        got = self._counts_ds(texts, merges)
+        ref = bpe_encode_local(texts, [])
+        n_init = sum(ref.values())
+        n_got = sum(n * _n_syms(tok) for tok, n in got.items())
+        assert n_got == n_init
+
+
+def _n_syms(tok: str) -> int:
+    # count base symbols in a merged token: chars + </w> as one symbol
+    body = tok.replace(END_OF_WORD, "\x00")
+    return len(body)
 
 
 class TestQueryContract:

@@ -17,19 +17,35 @@ sys.path.insert(0, ".")  # run from /root/repo
 
 import pyarrow.parquet as pq
 
-from goto_eater_crawler_ray.functions.bpe import bpe_train_local
+from goto_eater_crawler_ray.functions.bpe import bpe_encode_local, bpe_train_local
 from goto_eater_crawler_ray.pipelines.queries import BPE_K
 
-print("BPE_PINS = {")
-for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def corpus(sf_dir):
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
-    texts = t.column("text").to_pylist()
-    merges = bpe_train_local(texts, BPE_K)
     # keyed by sum(n_chars): the two gate corpora share a row COUNT, the
     # char total is the discriminating stat the SQL twin can compute
-    key = sum(t.column("n_chars").to_pylist())
+    return t.column("text").to_pylist(), sum(t.column("n_chars").to_pylist())
+
+
+print("BPE_PINS = {")
+for sf_dir in SF_DIRS:
+    texts, key = corpus(sf_dir)
+    merges = bpe_train_local(texts, BPE_K)
     print(f"    {key}: [  # {sf_dir}")
     for rank, (a, b, m, c) in enumerate(merges, 1):
         print(f"        ({rank}, {a!r}, {b!r}, {m!r}, {c}),")
+    print("    ],")
+print("}")
+
+print("BPE_TOKEN_PINS = {")
+for sf_dir in SF_DIRS:
+    texts, key = corpus(sf_dir)
+    counts = bpe_encode_local(texts, bpe_train_local(texts, BPE_K))
+    print(f"    {key}: [  # {sf_dir}")
+    for tok in sorted(counts):
+        print(f"        ({tok!r}, {counts[tok]}),")
     print("    ],")
 print("}")
