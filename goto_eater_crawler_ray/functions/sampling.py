@@ -205,3 +205,47 @@ def stratified_sample(ds, id_col: str, strata_col: str, rates: dict[str, int], d
         return t.append_column("bucket", pa.array(b, pa.int64())).filter(pa.array(b < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def temperature_thresholds(counts: dict[str, int], target: int, mod: int = 1_000_000) -> dict[str, int]:
+    """Per-group hash thresholds for temperature-based mixture
+    rebalancing at tau=0.5 (the XLM/mBERT language-sampling rule
+    p_g ~ q_g^tau, Conneau & Lample 2019): group g with n_g rows gets an
+    expected quota target * sqrt(n_g) / sum_h(sqrt(n_h)), i.e. keep rate
+    min(1, quota / n_g) — low-resource groups are upsampled RELATIVELY
+    (rate capped at 1: no replication), high-resource ones downsampled.
+
+    Exactness contract with the SQL twin: s_g = floor(sqrt(n_g * 10^12))
+    under IEEE double sqrt (both engines round the same product to the
+    same double and sqrt is correctly rounded), then the threshold is
+    pure integer arithmetic — floor(mod * target * s_g / (ssum * n_g)),
+    capped at mod — so membership is bit-identical."""
+    s = {g: int(np.floor(np.sqrt(np.float64(n * 10**12)))) for g, n in counts.items() if n > 0}
+    ssum = sum(s.values())
+    if not ssum:
+        return {}
+    return {g: min(mod, (mod * target * s[g]) // (ssum * counts[g])) for g in s}
+
+
+def temperature_sample(ds, id_col: str, group_col: str, target: int, mod: int = 1_000_000):
+    """Temperature (tau=0.5) mixture resampling over ``group_col``: one
+    tiny per-group count aggregate (rows = #groups, taken to the driver
+    — bounded by the group domain, documented), thresholds broadcast
+    into a stateless per-batch hash filter; the corpus never shuffles.
+    SQL twin: the same integer-exact thresholds via a grouped CTE and
+    ``md5_number_upper(CAST(id AS VARCHAR)) % mod < thr``."""
+    from ray.data.aggregate import Count
+
+    counts = {
+        r[group_col]: r["n"]
+        for r in ds.groupby(group_col).aggregate(Count(alias_name="n")).take_all()
+    }
+    thr = temperature_thresholds(counts, target, mod)
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = md5_u64(t.column(id_col)) % np.uint64(mod)
+        groups = t.column(group_col).to_pylist()
+        cut = np.array([thr.get(g, 0) for g in groups], dtype=np.uint64)
+        return t.filter(pa.array(b < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

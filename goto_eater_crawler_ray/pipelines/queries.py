@@ -4897,6 +4897,39 @@ WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10
 """
 
 
+def q_lang_temperature_sample(sf_dir: str):
+    """Temperature-based language rebalancing (tau=0.5, the XLM/mBERT
+    mixture rule p_lang ~ q_lang^0.5): per-lang quota
+    200 * sqrt(n_lang) / sum(sqrt(n)) — low-resource languages keep a
+    relatively larger share, high-resource ones are downsampled; keep
+    rate capped at 1 (no replication).  One tiny per-lang count
+    aggregate to the driver (rows = language domain), thresholds
+    broadcast into a stateless per-batch md5 filter — the corpus never
+    shuffles.  Thresholds are integer-exact (floor-sqrt scaled ints, see
+    `functions/sampling.temperature_thresholds`), so the SQL twin
+    hash-checks MEMBERSHIP."""
+    from ..functions.sampling import temperature_sample
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return temperature_sample(ds, "doc_id", "lang", target=200)
+
+
+SQL_LANG_TEMPERATURE_SAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+s AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n * 1000000000000 AS DOUBLE))) AS BIGINT) AS sq
+      FROM c),
+th AS (SELECT lang,
+              least(CAST(1000000 AS HUGEINT),
+                    (CAST(1000000 AS HUGEINT) * 200 * sq)
+                      // ((SELECT sum(sq) FROM s) * n)) AS thr
+       FROM s)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 1000000 < thr
+"""
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split by key-hash bucket
     ranges — disjoint, exhaustive, stable under re-partitioning."""
@@ -9020,6 +9053,7 @@ QUERIES = {
     "minhash_sigs": q_minhash_sigs,
     "doc_spans_flat": q_doc_spans_flat,
     "doc_sample": q_doc_sample,
+    "lang_temperature_sample": q_lang_temperature_sample,
     # --- beyond the driver's 50-row correctness window ---
     "doc_split": q_doc_split,
     "doc_stratified_sample": q_doc_stratified_sample,
@@ -9183,6 +9217,7 @@ ORACLES = {
     "simhash_near_pairs_md5": SQL_SIMHASH_NEAR_PAIRS_MD5,
     "doc_spans_flat": SQL_DOC_SPANS_FLAT,
     "doc_sample": SQL_DOC_SAMPLE,
+    "lang_temperature_sample": SQL_LANG_TEMPERATURE_SAMPLE,
     "doc_split": SQL_DOC_SPLIT,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "tfidf": SQL_TFIDF,

@@ -597,6 +597,29 @@ class TestSampling:
         assert set(df["lang"]) == {"zh"}  # en default 0, zh keeps all
         assert len(df) == 100
 
+    def test_temperature_thresholds_math(self):
+        from goto_eater_crawler_ray.functions.sampling import temperature_thresholds
+
+        # tau=0.5 quota: target * sqrt(n_g) / sum(sqrt); skew 900 vs 100
+        thr = temperature_thresholds({"en": 900, "zh": 100}, target=200)
+        # quotas 150 / 50 -> rates 1/6 and 1/2: the low-resource group
+        # keeps a ~3x higher RATE (the rebalancing property)
+        assert thr["en"] == (1_000_000 * 200 * 30_000_000) // (40_000_000 * 900)  # 166_666
+        assert thr["zh"] == 500_000
+        # rate caps at 1 (no replication) when quota exceeds group size
+        assert temperature_thresholds({"en": 3, "zh": 1000}, target=500)["en"] == 1_000_000
+        assert temperature_thresholds({}, target=10) == {}
+
+    def test_temperature_sample_membership_deterministic(self, ray_session):
+        from goto_eater_crawler_ray.functions.sampling import temperature_sample
+
+        a = temperature_sample(self._docs(), "doc_id", "lang", target=100).to_pandas()
+        b = temperature_sample(self._docs(n=300).repartition(7), "doc_id", "lang", target=100).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # width/partition independent
+        # skewed corpus (200 en / 100 zh): zh keep-rate must exceed en's
+        rates = a.groupby("lang").size() / pd.Series({"en": 200, "zh": 100})
+        assert rates["zh"] > rates["en"]
+
 
 class TestTfIdf:
     def test_matches_local_exact(self, ray_session):
