@@ -279,10 +279,11 @@ def main() -> None:
             ),
         ):
             vspec = ScaleSpec.bench(**spec_kw)
-            # the multiwave pair is the std-vs-fused A/B: a single cold
-            # sample right after the 215k-page headline crawl can read
-            # 40% low (object-store churn), so take best-of-2 for those
-            n_runs = 2 if tag.startswith("multiwave") else 1
+            # a single cold sample right after the 215k-page headline
+            # crawl can read 40-60% low (object-store churn / window
+            # contention, observed on both distadmit and the multiwave
+            # A/B), so every variant reports best-of-2
+            n_runs = 2
             pps, vtot = 0.0, None
             for it in range(n_runs):
                 vdir = f"/dev/shm/bench_crawl_{tag}_cpu{ncpu}_{it}"
