@@ -328,6 +328,9 @@ def main() -> None:
         "bm25_topk",
         "doc_repetition",
         "tokenize_flat",
+        "bpe_merges",
+        "bpe_token_counts",
+        "lang_temperature_sample",
         "doc_pack",
         "decontaminate",
         "interval_join_events",
