@@ -129,6 +129,14 @@ class TestEncode:
         got = self._counts_ds(texts, [])
         assert got == {"a": 3, "b": 2, END_OF_WORD: 3}
 
+    def test_unicode_corpus(self, ray_session):
+        # exercises the non-ASCII fallback in the encode kernel (the
+        # ASCII np.frombuffer fast path raises UnicodeEncodeError)
+        texts = ["すし らーめん すし", "らー すし", "cafe すし"]
+        merges = bpe_train_local(texts, 4)
+        assert self._counts_ds(texts, merges) == bpe_encode_local(texts, merges)
+        assert _as_tuples(_train_ds(texts, 4)) == merges
+
     def test_token_total_preserves_symbol_mass(self, ray_session):
         # merging never creates or drops words: sum over tokens of
         # (token's symbol count * n) == initial symbol count

@@ -610,6 +610,36 @@ class TestSampling:
         assert temperature_thresholds({"en": 3, "zh": 1000}, target=500)["en"] == 1_000_000
         assert temperature_thresholds({}, target=10) == {}
 
+    def test_temperature_thresholds_properties(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from goto_eater_crawler_ray.functions.sampling import temperature_thresholds
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            st.dictionaries(st.sampled_from("abcdefgh"), st.integers(0, 10**6), max_size=8),
+            st.integers(1, 10**5),
+        )
+        def check(counts, target):
+            thr = temperature_thresholds(counts, target)
+            live = {g: n for g, n in counts.items() if n > 0}
+            assert set(thr) == set(live)
+            mod = 1_000_000
+            for g, t in thr.items():
+                assert 0 <= t <= mod
+            # expected sample size sum(n_g * thr_g / mod) never exceeds the
+            # target (floor thresholds under-shoot; the rate-1 cap only
+            # REDUCES a group's expected take below its quota)
+            assert sum(live[g] * thr[g] / mod for g in live) <= target + 1e-6
+            # rebalancing direction: smaller groups never get a lower rate
+            for g in live:
+                for h in live:
+                    if live[g] < live[h]:
+                        assert thr[g] >= thr[h]
+
+        check()
+
     def test_temperature_sample_membership_deterministic(self, ray_session):
         from goto_eater_crawler_ray.functions.sampling import temperature_sample
 
