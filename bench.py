@@ -421,6 +421,8 @@ def main() -> None:
         "supplier_pagerank",
         "supplier_reach",
         "supplier_hits",
+        "gopher_quality",
+        "semantic_dedup",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -1111,3 +1111,78 @@ def allpairs_jaccard_pairs(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return cand.groupby(["a_id", "b_id"]).aggregate(Max("jaccard_6dp", alias_name="jaccard_6dp"))
+
+
+def semantic_dedup_keep(
+    emb_ds,
+    centroids,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bucketed
+    embedding near-duplicate removal — the SCALE path for semantic dedup.
+
+    Assign every vector to its nearest frozen centroid (argmax dot — a
+    stateless vectorized pass), shuffle ONCE by cluster id, then resolve
+    exact pairwise cosine inside each cluster: a row is a duplicate iff
+    an earlier row (lower id) in the SAME cluster has cosine >= threshold;
+    kept rows are returned as (id, cluster).  The all-pairs search is
+    bounded to cluster-local blocks — at corpus scale k grows with the
+    data so per-cluster row counts stay bounded (the documented
+    partitioning assumption), enforced here by ``max_cluster_rows``
+    (raise k / re-train the quantizer rather than letting one group go
+    quadratic).  Deterministic end-to-end (frozen centroids, exact
+    arithmetic), so the whole keep-set is oracle-pinnable."""
+    from .similarity import _as_matrix, _l2_normalize
+
+    C = np.asarray(centroids, np.float64)
+    _empty = pa.table({id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    emb_col: pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        lab = (_as_matrix(t.column(emb_col)) @ C.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(lab, pa.int64()),
+                emb_col: t.column(emb_col),
+            }
+        )
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds max_cluster_rows={max_cluster_rows}; "
+                "increase k (re-train the coarse quantizer) so clusters stay bounded"
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _l2_normalize(_as_matrix(t.column(emb_col)))
+        sims = mat @ mat.T
+        dup = ((sims >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+        keep = ~dup
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "cluster": pa.array(
+                    t.column("cluster").to_numpy(zero_copy_only=False)[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+    )

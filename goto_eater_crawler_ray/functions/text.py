@@ -764,3 +764,66 @@ def top_ngrams(docs_ds, n_top: int = 20):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return counts.map_batches(local_topn, batch_format="pyarrow").sort(["c", "bigram"], descending=[True, False]).limit(n_top)
+
+
+# Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1, adapted
+# to the synthetic corpus's ranges) — fixed, mirrored in the oracle SQL.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WORD_LEN = 4.2
+GOPHER_MAX_MEAN_WORD_LEN = 4.8
+GOPHER_MAX_WORD_LEN = 7
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style multi-rule document quality signals (Rae et al. 2021):
+    word count bounds, mean word length band, max word length cap, and a
+    minimum stopword count — plus the conjunctive ``gopher_pass`` gate.
+    Fully vectorized: one whitespace split for the batch, per-doc
+    sums/maxima via ``np.bincount`` / ``np.maximum.reduceat`` over the
+    flat (parent, token) arrays.  The mean is rounded to 6 dp on both
+    sides (SQL-twin protocol shared with ``quality_score_batch``);
+    zero-word docs take 0 mean / 0 max via the ``greatest``/``coalesce``
+    guards mirrored in the twin."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "mean_word_len": pa.array([], pa.float64()),
+                "max_word_len": pa.array([], pa.int64()),
+                "n_stop": pa.array([], pa.int64()),
+                "gopher_pass": pa.array([], pa.int64()),
+            }
+        )
+    parents, toks = _split_tokens(batch)
+    tok_len = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    sum_len = np.bincount(parents, weights=tok_len, minlength=n).astype(np.int64)
+    max_len = np.zeros(n, np.int64)
+    np.maximum.at(max_len, parents, tok_len)
+    mean_len = np.round(sum_len / np.maximum(n_words, 1), 6)
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = pc.cast(pc.count_substring_regex(batch.column("text"), pattern=stop_pat), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ok = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (max_len <= GOPHER_MAX_WORD_LEN)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+            "max_word_len": pa.array(max_len, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "gopher_pass": pa.array(ok.astype(np.int64), pa.int64()),
+        }
+    )

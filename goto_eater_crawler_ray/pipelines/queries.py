@@ -8999,6 +8999,105 @@ FROM terms GROUP BY 1
 """
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style multi-rule quality signals + conjunctive gate (Rae et
+    al. 2021 §A1.1 adapted to this corpus): word-count bounds, mean/max
+    word-length rules and a minimum stopword count, all vectorized in one
+    whitespace split per batch (``functions/text.py gopher_rules_batch``)
+    with the flag emitted as int64 so the cross-engine hash is exact."""
+    from ..functions.text import gopher_rules_batch
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        gopher_rules_batch, batch_format="pyarrow"
+    )
+
+
+def q_gopher_filter(sf_dir: str):
+    """The curation GATE on top of ``gopher_quality``: keep only documents
+    passing every Gopher rule (the corpus-shrinking step of a training-
+    data pipeline) — a stateless vectorized filter, no exchange."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("gopher_pass"), 1))
+
+    return q_gopher_quality(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+SQL_GOPHER_QUALITY = """
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       round(list_sum(list_transform(words, w -> length(w))) * 1.0 / greatest(len(words), 1), 6) AS mean_word_len,
+       CAST(coalesce(list_max(list_transform(words, w -> length(w))), 0) AS BIGINT) AS max_word_len,
+       CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS BIGINT) AS n_stop,
+       CAST((len(words) BETWEEN 30 AND 80)
+        AND round(list_sum(list_transform(words, w -> length(w))) * 1.0 / greatest(len(words), 1), 6) BETWEEN 4.2 AND 4.8
+        AND coalesce(list_max(list_transform(words, w -> length(w))), 0) <= 7
+        AND len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) >= 2 AS BIGINT) AS gopher_pass
+FROM (SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS words
+      FROM documents)
+"""
+
+SQL_GOPHER_FILTER = f"SELECT * FROM ({SQL_GOPHER_QUALITY}) g WHERE gopher_pass = 1"
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) — cluster-bucketed embedding
+    near-duplicate REMOVAL, the scale path for semantic dedup: assign
+    every vector to its nearest frozen centroid (`_kmeans_frozen.py`
+    literals, the same model `kmeans_assign` pins), shuffle once by
+    cluster, resolve exact pairwise cosine INSIDE each cluster, and keep
+    a row iff no earlier row of its cluster has cosine >= 0.35.  The
+    quadratic search is bounded to cluster-local blocks (hard-gated;
+    at corpus scale k grows so clusters stay bounded).  Deterministic
+    end-to-end, so the keep-set is fully oracle-checked: the DuckDB twin
+    rebuilds the assignment from the same centroid literals and takes
+    the same within-cluster earlier-neighbor rule."""
+    from ..functions.dedup import semantic_dedup_keep
+    from ._kmeans_frozen import CENTROIDS
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return semantic_dedup_keep(emb, CENTROIDS, threshold=0.35)
+
+
+def _semantic_dedup_sql(threshold: float = 0.35) -> str:
+    from ._kmeans_frozen import CENTROIDS
+
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(float(v)) for v in row))
+        for i, row in enumerate(CENTROIDS)
+    )
+    return f"""
+WITH cent(cid, v) AS (
+  SELECT * FROM (VALUES
+    {values}
+  )
+),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]), c.v) AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, CAST(min(cid) FILTER (WHERE s = ms) AS BIGINT) AS cluster
+  FROM (SELECT vec_id, cid, s, max(s) OVER (PARTITION BY vec_id) AS ms FROM sims)
+  GROUP BY vec_id
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= {threshold!r}
+)
+SELECT a.vec_id, a.cluster FROM assign a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -9174,6 +9273,9 @@ QUERIES = {
     "embedding_pca": q_embedding_pca,
     "crawl_pagerank": q_crawl_pagerank,
     "near_dedup_filter": q_near_dedup_filter,
+    "gopher_quality": q_gopher_quality,
+    "gopher_filter": q_gopher_filter,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -9334,6 +9436,9 @@ ORACLES = {
     "important_stock": SQL_IMPORTANT_STOCK,
     "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     "doc_fluency": SQL_DOC_FLUENCY,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "gopher_filter": SQL_GOPHER_FILTER,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

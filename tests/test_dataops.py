@@ -4336,3 +4336,89 @@ class TestReviewRegressionsLate:
         out = q_important_stock(str(tmp_path))
         assert out.num_rows == 0
         assert out.column_names == ["p_partkey", "value_c"]
+
+
+class TestGopherRules:
+    def _score(self, texts):
+        from goto_eater_crawler_ray.functions.text import gopher_rules_batch
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())})
+        return gopher_rules_batch(t).to_pandas().set_index("doc_id")
+
+    def test_each_rule_gates_independently(self):
+        passing = " ".join((["alpha", "table", "merge", "scan"] * 8)[:30] + ["the", "a"])  # 32 words, all len<=5
+        out = self._score(
+            [
+                passing,  # 0: passes every rule
+                "the a " + " ".join(["scan"] * 10),  # 1: only 12 words -> word-count fail
+                passing + " extraordinary",  # 2: a 13-char word -> max-word-len fail
+                " ".join((["alpha", "table", "merge", "scan"] * 8)[:32]),  # 3: no stopwords
+                "the a " + " ".join(["ab"] * 30),  # 4: mean word len 2.0 -> band fail
+            ]
+        )
+        assert out.loc[0, "gopher_pass"] == 1
+        assert list(out["gopher_pass"]) == [1, 0, 0, 0, 0]
+        assert out.loc[2, "max_word_len"] == 13
+        assert out.loc[3, "n_stop"] == 0
+
+    def test_zero_word_doc_guards(self):
+        out = self._score(["   ", ""])
+        assert list(out["n_words"]) == [0, 0]
+        assert list(out["mean_word_len"]) == [0.0, 0.0]
+        assert list(out["max_word_len"]) == [0, 0]
+        assert list(out["gopher_pass"]) == [0, 0]
+
+    def test_empty_batch_keeps_schema(self):
+        from goto_eater_crawler_ray.functions.text import gopher_rules_batch
+
+        t = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        out = gopher_rules_batch(t)
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "n_words", "mean_word_len", "max_word_len", "n_stop", "gopher_pass"]
+
+
+class TestSemanticDedup:
+    def _emb_ds(self, ids, mat):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+                }
+            )
+        )
+
+    def test_planted_duplicate_drops_later_id(self, ray_session):
+        from goto_eater_crawler_ray.functions.dedup import semantic_dedup_keep
+        from goto_eater_crawler_ray.pipelines._kmeans_frozen import CENTROIDS
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((4, 64))
+        mat = np.vstack([base, base[1]])  # vec 4 duplicates vec 1 exactly (cos=1, same cluster)
+        kept = semantic_dedup_keep(self._emb_ds([0, 1, 2, 3, 4], mat), CENTROIDS, threshold=0.95).to_pandas()
+        assert sorted(kept["vec_id"]) == [0, 1, 2, 3]  # the later copy (4) is the duplicate
+
+    def test_low_threshold_keeps_cluster_first_only(self, ray_session):
+        from goto_eater_crawler_ray.functions.dedup import semantic_dedup_keep
+        from goto_eater_crawler_ray.pipelines._kmeans_frozen import CENTROIDS
+
+        rng = np.random.default_rng(5)
+        mat = rng.standard_normal((12, 64))
+        kept = semantic_dedup_keep(self._emb_ds(list(range(12)), mat), CENTROIDS, threshold=-1.0).to_pandas()
+        # threshold=-1 makes EVERY within-cluster pair a dup: exactly the
+        # lowest id of each nonempty cluster survives
+        C = np.asarray(CENTROIDS)
+        lab = (mat @ C.T).argmax(1)
+        expect = sorted(min(np.where(lab == c)[0]) for c in np.unique(lab))
+        assert sorted(kept["vec_id"]) == expect
+
+    def test_cluster_cap_raises(self, ray_session):
+        from goto_eater_crawler_ray.functions.dedup import semantic_dedup_keep
+        from goto_eater_crawler_ray.pipelines._kmeans_frozen import CENTROIDS
+
+        mat = np.tile(np.random.default_rng(3).standard_normal(64), (5, 1))  # one 5-row cluster
+        ds = semantic_dedup_keep(self._emb_ds(list(range(5)), mat), CENTROIDS, max_cluster_rows=3)
+        with pytest.raises(Exception, match="max_cluster_rows"):
+            ds.take_all()
