@@ -442,3 +442,93 @@ class TestPartitionSizing:
         lowered = auto_num_partitions(n_sf01, cap=256, rows_per_part=10_000)
         assert lowered >= 8 * base
         assert n_sf01 / lowered <= 10_000
+
+
+class TestGopherRulesProperty:
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.sampled_from(list("ab the xyz\t\n　日本語ßπ .!")),
+                max_size=80,
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_matches_python_reference(self, texts):
+        from goto_eater_crawler_ray.functions.text import (
+            GOPHER_MAX_MEAN_WORD_LEN,
+            GOPHER_MAX_WORD_LEN,
+            GOPHER_MAX_WORDS,
+            GOPHER_MIN_MEAN_WORD_LEN,
+            GOPHER_MIN_STOPWORDS,
+            GOPHER_MIN_WORDS,
+            STOPWORDS,
+            gopher_rules_batch,
+        )
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())})
+        out = gopher_rules_batch(t).to_pandas().set_index("doc_id")
+
+        import re
+
+        # re.ASCII mirrors RE2's ASCII-only \b — the semantics BOTH engines
+        # (pyarrow count_substring_regex and the DuckDB twin) share; Python's
+        # default unicode \b would diverge on e.g. "aß"
+        stop_re = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b", re.ASCII)
+        for i, text in enumerate(texts):
+            words = text.split()  # str.split == whitespace-split with empties dropped
+            nw = len(words)
+            mean6 = np.round(sum(len(w) for w in words) / max(nw, 1), 6)
+            mx = max((len(w) for w in words), default=0)
+            nstop = len(stop_re.findall(text))
+            ok = int(
+                GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+                and GOPHER_MIN_MEAN_WORD_LEN <= mean6 <= GOPHER_MAX_MEAN_WORD_LEN
+                and mx <= GOPHER_MAX_WORD_LEN
+                and nstop >= GOPHER_MIN_STOPWORDS
+            )
+            assert out.loc[i, "n_words"] == nw, text
+            assert out.loc[i, "mean_word_len"] == mean6, text
+            assert out.loc[i, "max_word_len"] == mx, text
+            assert out.loc[i, "n_stop"] == nstop, text
+            assert out.loc[i, "gopher_pass"] == ok, text
+
+
+class TestSemanticDedupProperty:
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=1, max_value=24),
+        threshold=st.sampled_from([-1.0, 0.0, 0.3, 0.9]),
+    )
+    def test_matches_local_reference(self, ray_session, seed, n, threshold):
+        from goto_eater_crawler_ray.functions.dedup import semantic_dedup_keep
+        from goto_eater_crawler_ray.pipelines._kmeans_frozen import CENTROIDS
+
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, 64))
+        ids = np.arange(n, dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat.astype(np.float32)], pa.list_(pa.float32())),
+                }
+            )
+        )
+        got = semantic_dedup_keep(ds, CENTROIDS, threshold=threshold).to_pandas()
+
+        # independent local reference over the SAME float32-quantized input
+        m64 = mat.astype(np.float32).astype(np.float64)
+        C = np.asarray(CENTROIDS, np.float64)
+        lab = (m64 @ C.T).argmax(1)
+        mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+        keep = []
+        for c in np.unique(lab):
+            idx = np.where(lab == c)[0]
+            sims = mn[idx] @ mn[idx].T
+            dup = ((sims >= threshold) & (ids[idx][None, :] < ids[idx][:, None])).any(1)
+            keep += [(int(i), int(c)) for i in ids[idx][~dup]]
+        assert sorted(zip(got["vec_id"], got["cluster"])) == sorted(keep)
