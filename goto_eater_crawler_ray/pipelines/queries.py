@@ -9098,6 +9098,111 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
+def q_dsir_score(sf_dir: str):
+    """DSIR importance scoring (Xie et al. 2023, arXiv:2302.03169) —
+    end-to-end IN-PIPELINE: pass 1 estimates the hashed unigram+bigram
+    bucket distributions of the TARGET domain (lang='en') and the RAW
+    corpus in one streaming combiner pass (≤256 partial rows per batch,
+    one tiny groupby), pass 2 broadcast-scores every document as the
+    exact int64 sum of per-bucket micro-unit log importance weights
+    round(1e6·ln(((t_b+1)(R+B))/((r_b+1)(T+B)))) — one ln of one double
+    ratio of exact-int products, so the DuckDB twin hash-checks the
+    whole trained-then-applied model (`functions/importance.py`)."""
+    from ..functions.importance import dsir_score, dsir_weights, gram_distribution
+
+    dist_in = rd.read_parquet(_p(sf_dir, "documents"), columns=["text", "lang"])
+    n_target, n_raw = gram_distribution(dist_in, target_langs=("en",))
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dsir_score(docs, dsir_weights(n_target, n_raw))
+
+
+# shared CTE chain: tokenize → gram occurrences → dense bucket counts →
+# micro-unit log weights → per-doc integer score (0 for gram-less docs)
+_SQL_DSIR_SCORES_CTE = """
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+),
+occ AS (SELECT doc_id, lang, CAST(md5_number_upper(g) % 256 AS BIGINT) AS b FROM grams),
+cnt AS (
+  SELECT r.b,
+         coalesce(sum(CASE WHEN o.lang = 'en' THEN 1 ELSE 0 END), 0) AS t,
+         count(o.b) AS r_
+  FROM (SELECT unnest(range(256)) AS b) r LEFT JOIN occ o ON o.b = r.b
+  GROUP BY r.b
+),
+tot AS (SELECT sum(t) AS tt, sum(r_) AS rr FROM cnt),
+w AS (
+  SELECT c.b, CAST(round(ln(CAST((c.t + 1) * (tot.rr + 256) AS DOUBLE)
+                          / CAST((c.r_ + 1) * (tot.tt + 256) AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+  FROM cnt c CROSS JOIN tot
+),
+scores AS (
+  SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS dsir_score
+  FROM documents d LEFT JOIN (
+    SELECT o.doc_id, sum(w.wt) AS sc FROM occ o JOIN w USING (b) GROUP BY 1
+  ) s USING (doc_id)
+)
+"""
+
+SQL_DSIR_SCORE = _SQL_DSIR_SCORES_CTE + "SELECT doc_id, dsir_score FROM scores"
+
+
+def q_dsir_select(sf_dir: str):
+    """Greedy top-k DSIR selection: the 200 documents with the highest
+    importance score (ties → doc_id asc) — the deterministic selection
+    variant; per-block top-k pre-prune bounds the global sort input."""
+    scored = q_dsir_score(sf_dir)
+    k = 200
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        df = t.to_pandas().sort_values(["dsir_score", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["dsir_score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_DSIR_SELECT = _SQL_DSIR_SCORES_CTE + "SELECT doc_id, dsir_score FROM scores ORDER BY dsir_score DESC, doc_id LIMIT 200"
+
+
+def q_dsir_resample(sf_dir: str):
+    """DSIR Gumbel-top-k RESAMPLING (the paper's sampler, sampling
+    ∝ exp(score), made deterministic): resample_key = dsir_score +
+    round(1e6·(-ln(-ln(u)))) with u a per-doc md5 uniform — exact int64
+    addition, so membership is a pure function of the corpus + keys and
+    the twin hash-checks the SAMPLE, not just its size."""
+    from ..functions.importance import dsir_resample, dsir_weights, gram_distribution
+
+    dist_in = rd.read_parquet(_p(sf_dir, "documents"), columns=["text", "lang"])
+    n_target, n_raw = gram_distribution(dist_in, target_langs=("en",))
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dsir_resample(docs, dsir_weights(n_target, n_raw), k=200)
+
+
+SQL_DSIR_RESAMPLE = _SQL_DSIR_SCORES_CTE + """,
+noise AS (
+  SELECT doc_id,
+         CAST(round(-ln(-ln((md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000000 + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS gm
+  FROM documents
+)
+SELECT s.doc_id, s.dsir_score, CAST(s.dsir_score + n.gm AS BIGINT) AS resample_key
+FROM scores s JOIN noise n USING (doc_id)
+ORDER BY resample_key DESC, s.doc_id LIMIT 200
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -9276,6 +9381,9 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "gopher_filter": q_gopher_filter,
     "semantic_dedup": q_semantic_dedup,
+    "dsir_score": q_dsir_score,
+    "dsir_select": q_dsir_select,
+    "dsir_resample": q_dsir_resample,
 }
 
 ORACLES = {
@@ -9439,6 +9547,9 @@ ORACLES = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "gopher_filter": SQL_GOPHER_FILTER,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "dsir_score": SQL_DSIR_SCORE,
+    "dsir_select": SQL_DSIR_SELECT,
+    "dsir_resample": SQL_DSIR_RESAMPLE,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

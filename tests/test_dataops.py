@@ -4422,3 +4422,116 @@ class TestSemanticDedup:
         ds = semantic_dedup_keep(self._emb_ds(list(range(5)), mat), CENTROIDS, max_cluster_rows=3)
         with pytest.raises(Exception, match="max_cluster_rows"):
             ds.take_all()
+
+
+class TestDsirImportance:
+    def _docs_ds(self, texts, langs=None):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs or ["en"] * len(texts), pa.string()),
+                }
+            )
+        )
+
+    def test_gram_buckets_unigrams_and_bigrams(self):
+        from goto_eater_crawler_ray.functions.importance import gram_buckets_batch
+        from goto_eater_crawler_ray.functions.sampling import md5_u64
+
+        t = pa.table({"text": pa.array(["a b c", "x", "  ", ""], pa.string())})
+        parents, buckets = gram_buckets_batch(t, n_buckets=256)
+        # doc 0: 3 unigrams + 2 bigrams; doc 1: 1 unigram; docs 2-3: none
+        assert list(parents) == [0, 0, 0, 1, 0, 0]
+        expect = (md5_u64(np.array(["a", "b", "c", "x", "a b", "b c"])) % np.uint64(256)).astype(np.int64)
+        assert list(buckets) == list(expect)
+
+    def test_gram_buckets_empty_batch(self):
+        from goto_eater_crawler_ray.functions.importance import gram_buckets_batch
+
+        parents, buckets = gram_buckets_batch(pa.table({"text": pa.array([], pa.string())}))
+        assert len(parents) == 0 and len(buckets) == 0
+
+    def test_weights_formula_and_overflow_guard(self):
+        from goto_eater_crawler_ray.functions.importance import dsir_weights
+
+        n_t = np.array([3, 0], np.int64)
+        n_r = np.array([3, 5], np.int64)
+        # B=2, T=3, R=8: w_0 = round(1e6*ln((4*10)/(4*5))), w_1 = round(1e6*ln((1*10)/(6*5)))
+        w = dsir_weights(n_t, n_r)
+        assert w[0] == round(np.log(40 / 20) * 1e6)
+        assert w[1] == round(np.log(10 / 30) * 1e6)
+        with pytest.raises(AssertionError, match="2\\^53"):
+            dsir_weights(np.array([1 << 53], np.int64), np.array([1], np.int64))
+
+    def test_distribution_and_score_end_to_end(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import (
+            dsir_score,
+            dsir_weights,
+            gram_distribution,
+        )
+
+        texts = ["alpha beta alpha", "gamma delta", "alpha beta", "   "]
+        langs = ["en", "fr", "en", "en"]
+        ds = self._docs_ds(texts, langs)
+        n_t, n_r = gram_distribution(ds, target_langs=("en",))
+        # raw grams: doc0 3u+2b, doc1 2u+1b, doc2 2u+1b; target = docs 0,2,3
+        assert int(n_r.sum()) == 11 and int(n_t.sum()) == 8
+        w = dsir_weights(n_t, n_r)
+        got = dsir_score(self._docs_ds(texts, langs), w).to_pandas().set_index("doc_id")["dsir_score"]
+        # every doc gets a row; the gram-less doc scores exactly 0
+        assert len(got) == 4 and got.loc[3] == 0
+        # target-only grams carry positive weight, off-target negative:
+        # the en docs outscore the fr doc
+        assert got.loc[0] > got.loc[1] and got.loc[2] > got.loc[1]
+
+    def test_score_batchsize_invariant(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import dsir_score, dsir_weights, gram_distribution
+
+        rng = np.random.default_rng(7)
+        vocab = ["tok%d" % i for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30))) for _ in range(60)]
+        langs = [("en" if i % 3 else "de") for i in range(60)]
+        ds = self._docs_ds(texts, langs)
+        w = dsir_weights(*gram_distribution(ds, target_langs=("en",)))
+        a = dsir_score(self._docs_ds(texts, langs).repartition(1), w).to_pandas()
+        b = dsir_score(self._docs_ds(texts, langs).repartition(13), w).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True), b.sort_values("doc_id").reset_index(drop=True)
+        )
+
+    def test_gumbel_matches_duckdb_expression(self):
+        import duckdb
+
+        from goto_eater_crawler_ray.functions.importance import gumbel_micro
+
+        ids = np.arange(500, dtype=np.int64)
+        got = gumbel_micro(ids)
+        want = duckdb.sql(
+            "SELECT CAST(round(-ln(-ln((md5_number_upper(CAST(i AS VARCHAR)) % 1000000 + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS g "
+            "FROM (SELECT unnest(range(500)) AS i) ORDER BY i"
+        ).df()["g"].to_numpy()
+        assert (got == want).all()
+
+    def test_resample_topk_and_small_corpus(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import (
+            dsir_resample,
+            dsir_weights,
+            gram_distribution,
+            dsir_score,
+            gumbel_micro,
+        )
+
+        texts = ["alpha beta", "gamma delta", "alpha gamma", "beta beta beta"]
+        ds = self._docs_ds(texts)
+        w = dsir_weights(*gram_distribution(ds, target_langs=("en",)))
+        out = dsir_resample(self._docs_ds(texts), w, k=2).to_pandas()
+        scores = dsir_score(self._docs_ds(texts), w).to_pandas().set_index("doc_id")["dsir_score"]
+        keys = scores + gumbel_micro(scores.index.to_numpy())
+        expect = keys.sort_values(ascending=False).index[:2].tolist()
+        assert out["doc_id"].tolist() == expect
+        # k beyond the corpus returns everything
+        assert len(dsir_resample(self._docs_ds(texts), w, k=99).to_pandas()) == 4
