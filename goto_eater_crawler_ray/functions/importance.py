@@ -165,6 +165,95 @@ def gumbel_micro(doc_ids) -> np.ndarray:
     return _round_half_away(-np.log(-np.log(u)) * float(SCALE))
 
 
+def nb_train(docs_ds, label_col: str = "lang", n_buckets: int = N_BUCKETS):
+    """Distributed multinomial Naive Bayes TRAINING over hashed gram
+    features — the count-based linear model (the same feature space
+    fastText-style classifiers use; NB's weights are closed-form from
+    counts, so training is ONE streaming combiner pass, no iterations).
+
+    Per-batch partials: (label, bucket, n) gram-occurrence counts — at
+    most C×n_buckets rows per batch whatever the batch size — into one
+    tiny groupby; a second label-only pass counts documents per class
+    for the prior.  Returns ``(labels, W, bias)`` with labels sorted
+    ascending, ``W[c, b] = round(1e6·ln((t_cb+1)/(T_c+B)))`` and
+    ``bias[c] = round(1e6·ln(n_c/N))`` — each ONE ln of ONE exact-int
+    ratio, so prediction is an exact int64 argmax the SQL twin
+    replicates."""
+    from ray.data.aggregate import Count, Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        parents, buckets = gram_buckets_batch(t, n_buckets)
+        if len(buckets) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.string()), "b": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        labs = pd.Series(t.column(label_col).to_pylist())
+        codes, uniq = pd.factorize(labs, sort=True)
+        flat = codes[parents] * n_buckets + buckets
+        cnt = np.bincount(flat, minlength=len(uniq) * n_buckets).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "label": pa.array(np.asarray(uniq)[nz // n_buckets], pa.string()),
+                "b": pa.array((nz % n_buckets).astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    gram_counts = (
+        docs_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ C × n_buckets rows — legal driver materialization
+    )
+    doc_counts = (
+        docs_ds.select_columns([label_col]).groupby(label_col).aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
+    labels = sorted(doc_counts[label_col].tolist())
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    n_classes = len(labels)
+    counts = np.zeros((n_classes, n_buckets), np.int64)
+    counts[
+        gram_counts["label"].map(lab_idx).to_numpy(),
+        gram_counts["b"].to_numpy().astype(np.int64),
+    ] = gram_counts["n"].to_numpy().astype(np.int64)
+    totals = counts.sum(axis=1)
+    assert int(totals.max() + n_buckets) < _EXACT_DOUBLE
+    w = _round_half_away(np.log((counts + 1).astype(np.float64) / (totals + n_buckets)[:, None].astype(np.float64)) * float(SCALE))
+    n_docs = np.zeros(n_classes, np.int64)
+    n_docs[doc_counts[label_col].map(lab_idx).to_numpy()] = doc_counts["n_docs"].to_numpy().astype(np.int64)
+    bias = _round_half_away(np.log(n_docs.astype(np.float64) / float(n_docs.sum())) * float(SCALE))
+    return labels, w, bias
+
+
+def nb_predict(docs_ds, labels: list[str], w: np.ndarray, bias: np.ndarray, carry_cols: tuple = (), emit_score: bool = False):
+    """Stateless broadcast NB scoring: per-doc class scores are exact
+    int64 sums  bias[c] + Σ_occurrences w[c, bucket]; predicted label =
+    argmax with ties to the lexicographically smallest label (labels are
+    sorted, np.argmax takes the first maximum).  The C×B weight matrix
+    rides the task closure; emits (doc_id, pred[, nb_score]) for EVERY
+    document (gram-less docs get the prior argmax)."""
+    w = np.asarray(w, np.int64)
+    bias = np.asarray(bias, np.int64)
+    labs = np.asarray(labels, object)
+    n_buckets = w.shape[1]
+
+    def score(t: pa.Table) -> pa.Table:
+        s = np.tile(bias, (t.num_rows, 1))
+        parents, buckets = gram_buckets_batch(t, n_buckets)
+        if len(buckets):
+            np.add.at(s, parents, w[:, buckets].T)
+        best = np.argmax(s, axis=1) if t.num_rows else np.empty(0, np.int64)
+        cols = {"doc_id": t.column("doc_id").cast(pa.int64()), "pred": pa.array(labs[best], pa.string())}
+        if emit_score:
+            cols["nb_score"] = pa.array(s[np.arange(t.num_rows), best], pa.int64())
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
 def dsir_resample(docs_ds, weights: np.ndarray, k: int):
     """Gumbel-top-k importance resampling (the paper's sampler, made
     deterministic): key = dsir_score + gumbel_micro(doc_id) (exact int64

@@ -9203,6 +9203,95 @@ ORDER BY resample_key DESC, s.doc_id LIMIT 200
 """
 
 
+def q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    in-pipeline over the same hashed unigram+bigram feature space as DSIR
+    (`functions/importance.py:nb_train/nb_predict`): training is ONE
+    streaming combiner pass (per-batch (label,bucket,n) partials, ≤C×256
+    rows/batch, one tiny groupby — NB's weights are closed-form from
+    counts, no iterations), prediction broadcasts the C×256 int64 weight
+    matrix and takes an exact integer argmax (ties → lexicographically
+    smallest label).  The twin re-derives the identical model in SQL, so
+    the hash check covers train + apply end-to-end."""
+    from ..functions.importance import nb_predict, nb_train
+
+    train = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    labels, w, bias = nb_train(train, label_col="lang")
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return nb_predict(docs, labels, w, bias, emit_score=True)
+
+
+# shared NB CTE chain: tokenize → gram occurrences → per-(label, bucket)
+# counts → dense micro-unit log-likelihood weights + log-prior bias →
+# per-(doc, label) integer score → argmax prediction
+_SQL_NB_PRED_CTE = """
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+),
+occ AS (SELECT doc_id, lang, CAST(md5_number_upper(g) % 256 AS BIGINT) AS b FROM grams),
+classes AS (SELECT lang AS label, count(*) AS n_docs FROM documents GROUP BY 1),
+gcnt AS (SELECT lang AS label, b, count(*) AS n FROM occ GROUP BY 1, 2),
+w AS (
+  SELECT c.label, r.b,
+         CAST(round(ln(CAST(coalesce(g.n, 0) + 1 AS DOUBLE)
+                     / CAST(coalesce(t.t, 0) + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+  FROM classes c
+  CROSS JOIN (SELECT unnest(range(256)) AS b) r
+  LEFT JOIN gcnt g ON g.label = c.label AND g.b = r.b
+  LEFT JOIN (SELECT label, sum(n) AS t FROM gcnt GROUP BY 1) t ON t.label = c.label
+),
+bias AS (
+  SELECT label,
+         CAST(round(ln(CAST(n_docs AS DOUBLE)
+                     / CAST((SELECT sum(n_docs) FROM classes) AS DOUBLE)) * 1000000) AS BIGINT) AS bz
+  FROM classes
+),
+cscore AS (
+  SELECT d.doc_id, bi.label, CAST(bi.bz + coalesce(s.sc, 0) AS BIGINT) AS score
+  FROM documents d CROSS JOIN bias bi
+  LEFT JOIN (
+    SELECT o.doc_id, w.label, sum(w.wt) AS sc FROM occ o JOIN w USING (b) GROUP BY 1, 2
+  ) s ON s.doc_id = d.doc_id AND s.label = bi.label
+),
+pred AS (
+  SELECT doc_id, label AS pred, score AS nb_score
+  FROM cscore
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) = 1
+)
+"""
+
+SQL_NB_CLASSIFY = _SQL_NB_PRED_CTE + "SELECT doc_id, pred, nb_score FROM pred"
+
+
+def q_nb_confusion(sf_dir: str):
+    """Confusion matrix of the self-trained NB classifier: (true lang,
+    predicted label, n_docs) — the tiny end-to-end aggregate a curation
+    run reports to judge whether the cheap classifier is usable."""
+    from ray.data.aggregate import Count
+
+    from ..functions.importance import nb_predict, nb_train
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    labels, w, bias = nb_train(docs, label_col="lang")
+    return nb_predict(docs, labels, w, bias, carry_cols=("lang",)).groupby(["lang", "pred"]).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+SQL_NB_CONFUSION = _SQL_NB_PRED_CTE + """
+SELECT d.lang, p.pred, count(*) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -9384,6 +9473,8 @@ QUERIES = {
     "dsir_score": q_dsir_score,
     "dsir_select": q_dsir_select,
     "dsir_resample": q_dsir_resample,
+    "nb_classify": q_nb_classify,
+    "nb_confusion": q_nb_confusion,
 }
 
 ORACLES = {
@@ -9550,6 +9641,8 @@ ORACLES = {
     "dsir_score": SQL_DSIR_SCORE,
     "dsir_select": SQL_DSIR_SELECT,
     "dsir_resample": SQL_DSIR_RESAMPLE,
+    "nb_classify": SQL_NB_CLASSIFY,
+    "nb_confusion": SQL_NB_CONFUSION,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

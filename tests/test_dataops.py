@@ -4535,3 +4535,74 @@ class TestDsirImportance:
         assert out["doc_id"].tolist() == expect
         # k beyond the corpus returns everything
         assert len(dsir_resample(self._docs_ds(texts), w, k=99).to_pandas()) == 4
+
+
+class TestNaiveBayes:
+    def _docs_ds(self, texts, langs):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            )
+        )
+
+    def test_train_matches_local_counts(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import gram_buckets_batch, nb_train
+
+        texts = ["alpha beta alpha", "gamma delta", "alpha beta", "gamma gamma epsilon"]
+        langs = ["en", "fr", "en", "fr"]
+        labels, w, bias = nb_train(self._docs_ds(texts, langs), label_col="lang", n_buckets=16)
+        assert labels == ["en", "fr"]
+        # local reference: dense per-class bucket counts over the same grams
+        counts = np.zeros((2, 16), np.int64)
+        for i, (txt, lang) in enumerate(zip(texts, langs)):
+            parents, buckets = gram_buckets_batch(pa.table({"text": pa.array([txt], pa.string())}), 16)
+            np.add.at(counts[labels.index(lang)], buckets, 1)
+        totals = counts.sum(axis=1)
+        want_w = np.sign(x := np.log((counts + 1) / (totals + 16)[:, None]) * 1e6) * np.floor(np.abs(x) + 0.5)
+        assert (w == want_w.astype(np.int64)).all()
+        want_bias = np.round(np.log(np.array([2, 2]) / 4.0) * 1e6)
+        assert (bias == want_bias.astype(np.int64)).all()
+
+    def test_predict_self_consistency_and_prior_fallback(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import nb_predict, nb_train
+
+        # separable vocab: the classifier must recover the training labels
+        texts = ["aa bb aa", "aa bb", "xx yy", "yy xx xx", "  "]
+        langs = ["en", "en", "en", "fr", "fr"]
+        labels, w, bias = nb_train(self._docs_ds(texts, langs))
+        out = nb_predict(self._docs_ds(texts, langs), labels, w, bias, emit_score=True).to_pandas()
+        got = out.set_index("doc_id")["pred"]
+        assert got.loc[0] == "en" and got.loc[1] == "en" and got.loc[3] == "fr"
+        # the gram-less doc falls back to the prior argmax (en: 3 docs vs 2)
+        assert got.loc[4] == "en"
+        assert out["nb_score"].dtype == np.int64
+
+    def test_predict_batchsize_invariant(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import nb_predict, nb_train
+
+        rng = np.random.default_rng(11)
+        vocab = ["tok%d" % i for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 20))) for _ in range(50)]
+        langs = [("en" if i % 3 else "de") for i in range(50)]
+        labels, w, bias = nb_train(self._docs_ds(texts, langs))
+        a = nb_predict(self._docs_ds(texts, langs).repartition(1), labels, w, bias, emit_score=True).to_pandas()
+        b = nb_predict(self._docs_ds(texts, langs).repartition(13), labels, w, bias, emit_score=True).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True), b.sort_values("doc_id").reset_index(drop=True)
+        )
+
+    def test_tie_goes_to_lexicographically_smallest(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import nb_predict, nb_train
+
+        # perfectly symmetric corpus: every class score ties on the shared vocab
+        texts = ["zz", "zz"]
+        langs = ["b", "a"]
+        labels, w, bias = nb_train(self._docs_ds(texts, langs))
+        out = nb_predict(self._docs_ds(texts, langs), labels, w, bias).to_pandas()
+        assert (out["pred"] == "a").all()
