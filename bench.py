@@ -423,6 +423,11 @@ def main() -> None:
         "supplier_hits",
         "gopher_quality",
         "semantic_dedup",
+        "dsir_score",
+        "dsir_resample",
+        "nb_classify",
+        "lm_perplexity",
+        "ccnet_buckets",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

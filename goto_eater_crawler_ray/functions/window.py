@@ -894,9 +894,11 @@ def exact_order_stats_per_key(
     out_col: str = "value",
     n_bins: int = 4096,
     n_parts: int = 64,
+    denom: int = 4,
 ):
     """EXACT per-key order statistics (p25/p50/p75 as lower order stats,
-    ``rank_q = floor((n-1)·q/4) + 1``) — no global sort, no sketch
+    ``rank_q = floor((n-1)·q/denom) + 1`` — denom=4 for quartiles, 3 for
+    the CCNet-style tertiles) — no global sort, no sketch
     approximation: the same value-range machinery as
     :func:`percent_rank_per_key` assigns every row its exact global
     row_number (ordered by value, tie-broken by ``id_col``; ties share
@@ -979,7 +981,7 @@ def exact_order_stats_per_key(
         keys_out, quarters_out, vals_out = [], [], []
         sv = vals[order]
         for q in quarters:
-            target = ((nn - 1) * q) // 4 + 1  # exact integer rank arithmetic
+            target = ((nn - 1) * q) // denom + 1  # exact integer rank arithmetic
             hit = rn == target
             keys_out.append(pc.take(part.column(key_col).combine_chunks(), pa.array(order[hit])))
             quarters_out.append(np.full(int(hit.sum()), q, np.int64))

@@ -9292,6 +9292,119 @@ GROUP BY 1, 2
 """
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM perplexity scoring (Wenzek et al., LREC 2020),
+    trained AND applied in-pipeline: pass 1 fits an add-one-smoothed
+    hashed-bucket BIGRAM LM in ONE streaming combiner pass (per-batch
+    (u,v,n) pair-count partials, ≤B²+B rows/batch, one tiny groupby —
+    the LM is closed-form from counts), pass 2 broadcasts the B+B² int64
+    micro-unit NLL tables (~0.5 MB in the task closure) and emits each
+    document's exact integer total NLL and half-away-rounded average —
+    the deterministic stand-in for log-perplexity, so the DuckDB twin
+    hash-checks the whole train-then-score model (`functions/lm.py`)."""
+    from ..functions.lm import lm_doc_nll, lm_nll_weights, lm_train
+
+    train = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    nll1, nll2 = lm_nll_weights(*lm_train(train))
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return lm_doc_nll(docs, nll1, nll2)
+
+
+# shared CTE chain: tokenize → bucketed token occurrences + adjacent
+# pairs → dense add-one NLL weight tables (B + B² rows) → per-doc exact
+# integer NLL + half-away-rounded average (0 for token-less docs)
+_SQL_LM_SCORED_CTE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(md5_number_upper(unnest(ws)) % 256 AS BIGINT) AS b FROM toks
+),
+prs AS (
+  SELECT doc_id,
+         CAST(md5_number_upper(ws[i]) % 256 AS BIGINT) AS u,
+         CAST(md5_number_upper(ws[i + 1]) % 256 AS BIGINT) AS v
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+),
+c1 AS (SELECT b, count(*) AS c FROM occ GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM occ),
+c2 AS (SELECT u, v, count(*) AS c FROM prs GROUP BY 1, 2),
+ctx AS (SELECT u, sum(c) AS c FROM c2 GROUP BY 1),
+w1 AS (
+  SELECT r.b,
+         CAST(round(ln(CAST(tot.n + 256 AS DOUBLE) / CAST(coalesce(c1.c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+  FROM (SELECT unnest(range(256)) AS b) r CROSS JOIN tot LEFT JOIN c1 USING (b)
+),
+w2 AS (
+  SELECT uu.b AS u, vv.b AS v,
+         CAST(round(ln(CAST(coalesce(ctx.c, 0) + 256 AS DOUBLE) / CAST(coalesce(c2.c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+  FROM (SELECT unnest(range(256)) AS b) uu
+  CROSS JOIN (SELECT unnest(range(256)) AS b) vv
+  LEFT JOIN ctx ON ctx.u = uu.b
+  LEFT JOIN c2 ON c2.u = uu.b AND c2.v = vv.b
+),
+firsts AS (SELECT doc_id, CAST(md5_number_upper(ws[1]) % 256 AS BIGINT) AS b FROM toks WHERE len(ws) > 0),
+doc_n AS (SELECT doc_id, count(*) AS n FROM occ GROUP BY 1),
+doc_nll AS (
+  SELECT d.doc_id,
+         CAST(coalesce(o.n, 0) AS BIGINT) AS n_toks,
+         CAST(coalesce(f.wt, 0) + coalesce(p.wt, 0) AS BIGINT) AS nll_micro
+  FROM documents d
+  LEFT JOIN (SELECT fs.doc_id, w1.wt FROM firsts fs JOIN w1 ON w1.b = fs.b) f USING (doc_id)
+  LEFT JOIN (SELECT prs.doc_id, sum(w2.wt) AS wt FROM prs JOIN w2 ON w2.u = prs.u AND w2.v = prs.v GROUP BY 1) p USING (doc_id)
+  LEFT JOIN doc_n o USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, n_toks, nll_micro,
+         CASE WHEN n_toks > 0
+              THEN CAST(round(CAST(nll_micro AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS avg_nll_micro
+  FROM doc_nll
+)
+"""
+
+SQL_LM_PERPLEXITY = _SQL_LM_SCORED_CTE + "SELECT doc_id, n_toks, nll_micro, avg_nll_micro FROM scored"
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail quality partitioning (Wenzek et al.,
+    LREC 2020 §3): score every document with the in-pipeline bigram LM
+    (`q_lm_perplexity`), compute per-language TERTILE thresholds as
+    EXACT order statistics (rank floor((n-1)·q/3)+1 via the value-range
+    rank machinery — the scored table is exchanged once, no global
+    sort, only |langs|×2 threshold rows reach the driver), then a
+    stateless labeling pass.  The twin re-derives LM + thresholds +
+    labels in SQL, so the hash check covers the full curation split."""
+    from ..functions.lm import ccnet_buckets, lm_doc_nll, lm_nll_weights, lm_train
+
+    train = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    nll1, nll2 = lm_nll_weights(*lm_train(train))
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    return ccnet_buckets(lm_doc_nll(docs, nll1, nll2, carry_cols=("lang",)))
+
+
+SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
+ranked AS (
+  SELECT s.doc_id, d.lang, s.avg_nll_micro,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.avg_nll_micro, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM scored s JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n - 1) * 1 // 3 + 1 THEN avg_nll_micro END) AS t1,
+         max(CASE WHEN rn = (n - 1) * 2 // 3 + 1 THEN avg_nll_micro END) AS t2
+  FROM ranked GROUP BY 1
+)
+SELECT r.doc_id, r.lang, r.avg_nll_micro,
+       CASE WHEN r.avg_nll_micro <= th.t1 THEN 'head'
+            WHEN r.avg_nll_micro <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked r JOIN th USING (lang)
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_revenue": q_filter_revenue,
@@ -9475,6 +9588,8 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "nb_classify": q_nb_classify,
     "nb_confusion": q_nb_confusion,
+    "lm_perplexity": q_lm_perplexity,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLES = {
@@ -9643,6 +9758,8 @@ ORACLES = {
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "nb_classify": SQL_NB_CLASSIFY,
     "nb_confusion": SQL_NB_CONFUSION,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -4606,3 +4606,117 @@ class TestNaiveBayes:
         labels, w, bias = nb_train(self._docs_ds(texts, langs))
         out = nb_predict(self._docs_ds(texts, langs), labels, w, bias).to_pandas()
         assert (out["pred"] == "a").all()
+
+
+class TestLmPerplexity:
+    def _docs_ds(self, texts, langs=None):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs or ["en"] * len(texts), pa.string()),
+                }
+            )
+        )
+
+    def _local_reference(self, texts, n_buckets=16):
+        """Pure-Python bigram LM over hashed buckets — the spec."""
+        from goto_eater_crawler_ray.functions.importance import _round_half_away
+        from goto_eater_crawler_ray.functions.sampling import md5_u64
+
+        def buckets_of(txt):
+            toks = [w for w in txt.strip().split() if w]
+            if not toks:
+                return []
+            return list((md5_u64(np.array(toks)) % np.uint64(n_buckets)).astype(np.int64))
+
+        seqs = [buckets_of(t) for t in texts]
+        c1 = np.zeros(n_buckets, np.int64)
+        c2 = np.zeros((n_buckets, n_buckets), np.int64)
+        for s in seqs:
+            for b in s:
+                c1[b] += 1
+            for u, v in zip(s, s[1:]):
+                c2[u, v] += 1
+        n = int(c1.sum())
+        ctx = c2.sum(axis=1)
+        nll1 = _round_half_away(np.log((n + n_buckets) / (c1 + 1.0)) * 1e6)
+        nll2 = _round_half_away(np.log((ctx + n_buckets)[:, None] / (c2 + 1.0)) * 1e6)
+        rows = []
+        for s in seqs:
+            tot = int(nll1[s[0]]) + sum(int(nll2[u, v]) for u, v in zip(s, s[1:])) if s else 0
+            avg = int(_round_half_away(np.float64(tot) / len(s))) if s else 0
+            rows.append((len(s), tot, avg))
+        return c1, c2, n, rows
+
+    def test_train_matches_local_counts(self, ray_session):
+        from goto_eater_crawler_ray.functions.lm import lm_train
+
+        texts = ["alpha beta alpha beta", "gamma delta", "alpha", "   ", ""]
+        c1, c2, n = lm_train(self._docs_ds(texts), n_buckets=16)
+        want_c1, want_c2, want_n, _ = self._local_reference(texts)
+        assert n == want_n == 7
+        assert (c1 == want_c1).all() and (c2 == want_c2).all()
+
+    def test_doc_nll_matches_local_reference(self, ray_session):
+        from goto_eater_crawler_ray.functions.lm import lm_doc_nll, lm_nll_weights, lm_train
+
+        rng = np.random.default_rng(5)
+        vocab = ["tok%d" % i for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25))) for _ in range(40)] + ["", "  ", "solo"]
+        nll1, nll2 = lm_nll_weights(*lm_train(self._docs_ds(texts), n_buckets=16))
+        _, _, _, want = self._local_reference(texts)
+        got = lm_doc_nll(self._docs_ds(texts), nll1, nll2).to_pandas().sort_values("doc_id")
+        assert list(got["n_toks"]) == [r[0] for r in want]
+        assert list(got["nll_micro"]) == [r[1] for r in want]
+        assert list(got["avg_nll_micro"]) == [r[2] for r in want]
+        # weights are NLLs of add-one probabilities: always positive ints
+        assert (nll1 > 0).all() and (nll2 > 0).all()
+
+    def test_doc_nll_batchsize_invariant(self, ray_session):
+        from goto_eater_crawler_ray.functions.lm import lm_doc_nll, lm_nll_weights, lm_train
+
+        rng = np.random.default_rng(9)
+        vocab = ["w%d" % i for i in range(20)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 15))) for _ in range(50)]
+        nll1, nll2 = lm_nll_weights(*lm_train(self._docs_ds(texts)))
+        a = lm_doc_nll(self._docs_ds(texts).repartition(1), nll1, nll2).to_pandas()
+        b = lm_doc_nll(self._docs_ds(texts).repartition(13), nll1, nll2).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True), b.sort_values("doc_id").reset_index(drop=True)
+        )
+
+    def test_ccnet_buckets_tertile_split(self, ray_session):
+        from goto_eater_crawler_ray.functions.lm import ccnet_buckets, lm_doc_nll, lm_nll_weights, lm_train
+
+        rng = np.random.default_rng(3)
+        vocab = ["w%d" % i for i in range(25)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 20))) for _ in range(60)]
+        langs = [("en" if i % 2 else "fr") for i in range(60)]
+        ds = self._docs_ds(texts, langs)
+        nll1, nll2 = lm_nll_weights(*lm_train(ds))
+        out = ccnet_buckets(lm_doc_nll(ds, nll1, nll2, carry_cols=("lang",))).to_pandas()
+        assert len(out) == 60 and set(out["bucket"]) <= {"head", "middle", "tail"}
+        for lang, grp in out.groupby("lang"):
+            n = len(grp)
+            vals = np.sort(grp["avg_nll_micro"].to_numpy())
+            t1 = vals[(n - 1) * 1 // 3]
+            t2 = vals[(n - 1) * 2 // 3]
+            want = np.where(
+                grp["avg_nll_micro"] <= t1, "head", np.where(grp["avg_nll_micro"] <= t2, "middle", "tail")
+            )
+            assert (grp["bucket"].to_numpy() == want).all()
+            # head is never empty and (with distinct values) ≈ a third
+            assert (grp["bucket"] == "head").sum() >= 1
+
+    def test_ccnet_buckets_degenerate_single_doc_lang(self, ray_session):
+        from goto_eater_crawler_ray.functions.lm import ccnet_buckets, lm_doc_nll, lm_nll_weights, lm_train
+
+        ds = self._docs_ds(["only one doc", "a b", "b a"], langs=["ja", "en", "en"])
+        nll1, nll2 = lm_nll_weights(*lm_train(ds))
+        out = ccnet_buckets(lm_doc_nll(ds, nll1, nll2, carry_cols=("lang",))).to_pandas()
+        # a single-doc language: both tertile ranks hit the one value -> head
+        assert out.set_index("doc_id").loc[0, "bucket"] == "head"
