@@ -9384,6 +9384,77 @@ def q_ccnet_buckets(sf_dir: str):
     return ccnet_buckets(lm_doc_nll(docs, nll1, nll2, carry_cols=("lang",)))
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — MOSS): word 4-gram md5 hashes, window of 8, rightmost
+    minimum per window; any shared ≥11-word substring between two docs
+    is guaranteed to share a fingerprint while only ~2/(w+1) of the
+    k-grams are kept.  ONE streaming map_batches pass — selection is
+    batch-local (windows never cross documents), the token stream never
+    shuffles (`functions/winnow.py`).  The twin replays the selection
+    with a window-function min + rightmost-position join, so the hash
+    check pins the exact selected sets."""
+    from ..functions.winnow import winnow_fingerprints
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return winnow_fingerprints(docs)
+
+
+# shared CTE: tokenize → 4-gram hashes at 1-based positions → winnowing
+# window starts j (all full windows; short docs get the single j=1
+# truncated window) → rightmost minimum per window → distinct selections
+_SQL_WINNOW_FPS_CTE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(md5_number_upper(list_aggregate(list_slice(ws, i, i + 3), 'string_agg', ' '))
+              % 2305843009213693952 AS BIGINT) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i)
+),
+wins AS (
+  SELECT doc_id, pos AS j,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM kg
+  QUALIFY j <= greatest(m - 7, 1)
+),
+sel AS (
+  SELECT w.doc_id, w.j, max(k.pos) AS pos, w.mn AS fp
+  FROM wins w JOIN kg k ON k.doc_id = w.doc_id AND k.pos BETWEEN w.j AND w.j + 7 AND k.h = w.mn
+  GROUP BY 1, 2, 4
+),
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+"""
+
+SQL_WINNOW_FINGERPRINTS = _SQL_WINNOW_FPS_CTE + "SELECT doc_id, pos, fp FROM fps"
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    """MOSS similarity report over the winnowing fingerprints: document
+    pairs sharing >= 2 distinct fingerprints with the shared count —
+    fingerprints made distinct per (doc, fp) by one groupby, pairs
+    emitted inside COARSE fp-hash partitions (O(coarse) group calls,
+    pandas self-merge inside), counted by one groupby.  Hot-fingerprint
+    f² fan-out is the documented band-bucket hazard; at corpus scale a
+    doc-frequency cap drops boilerplate fingerprints before pairing."""
+    from ..functions.winnow import winnow_dup_pairs
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return winnow_dup_pairs(docs, min_shared=2)
+
+
+SQL_WINNOW_DUP_PAIRS = _SQL_WINNOW_FPS_CTE + """,
+dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -9590,6 +9661,8 @@ QUERIES = {
     "nb_confusion": q_nb_confusion,
     "lm_perplexity": q_lm_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
 }
 
 ORACLES = {
@@ -9760,6 +9833,8 @@ ORACLES = {
     "nb_confusion": SQL_NB_CONFUSION,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

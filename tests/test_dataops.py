@@ -4720,3 +4720,99 @@ class TestLmPerplexity:
         out = ccnet_buckets(lm_doc_nll(ds, nll1, nll2, carry_cols=("lang",))).to_pandas()
         # a single-doc language: both tertile ranks hit the one value -> head
         assert out.set_index("doc_id").loc[0, "bucket"] == "head"
+
+
+class TestWinnowing:
+    def _docs_ds(self, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def _local_winnow(self, txt, k=4, w=8):
+        """Pure-Python reference: rightmost min of each window."""
+        from goto_eater_crawler_ray.functions.sampling import md5_u64
+        from goto_eater_crawler_ray.functions.winnow import FP_MOD
+
+        toks = [x for x in txt.strip().split() if x]
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if not grams:
+            return set()
+        h = [int(v) for v in (md5_u64(np.array(grams)) % FP_MOD).astype(np.int64)]
+        m = len(h)
+        sel = set()
+        for j in range(max(m - w + 1, 1)):
+            win = h[j : j + w]
+            mn = min(win)
+            pos = j + max(i for i, v in enumerate(win) if v == mn)
+            sel.add((pos + 1, h[pos]))
+        return sel
+
+    def test_matches_local_reference(self, ray_session):
+        from goto_eater_crawler_ray.functions.winnow import winnow_fingerprints
+
+        rng = np.random.default_rng(13)
+        vocab = ["w%d" % i for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 60))) for _ in range(30)] + ["", "a b c", "a b c d"]
+        out = winnow_fingerprints(self._docs_ds(texts)).to_pandas()
+        for d, grp in out.groupby("doc_id"):
+            got = set(zip(grp["pos"], grp["fp"]))
+            assert got == self._local_winnow(texts[d]), d
+        # docs with < k tokens select nothing; docs with exactly k select their one gram
+        assert 31 not in set(out["doc_id"]) and 30 not in set(out["doc_id"])
+        assert (out[out["doc_id"] == 32]["pos"] == 1).all() and len(out[out["doc_id"] == 32]) == 1
+
+    def test_shared_substring_guarantee_and_density(self, ray_session):
+        from goto_eater_crawler_ray.functions.winnow import K, W, winnow_fingerprints
+
+        rng = np.random.default_rng(29)
+        vocab = ["t%d" % i for i in range(500)]
+        shared = " ".join(rng.choice(vocab, size=W + K - 1))  # exactly w+k-1 words
+        a = " ".join(rng.choice(vocab, size=80)) + " " + shared + " " + " ".join(rng.choice(vocab, size=80))
+        b = " ".join(rng.choice(vocab, size=50)) + " " + shared
+        out = winnow_fingerprints(self._docs_ds([a, b])).to_pandas()
+        fa = set(out[out["doc_id"] == 0]["fp"])
+        fb = set(out[out["doc_id"] == 1]["fp"])
+        # the winnowing guarantee: a shared >= w+k-1 word substring
+        # always shares at least one selected fingerprint
+        assert fa & fb
+        # density: expected ~2/(w+1) of k-grams selected (loose bounds)
+        n_kgrams = len(a.split()) - K + 1
+        assert len(out[out["doc_id"] == 0]) <= n_kgrams // 2
+        assert len(out[out["doc_id"] == 0]) >= n_kgrams // (2 * W)
+
+    def test_batchsize_invariant(self, ray_session):
+        from goto_eater_crawler_ray.functions.winnow import winnow_fingerprints
+
+        rng = np.random.default_rng(31)
+        vocab = ["v%d" % i for i in range(60)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 40))) for _ in range(50)]
+        a = winnow_fingerprints(self._docs_ds(texts).repartition(1)).to_pandas()
+        b = winnow_fingerprints(self._docs_ds(texts).repartition(11)).to_pandas()
+        key = ["doc_id", "pos", "fp"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True), b.sort_values(key).reset_index(drop=True)
+        )
+
+    def test_dup_pairs_plants_and_threshold(self, ray_session):
+        from goto_eater_crawler_ray.functions.winnow import winnow_dup_pairs
+
+        rng = np.random.default_rng(37)
+        vocab = ["u%d" % i for i in range(300)]
+        plant = " ".join(rng.choice(vocab, size=40))
+        texts = [
+            plant + " " + " ".join(rng.choice(vocab, size=30)),      # 0: shares plant
+            " ".join(rng.choice(vocab, size=30)) + " " + plant,      # 1: shares plant
+            " ".join(rng.choice(vocab, size=60)),                    # 2: unrelated
+        ]
+        out = winnow_dup_pairs(self._docs_ds(texts), min_shared=2).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs
+        assert all(p == (0, 1) for p in pairs)
+        assert int(out.set_index(["doc_a", "doc_b"]).loc[(0, 1), "n_shared"]) >= 2
