@@ -9455,6 +9455,74 @@ HAVING count(*) >= 2
 """
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (LBFS/FastCDC shape, Muthitacharoen et
+    al. SOSP 2001): token-level chunks cut where md5(token) % 16 == 0
+    or at doc end, identified by the md5 of the chunk text — the
+    storage-dedup primitive under a corpus store; shared content keeps
+    producing identical chunks across documents regardless of offset.
+    ONE streaming map_batches pass, batch-local, the text never
+    shuffles (`functions/cdc.py`)."""
+    from ..functions.cdc import cdc_chunks
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return cdc_chunks(docs)
+
+
+# shared CTE: tokenize → per-token close flags → within-doc exclusive
+# cumulative chunk index → per-chunk token count + md5 identity
+_SQL_CDC_CHUNKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, i, ws[i] AS w,
+         CASE WHEN md5_number_upper(ws[i]) % 16 = 0 OR i = len(ws) THEN 1 ELSE 0 END AS closes
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+),
+ck AS (
+  SELECT doc_id, i, w,
+         CAST(1 + coalesce(sum(closes) OVER (PARTITION BY doc_id ORDER BY i
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+  FROM tk
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, count(*) AS n_toks,
+         CAST(md5_number_upper(string_agg(w, ' ' ORDER BY i)) % 2305843009213693952 AS BIGINT) AS chunk_hash
+  FROM ck GROUP BY 1, 2
+)
+"""
+
+SQL_CDC_CHUNKS = _SQL_CDC_CHUNKS_CTE + "SELECT doc_id, chunk_idx, n_toks, chunk_hash FROM chunks"
+
+
+def q_cdc_dedup_ratio(sf_dir: str):
+    """CDC dedup accounting over the whole corpus, ONE summary row:
+    total chunks, distinct chunk identities, total tokens, and tokens
+    saved by single-instancing each distinct chunk (min-length
+    occurrence kept — deterministic under hash collision, mirrored in
+    the twin).  Exchange = one row per chunk keyed by the 8-byte hash,
+    combiner-first; 4 scalars reach the driver."""
+    from ..functions.cdc import cdc_dedup_stats
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return cdc_dedup_stats(docs)
+
+
+SQL_CDC_DEDUP_RATIO = _SQL_CDC_CHUNKS_CTE + """,
+per_hash AS (
+  SELECT chunk_hash, count(*) AS n_occ, sum(n_toks) AS sum_t, min(n_toks) AS min_t
+  FROM chunks GROUP BY 1
+)
+SELECT CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(sum_t) AS BIGINT) AS n_toks_total,
+       CAST(sum(sum_t - min_t) AS BIGINT) AS n_toks_saved
+FROM per_hash
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -9663,6 +9731,8 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dedup_ratio": q_cdc_dedup_ratio,
 }
 
 ORACLES = {
@@ -9835,6 +9905,8 @@ ORACLES = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
+    "cdc_chunks": SQL_CDC_CHUNKS,
+    "cdc_dedup_ratio": SQL_CDC_DEDUP_RATIO,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -4816,3 +4816,92 @@ class TestWinnowing:
         assert (0, 1) in pairs
         assert all(p == (0, 1) for p in pairs)
         assert int(out.set_index(["doc_a", "doc_b"]).loc[(0, 1), "n_shared"]) >= 2
+
+
+class TestCdcChunking:
+    def _docs_ds(self, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def _local_chunks(self, txt, divisor=16):
+        from goto_eater_crawler_ray.functions.cdc import FP_MOD
+        from goto_eater_crawler_ray.functions.sampling import md5_u64
+
+        toks = [x for x in txt.strip().split() if x]
+        if not toks:
+            return []
+        closes = (md5_u64(np.array(toks)) % np.uint64(divisor) == 0).tolist()
+        closes[-1] = True
+        out, cur = [], []
+        for w, c in zip(toks, closes):
+            cur.append(w)
+            if c:
+                s = " ".join(cur)
+                out.append((len(cur), int(md5_u64(np.array([s]))[0] % FP_MOD)))
+                cur = []
+        return out
+
+    def test_matches_local_reference(self, ray_session):
+        from goto_eater_crawler_ray.functions.cdc import cdc_chunks
+
+        rng = np.random.default_rng(41)
+        vocab = ["c%d" % i for i in range(80)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 120))) for _ in range(25)] + ["", "  ", "one"]
+        out = cdc_chunks(self._docs_ds(texts)).to_pandas()
+        for d, grp in out.groupby("doc_id"):
+            grp = grp.sort_values("chunk_idx")
+            got = list(zip(grp["n_toks"], grp["chunk_hash"]))
+            assert got == self._local_chunks(texts[d]), d
+            assert list(grp["chunk_idx"]) == list(range(1, len(grp) + 1))
+        # token-less docs emit no chunks
+        assert not (set(out["doc_id"]) & {25, 26})
+
+    def test_shift_invariance_shared_chunks(self, ray_session):
+        """The CDC property fixed-size blocking lacks: prepending a
+        prefix leaves the shared suffix's interior chunks identical."""
+        from goto_eater_crawler_ray.functions.cdc import cdc_chunks
+
+        rng = np.random.default_rng(43)
+        vocab = ["s%d" % i for i in range(200)]
+        shared = " ".join(rng.choice(vocab, size=300))
+        prefixed = " ".join(rng.choice(vocab, size=37)) + " " + shared
+        out = cdc_chunks(self._docs_ds([shared, prefixed])).to_pandas()
+        a = set(out[out["doc_id"] == 0]["chunk_hash"])
+        b = set(out[out["doc_id"] == 1]["chunk_hash"])
+        # all of doc 0's chunks except possibly its first reappear in doc 1
+        assert len(a & b) >= len(a) - 1 >= 5
+
+    def test_dedup_stats_accounting(self, ray_session):
+        from goto_eater_crawler_ray.functions.cdc import cdc_chunks, cdc_dedup_stats
+
+        rng = np.random.default_rng(47)
+        vocab = ["d%d" % i for i in range(150)]
+        block = " ".join(rng.choice(vocab, size=200))
+        texts = [block, block, " ".join(rng.choice(vocab, size=100))]
+        stats = cdc_dedup_stats(self._docs_ds(texts)).to_pandas().iloc[0]
+        chunks = cdc_chunks(self._docs_ds(texts)).to_pandas()
+        assert stats["n_chunks"] == len(chunks)
+        assert stats["n_distinct"] == chunks["chunk_hash"].nunique()
+        assert stats["n_toks_total"] == chunks["n_toks"].sum()
+        # the duplicated doc's tokens are all saved
+        want_saved = chunks["n_toks"].sum() - chunks.groupby("chunk_hash")["n_toks"].min().sum()
+        assert stats["n_toks_saved"] == want_saved >= 200
+
+    def test_batchsize_invariant(self, ray_session):
+        from goto_eater_crawler_ray.functions.cdc import cdc_chunks
+
+        rng = np.random.default_rng(53)
+        vocab = ["e%d" % i for i in range(50)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 80))) for _ in range(40)]
+        key = ["doc_id", "chunk_idx"]
+        a = cdc_chunks(self._docs_ds(texts).repartition(1)).to_pandas().sort_values(key).reset_index(drop=True)
+        b = cdc_chunks(self._docs_ds(texts).repartition(9)).to_pandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
