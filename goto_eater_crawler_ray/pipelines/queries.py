@@ -9523,6 +9523,116 @@ FROM per_hash
 """
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-SOURCE contamination matrix (the between-dump overlap
+    check a Common-Crawl-style pipeline runs before mixing snapshots):
+    for every pair of sources, the number of distinct word 8-grams they
+    share and the exact gram-set Jaccard in micro-units.
+
+    Shape: 8-grams exploded batch-locally with a per-batch (source,
+    gram) combine; ONE groupby makes the sets distinct; per-source set
+    sizes are a |sources|-row broadcast; pairs are emitted inside
+    COARSE gram-hash partitions (O(coarse) group calls, pandas
+    self-merge inside — the per-gram fan-out is bounded by |sources|²)
+    and counted by one groupby.  The token stream never shuffles."""
+    from ..functions.importance import _round_half_away
+    from ..functions.sampling import md5_u64
+    from ..functions.text import _split_tokens
+
+    N = 8
+    coarse = 256
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+    gram_schema = pa.schema([("source", pa.string()), ("gram", pa.string())])
+
+    def make_grams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_schema.empty_table()
+        parents, toks = _split_tokens(t)
+        words = toks.to_pandas().to_numpy()
+        m = len(words) - N + 1
+        if m <= 0:
+            return gram_schema.empty_table()
+        ok = parents[N - 1 : m + N - 1] == parents[:m]
+        s = pd.Series(words[:m][ok])
+        for j in range(1, N):
+            s = s + " " + pd.Series(words[j : m + j][ok])
+        srcs = t.column("source").to_pandas().to_numpy()[parents[:m][ok]]
+        df = pd.DataFrame({"source": srcs, "gram": s.to_numpy()}).drop_duplicates()
+        return pa.table(
+            {"source": pa.array(df["source"].to_numpy(), pa.string()), "gram": pa.array(df["gram"].to_numpy(), pa.string())}
+        )
+
+    dg = (
+        docs.map_batches(make_grams, batch_format="pyarrow")
+        .groupby(["source", "gram"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["source", "gram"])
+        .materialize()  # branch point: set sizes + pair emission
+    )
+    # per-source distinct-gram set sizes: |sources| rows — legal driver step
+    sizes = {r["source"]: int(r["n"]) for r in dg.groupby("source").aggregate(Count(alias_name="n")).take_all()}
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_pandas().to_numpy()
+        return t.append_column("_pp", pa.array((md5_u64(g) % np.uint64(coarse)).astype(np.int64), pa.int64()))
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[["gram", "source"]].merge(df[["gram", "source"]], on="gram", suffixes=("_a", "_b"))
+        p = p[p["source_a"] < p["source_b"]]
+        g = p.groupby(["source_a", "source_b"], sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"source_a": g["source_a"], "source_b": g["source_b"], "n": g["n"].to_numpy(np.int64)})
+
+    pairs = (
+        dg.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "jaccard_micro": pa.array([], pa.int64()),
+                }
+            )
+        a = t.column("source_a").to_pandas().map(sizes).to_numpy(np.float64)
+        b = t.column("source_b").to_pandas().map(sizes).to_numpy(np.float64)
+        s = t.column("n_shared").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = _round_half_away(1_000_000.0 * s / (a + b - s))
+        return t.append_column("jaccard_micro", pa.array(jac, pa.int64()))
+
+    return pairs.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_SOURCE_OVERLAP = """
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(ws) - 6), i ->
+                list_aggregate(list_slice(ws, i, i + 7), 'string_agg', ' '))) AS gram
+  FROM toks
+),
+dg AS (SELECT DISTINCT source, gram FROM grams),
+sizes AS (SELECT source, count(*) AS n FROM dg GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       CAST(round(1000000.0 * s.n_shared / CAST(pa.n + pb.n - s.n_shared AS DOUBLE)) AS BIGINT) AS jaccard_micro
+FROM shared s JOIN sizes pa ON pa.source = s.source_a JOIN sizes pb ON pb.source = s.source_b
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -9733,6 +9843,7 @@ QUERIES = {
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dedup_ratio": q_cdc_dedup_ratio,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -9907,6 +10018,7 @@ ORACLES = {
     "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "cdc_dedup_ratio": SQL_CDC_DEDUP_RATIO,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -4905,3 +4905,43 @@ class TestCdcChunking:
         a = cdc_chunks(self._docs_ds(texts).repartition(1)).to_pandas().sort_values(key).reset_index(drop=True)
         b = cdc_chunks(self._docs_ds(texts).repartition(9)).to_pandas().sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSourceOverlap:
+    def test_planted_overlap_and_jaccard(self, ray_session, tmp_path):
+        from goto_eater_crawler_ray.pipelines.queries import q_source_overlap
+
+        rng = np.random.default_rng(59)
+        vocab = ["o%d" % i for i in range(400)]
+        shared = " ".join(rng.choice(vocab, size=30))  # 23 shared 8-grams
+        rows = []
+        for i in range(6):
+            rows.append((i, shared + " " + " ".join(rng.choice(vocab, size=40)), "en", "sA"))
+        for i in range(6, 12):
+            rows.append((i, " ".join(rng.choice(vocab, size=40)) + " " + shared, "en", "sB"))
+        for i in range(12, 18):
+            rows.append((i, " ".join(rng.choice(vocab, size=60)), "en", "sC"))
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_source_overlap(str(tmp_path)).to_pandas().set_index(["source_a", "source_b"])
+        # the planted block guarantees sA-sB overlap of >= the 23 interior grams
+        assert int(out.loc[("sA", "sB"), "n_shared"]) >= 23
+        # exact jaccard arithmetic
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+        from goto_eater_crawler_ray.pipelines.queries import SQL_SOURCE_OVERLAP
+
+        want = con.sql(SQL_SOURCE_OVERLAP).df().set_index(["source_a", "source_b"]).sort_index()
+        got = out.sort_index()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
