@@ -615,3 +615,104 @@ def pca_project(ds, id_col: str = "vec_id", emb_col: str = "embedding", scale: i
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def pq_train_codebooks(emb_ds, m: int = 8, k: int = 16, sample_limit: int = 4096, iters: int = 10, seed: int = 5):
+    """Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): plain Lloyd
+    k-means run independently per SUBSPACE (d/m dims each) on a BOUNDED
+    sample — like IVF training, the standard recipe fits the model on a
+    few thousand vectors, never the corpus.  Returns an (m, k, d/m)
+    codebook tensor (a few KB, broadcast to every encode task)."""
+    rows = emb_ds.limit(sample_limit).take_all()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, sub), np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        kk = min(k, len(Xs))
+        cent = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(axis=1)
+            for c in range(kk):
+                mem = Xs[a == c]
+                cent[c] = mem.mean(axis=0) if len(mem) else Xs[d2.min(axis=1).argmax()]
+        books[s, :kk] = cent
+    return books
+
+
+def pq_encode(emb_ds, codebooks, cc=None):
+    """PQ ENCODE: (vec_id, subspace, code) — per batch, one (n, k)
+    matmul per subspace against the broadcast codebooks;
+    ``argmin ||x_s - c||² == argmin(||c||² - 2·x_s·c)`` with ties to
+    the lowest code (numpy argmin ↔ the twin's ORDER BY score, code).
+    Pass ``cc`` (the frozen ``||c||²`` table) so the Ray pass and the
+    SQL twin score with the IDENTICAL literals."""
+    B = np.asarray(codebooks, np.float64)
+    m, k, sub = B.shape
+    cc = (B**2).sum(-1) if cc is None else np.asarray(cc, np.float64)
+
+    def enc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "subspace": pa.array([], pa.int64()), "code": pa.array([], pa.int64())}
+            )
+        mat = _as_matrix(t.column("embedding"))
+        n = len(mat)
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            Xs = mat[:, s * sub : (s + 1) * sub]
+            codes[:, s] = (cc[s][None, :] - 2.0 * (Xs @ B[s].T)).argmin(axis=1)
+        vec = np.repeat(t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), m)
+        return pa.table(
+            {
+                "vec_id": pa.array(vec, pa.int64()),
+                "subspace": pa.array(np.tile(np.arange(m, dtype=np.int64), n), pa.int64()),
+                "code": pa.array(codes.reshape(-1), pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_adc_topk(emb_ds, codebooks, cc, lut, k_top: int = 10):
+    """PQ asymmetric-distance top-k (the PQ paper's ADC search): encode
+    each corpus vector, then its approximate distance to the frozen
+    query is the EXACT int64 sum of per-subspace micro-unit lookup
+    entries ``lut[s, code_s]`` — codes and distance computed in the
+    SAME batch pass (no shuffle), per-block top-k prune bounds the
+    final sort input.  ``lut`` is frozen alongside the codebooks, so
+    the twin joins the identical integer table and the hash check is
+    exact up to the code assignment itself."""
+    B = np.asarray(codebooks, np.float64)
+    m, k, sub = B.shape
+    cc = np.asarray(cc, np.float64)
+    lut = np.asarray(lut, np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "adc_micro": pa.array([], pa.int64())})
+        mat = _as_matrix(t.column("embedding"))
+        n = len(mat)
+        adc = np.zeros(n, np.int64)
+        for s in range(m):
+            Xs = mat[:, s * sub : (s + 1) * sub]
+            codes = (cc[s][None, :] - 2.0 * (Xs @ B[s].T)).argmin(axis=1)
+            adc += lut[s, codes]
+        out = pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "adc_micro": pa.array(adc, pa.int64()),
+            }
+        )
+        # per-block top-k prune before the tiny global sort
+        if out.num_rows > k_top:
+            df = out.to_pandas().sort_values(["adc_micro", "vec_id"], kind="mergesort").head(k_top)
+            out = pa.Table.from_pandas(df, preserve_index=False)
+        return out
+
+    return emb_ds.map_batches(score, batch_format="pyarrow").sort(["adc_micro", "vec_id"]).limit(k_top)

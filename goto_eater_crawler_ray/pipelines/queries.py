@@ -9633,6 +9633,103 @@ FROM shared s JOIN sizes pa ON pa.source = s.source_a JOIN sizes pb ON pb.source
 """
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization ENCODE against frozen codebooks
+    (Jégou/Douze/Schmid TPAMI 2011; `_pq_frozen.py`: m=8 subspaces ×
+    k=16 codes × 8 dims, trained offline on the sf0.01 embeddings):
+    every vector compresses 64 float32 → 8 bytes of codes.  One
+    streaming pass, one (n,16) matmul per subspace against the ~8 KB
+    broadcast codebooks; argmin ||x_s−c||² == argmin(||c||²−2·x_s·c)
+    with ties to the lowest code.  The twin scores the IDENTICAL
+    literals (`functions/similarity.py:pq_encode`)."""
+    from ..functions.similarity import pq_encode
+    from ._pq_frozen import CC, CODEBOOKS
+
+    return pq_encode(rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]), CODEBOOKS, cc=CC)
+
+
+def _pq_cb_values() -> str:
+    from ._pq_frozen import CC, CODEBOOKS
+
+    return ",\n    ".join(
+        "({}, {}, {}, CAST([{}] AS DOUBLE[]))".format(
+            s, c, repr(float(CC[s][c])), ", ".join(repr(float(v)) for v in CODEBOOKS[s][c])
+        )
+        for s in range(len(CODEBOOKS))
+        for c in range(len(CODEBOOKS[s]))
+    )
+
+
+def _pq_codes_cte() -> str:
+    # scored: ||c||² - 2·x_s·c per (vector, subspace, codeword) from the
+    # frozen literals; best: lowest score, ties to the lowest code
+    return f"""
+WITH cb(s, c, cc, cent) AS (
+  SELECT * FROM (VALUES
+    {_pq_cb_values()}
+  )
+),
+scored AS (
+  SELECT e.vec_id, cb.s AS subspace, cb.c AS code,
+         cb.cc - 2.0 * list_inner_product(list_slice(CAST(e.embedding AS DOUBLE[]), cb.s * 8 + 1, cb.s * 8 + 8), cb.cent) AS score
+  FROM embeddings e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace ORDER BY score, code) = 1
+)
+"""
+
+
+def _pq_codes_sql() -> str:
+    return _pq_codes_cte() + "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code FROM best"
+
+
+SQL_PQ_CODES = _pq_codes_sql()
+
+
+def q_pq_adc_topk(sf_dir: str):
+    """PQ asymmetric-distance search (the PQ paper's ADC): top-10
+    corpus vectors nearest the frozen query, distance = exact int64 sum
+    of the frozen per-subspace micro-unit lookup entries
+    ``LUT[s, code_s]`` — codes and distance computed in the same batch
+    pass (no shuffle), per-block top-k prune bounds the global sort.
+    The integer sum is order-independent, so the twin joining the
+    identical LUT literals hash-matches exactly."""
+    from ..functions.similarity import pq_adc_topk
+    from ._pq_frozen import CC, CODEBOOKS, LUT
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return pq_adc_topk(emb, CODEBOOKS, CC, LUT, k_top=10)
+
+
+def _pq_adc_sql() -> str:
+    from ._pq_frozen import LUT
+
+    lut_values = ",\n    ".join(
+        f"({s}, {c}, {int(LUT[s][c])})" for s in range(LUT.shape[0]) for c in range(LUT.shape[1])
+    )
+    return (
+        _pq_codes_cte()
+        + f""",
+lut(s, c, d_micro) AS (
+  SELECT * FROM (VALUES
+    {lut_values}
+  )
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id, CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+FROM best b JOIN lut l ON l.s = b.subspace AND l.c = b.code
+GROUP BY 1
+ORDER BY adc_micro, vec_id
+LIMIT 10
+"""
+    )
+
+
+SQL_PQ_ADC_TOPK = _pq_adc_sql()
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -9844,6 +9941,8 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "cdc_dedup_ratio": q_cdc_dedup_ratio,
     "source_overlap": q_source_overlap,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 
 ORACLES = {
@@ -10019,6 +10118,8 @@ ORACLES = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "cdc_dedup_ratio": SQL_CDC_DEDUP_RATIO,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

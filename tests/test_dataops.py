@@ -4945,3 +4945,76 @@ class TestSourceOverlap:
         want = con.sql(SQL_SOURCE_OVERLAP).df().set_index(["source_a", "source_b"]).sort_index()
         got = out.sort_index()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestProductQuantization:
+    def _emb_ds(self, X):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(X)), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in X], pa.list_(pa.float32())),
+                }
+            )
+        )
+
+    def test_encode_matches_local_argmin_and_batch_invariant(self, ray_session):
+        from goto_eater_crawler_ray.functions.similarity import pq_encode, pq_train_codebooks
+
+        rng = np.random.default_rng(61)
+        X = rng.standard_normal((120, 16)).astype(np.float32)
+        B = pq_train_codebooks(self._emb_ds(X), m=4, k=8, sample_limit=120, iters=5, seed=1)
+        assert B.shape == (4, 8, 4)
+        out = pq_encode(self._emb_ds(X), B).to_pandas()
+        assert len(out) == 120 * 4
+        # local reference argmin on true squared distance
+        Xd = X.astype(np.float64)
+        for s in range(4):
+            sub = Xd[:, s * 4 : (s + 1) * 4]
+            want = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(-1).argmin(1)
+            got = out[out["subspace"] == s].sort_values("vec_id")["code"].to_numpy()
+            assert (got == want).all(), s
+        b = pq_encode(self._emb_ds(X).repartition(7), B).to_pandas()
+        key = ["vec_id", "subspace"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True), b.sort_values(key).reset_index(drop=True)
+        )
+
+    def test_quantization_beats_random_codes(self, ray_session):
+        from goto_eater_crawler_ray.functions.similarity import pq_encode, pq_train_codebooks
+
+        rng = np.random.default_rng(67)
+        X = rng.standard_normal((300, 16)).astype(np.float32)
+        B = pq_train_codebooks(self._emb_ds(X), m=4, k=8, sample_limit=300, iters=8, seed=2)
+        codes = (
+            pq_encode(self._emb_ds(X), B).to_pandas().pivot(index="vec_id", columns="subspace", values="code").to_numpy()
+        )
+        Xd = X.astype(np.float64)
+        recon = np.concatenate([B[s][codes[:, s]] for s in range(4)], axis=1)
+        err = ((Xd - recon) ** 2).sum()
+        rand_codes = rng.integers(0, 8, size=codes.shape)
+        rand_recon = np.concatenate([B[s][rand_codes[:, s]] for s in range(4)], axis=1)
+        assert err < 0.5 * ((Xd - rand_recon) ** 2).sum()
+
+    def test_adc_topk_orders_by_quantized_distance(self, ray_session):
+        from goto_eater_crawler_ray.functions.importance import _round_half_away
+        from goto_eater_crawler_ray.functions.similarity import pq_adc_topk, pq_encode, pq_train_codebooks
+
+        rng = np.random.default_rng(71)
+        X = rng.standard_normal((200, 16)).astype(np.float32)
+        B = pq_train_codebooks(self._emb_ds(X), m=4, k=8, sample_limit=200, iters=5, seed=3)
+        q = X[0].astype(np.float64).reshape(4, 4)
+        cc = (B**2).sum(-1)
+        lut = _round_half_away(1e6 * ((q[:, None, :] - B) ** 2).sum(-1)).astype(np.int64)
+        got = pq_adc_topk(self._emb_ds(X), B, cc, lut, k_top=10).to_pandas()
+        codes = (
+            pq_encode(self._emb_ds(X), B).to_pandas().pivot(index="vec_id", columns="subspace", values="code").to_numpy()
+        )
+        adc = sum(lut[s][codes[:, s]] for s in range(4))
+        order = np.lexsort((np.arange(200), adc))[:10]
+        assert list(got["vec_id"]) == list(order)
+        assert list(got["adc_micro"]) == [int(adc[i]) for i in order]
+        # the query's own vector should quantize to distance ~0 and rank first
+        assert got.iloc[0]["vec_id"] == 0
