@@ -428,6 +428,14 @@ def main() -> None:
         "nb_classify",
         "lm_perplexity",
         "ccnet_buckets",
+        "winnow_fingerprints",
+        "winnow_dup_pairs",
+        "cdc_chunks",
+        "cdc_dedup_ratio",
+        "source_overlap",
+        "pq_codes",
+        "pq_adc_topk",
+        "source_kl",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -9730,6 +9730,107 @@ LIMIT 10
 SQL_PQ_ADC_TOPK = _pq_adc_sql()
 
 
+def q_source_kl(sf_dir: str):
+    """Per-SOURCE distribution drift: KL(source ‖ corpus) over the
+    hashed unigram+bigram bucket space (the domain-mixture monitor a
+    pretraining pipeline runs to spot a snapshot whose content shifted
+    — the same 256-bucket feature space as DSIR).  ONE streaming
+    combiner pass (per-batch (source, bucket, n) partials, ≤|srcs|×256
+    rows/batch, one tiny groupby); the ≤|srcs|×256 count table reaches
+    the driver and the KL is closed-form from it.
+
+    EXACT protocol: with add-one smoothing, per (source, bucket)
+    term_micro = round(1e6 · p_b · ln(p_b/q_b)) where
+    p_b = (s_b+1)/(S+B), q_b = (c_b+1)/(C+B) — ONE double expression
+    of exact-int ratios, half-away rounded, summed as int64 (order-
+    independent), so the DuckDB twin hash-checks every source's score.
+    Output: (source, kl_micro, n_grams)."""
+    from ..functions.importance import _EXACT_DOUBLE, _round_half_away, gram_buckets_batch
+
+    n_buckets = 256
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        parents, buckets = gram_buckets_batch(t, n_buckets)
+        if len(buckets) == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "b": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        srcs = t.column("source").to_pandas().to_numpy()[parents]
+        g = pd.DataFrame({"source": srcs, "b": buckets}).groupby(["source", "b"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(), pa.string()),
+                "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |sources| × 256 rows — the legal small driver materialization
+    )
+    sources = sorted(cnt["source"].unique())
+    si = pd.Categorical(cnt["source"], categories=sources).codes.astype(np.int64)
+    mat = np.zeros((len(sources), n_buckets), np.int64)
+    np.add.at(mat, (si, cnt["b"].to_numpy()), cnt["n"].to_numpy())
+    corpus = mat.sum(axis=0)
+    S = mat.sum(axis=1)  # per-source gram totals
+    C = int(corpus.sum())
+    assert C + n_buckets < _EXACT_DOUBLE
+    p = (mat + 1).astype(np.float64) / (S + n_buckets)[:, None].astype(np.float64)
+    q = (corpus + 1).astype(np.float64) / np.float64(C + n_buckets)
+    terms = _round_half_away(1e6 * p * np.log(p / q[None, :]))
+    kl = terms.sum(axis=1)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "kl_micro": pa.array(kl, pa.int64()),
+            "n_grams": pa.array(S, pa.int64()),
+        }
+    )
+
+
+SQL_SOURCE_KL = """
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT source, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT source, ws[i] || ' ' || ws[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+),
+occ AS (SELECT source, CAST(md5_number_upper(g) % 256 AS BIGINT) AS b FROM grams),
+srcs AS (SELECT DISTINCT source FROM documents),
+cnt AS (
+  SELECT s.source, r.b, CAST(count(o.b) AS BIGINT) AS n
+  FROM srcs s CROSS JOIN (SELECT unnest(range(256)) AS b) r
+  LEFT JOIN occ o ON o.source = s.source AND o.b = r.b
+  GROUP BY 1, 2
+),
+stot AS (SELECT source, sum(n) AS st FROM cnt GROUP BY 1),
+ctot AS (SELECT b, sum(n) AS cb FROM cnt GROUP BY 1),
+tot AS (SELECT sum(n) AS ct FROM cnt),
+terms AS (
+  SELECT c.source,
+         CAST(round(1000000 * (CAST(c.n + 1 AS DOUBLE) / CAST(s.st + 256 AS DOUBLE))
+                    * ln((CAST(c.n + 1 AS DOUBLE) / CAST(s.st + 256 AS DOUBLE))
+                         / (CAST(ct2.cb + 1 AS DOUBLE) / CAST(t.ct + 256 AS DOUBLE)))) AS BIGINT) AS term
+  FROM cnt c
+  JOIN stot s USING (source)
+  JOIN ctot ct2 USING (b)
+  CROSS JOIN tot t
+)
+SELECT tm.source, CAST(sum(tm.term) AS BIGINT) AS kl_micro, CAST(s.st AS BIGINT) AS n_grams
+FROM terms tm JOIN stot s USING (source)
+GROUP BY 1, 3
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -9943,6 +10044,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "source_kl": q_source_kl,
 }
 
 ORACLES = {
@@ -10120,6 +10222,7 @@ ORACLES = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "source_kl": SQL_SOURCE_KL,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

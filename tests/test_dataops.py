@@ -5018,3 +5018,39 @@ class TestProductQuantization:
         assert list(got["adc_micro"]) == [int(adc[i]) for i in order]
         # the query's own vector should quantize to distance ~0 and rank first
         assert got.iloc[0]["vec_id"] == 0
+
+
+class TestSourceKl:
+    def test_drifted_source_scores_highest(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_source_kl
+
+        rng = np.random.default_rng(73)
+        common = ["k%d" % i for i in range(50)]
+        rows = []
+        i = 0
+        for src in ("sA", "sB"):  # two sources drawn from the same vocab
+            for _ in range(8):
+                rows.append((i, " ".join(rng.choice(common, size=40)), "en", src))
+                i += 1
+        drift = ["z%d" % i for i in range(50)]  # disjoint vocab -> max drift
+        for _ in range(8):
+            rows.append((i, " ".join(rng.choice(drift, size=40)), "en", "sDrift"))
+            i += 1
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_source_kl(str(tmp_path)).to_pandas().set_index("source")
+        assert out.loc["sDrift", "kl_micro"] > out.loc["sA", "kl_micro"]
+        assert out.loc["sDrift", "kl_micro"] > out.loc["sB", "kl_micro"]
+        # n_grams accounting: 40 unigrams + 39 bigrams per doc, 8 docs
+        assert (out["n_grams"] == 8 * 79).all()
+        # KL >= 0 up to rounding of each term
+        assert (out["kl_micro"] > -256).all()
