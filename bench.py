@@ -436,6 +436,7 @@ def main() -> None:
         "pq_codes",
         "pq_adc_topk",
         "source_kl",
+        "zipf_fit",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

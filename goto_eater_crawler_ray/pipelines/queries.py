@@ -9831,6 +9831,96 @@ GROUP BY 1, 3
 """
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law fit of the corpus token-frequency curve: log-log OLS
+    slope over the TOP-100 tokens (rank by count desc, ties by token
+    asc) — the power-law health check a corpus report runs (natural
+    text ⇒ slope ≈ −1; a slope collapsing toward 0 flags boilerplate
+    floods).  Token counting is combiner-first (per-batch value_counts
+    partials, one groupby); the top-100 is a per-block prune + tiny
+    sort; ONLY 100 rows reach the driver.
+
+    EXACT protocol: per-rank terms x=round(1e6·ln(rank)),
+    y=round(1e6·ln(count)) are int64; Σx, Σy, Σxy, Σx² are exact int64
+    sums (order-independent); the slope/intercept are ONE shared double
+    expression of those ints, micro-rounded — mirrored token-identically
+    in the twin.  Output one row: (n_top, slope_micro,
+    intercept_micro)."""
+    from ..functions.importance import _round_half_away
+    from ..functions.text import _split_tokens
+
+    n_top = 100
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, toks = _split_tokens(t)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        vc = toks.to_pandas().value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()), "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    counts = docs.map_batches(partials, batch_format="pyarrow").groupby("token").aggregate(Sum("n", alias_name="n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n_top:
+            return t
+        df = t.to_pandas().sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(n_top)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        counts.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(n_top)
+        .take_all()
+    )
+    c = np.array([r["n"] for r in top], np.int64)
+    n = len(c)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    x = _round_half_away(1e6 * np.log(rank.astype(np.float64)))
+    y = _round_half_away(1e6 * np.log(c.astype(np.float64)))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    slope = num / den
+    slope_micro = int(_round_half_away(np.float64(1e6 * slope)))
+    intercept_micro = int(_round_half_away(np.float64((sy - slope * sx) / n)))
+    return pa.table(
+        {
+            "n_top": pa.array([n], pa.int64()),
+            "slope_micro": pa.array([slope_micro], pa.int64()),
+            "intercept_micro": pa.array([intercept_micro], pa.int64()),
+        }
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+tc AS (SELECT token, count(*) AS n FROM (SELECT unnest(ws) AS token FROM toks) GROUP BY 1),
+top AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+  FROM tc QUALIFY rnk <= 100
+),
+terms AS (
+  SELECT CAST(round(1000000 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+         CAST(round(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS y
+  FROM top
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM terms
+)
+SELECT n AS n_top,
+       CAST(round(1000000 * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS slope_micro,
+       CAST(round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+FROM sums
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10045,6 +10135,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "source_kl": q_source_kl,
+    "zipf_fit": q_zipf_fit,
 }
 
 ORACLES = {
@@ -10223,6 +10314,7 @@ ORACLES = {
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "source_kl": SQL_SOURCE_KL,
+    "zipf_fit": SQL_ZIPF_FIT,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5054,3 +5054,52 @@ class TestSourceKl:
         assert (out["n_grams"] == 8 * 79).all()
         # KL >= 0 up to rounding of each term
         assert (out["kl_micro"] > -256).all()
+
+
+class TestZipfFit:
+    def test_planted_power_law_slope(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_zipf_fit
+
+        # plant an exact Zipf corpus: token ti appears floor(6000/i) times
+        words = []
+        for i in range(1, 151):
+            words += ["t%03d" % i] * (6000 // i)
+        rng = np.random.default_rng(79)
+        rng.shuffle(words)
+        texts = [" ".join(words[j : j + 500]) for j in range(0, len(words), 500)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_zipf_fit(str(tmp_path)).to_pandas().iloc[0]
+        assert out["n_top"] == 100
+        # count ~ 6000/rank  =>  slope ~ -1 (floor() flattens it slightly)
+        assert -1_050_000 < out["slope_micro"] < -950_000
+        # intercept ~ ln(6000) * 1e6 ~ 8.70e6
+        assert 8_400_000 < out["intercept_micro"] < 9_000_000
+
+    def test_uniform_corpus_slope_zero(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_zipf_fit
+
+        words = ["u%03d" % i for i in range(120)] * 50  # every token 50x
+        texts = [" ".join(words[j : j + 300]) for j in range(0, len(words), 300)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_zipf_fit(str(tmp_path)).to_pandas().iloc[0]
+        assert out["slope_micro"] == 0  # flat counts: boilerplate-flood signature
