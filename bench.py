@@ -437,6 +437,7 @@ def main() -> None:
         "pq_adc_topk",
         "source_kl",
         "zipf_fit",
+        "embedding_outliers",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -9921,6 +9921,116 @@ FROM sums
 """
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Label-noise detection by centroid distance: the 10 vectors per
+    label FARTHEST (lowest cosine) from their own label's centroid —
+    the embedding-space mislabel/outlier sweep a curation run does
+    before training a classifier on weak labels.
+
+    Shape: per-label dim-sums in one combiner pass (|labels|×d partial
+    rows per batch → one tiny groupby → driver); the centroid matrix is
+    FROZEN to 4dp integers (the `label_centroids` protocol) and both
+    sides derive cosine from that SAME rounded table, so drift is
+    bounded to final-cosine ulps under the shared 4dp round (the
+    `cosine_dups` precedent); scoring is one broadcast matmul per
+    batch; per-label bottom-k via batch-local prune + one tiny
+    groupby."""
+    from ..functions.similarity import _as_matrix
+
+    k = 10
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+
+    def sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()), "s": pa.array([], pa.float64()), "n": pa.array([], pa.int64())}
+            )
+        mat = _as_matrix(t.column("embedding"))
+        labs = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        acc = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(acc, inv, mat)
+        cnt = np.bincount(inv)
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)), pa.int64()),
+                "s": pa.array(acc.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(cnt, d).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cent_df = (
+        emb.map_batches(sums, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # |labels| × d rows — the legal small driver materialization
+    )
+    labels = np.sort(cent_df["label"].unique())
+    d = int(cent_df["dim"].max()) + 1
+    C = np.zeros((len(labels), d), np.float64)
+    li = np.searchsorted(labels, cent_df["label"].to_numpy())
+    # FROZEN 4dp centroid (shared with the twin): round(sum/count * 1e4)
+    C[li, cent_df["dim"].to_numpy()] = np.round(cent_df["s"].to_numpy() / cent_df["n"].to_numpy() * 1e4) / 1e4
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cos_4dp": pa.array([], pa.float64())}
+            )
+        mat = _as_matrix(t.column("embedding"))
+        labs = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        lidx = np.searchsorted(labels, labs)
+        xn = np.linalg.norm(mat, axis=1)
+        xn[xn == 0] = 1.0
+        cos = (mat * C[lidx]).sum(axis=1) / (xn * cn[lidx])
+        out = pa.table(
+            {
+                "label": pa.array(labs, pa.int64()),
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "cos_4dp": pa.array(np.round(cos, 4), pa.float64()),
+            }
+        )
+        # batch-local bottom-k per label before the tiny final reduce
+        df = out.to_pandas()
+        df = df.sort_values(["label", "cos_4dp", "vec_id"], kind="mergesort").groupby("label", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bottom_schema = pa.schema([("label", pa.int64()), ("vec_id", pa.int64()), ("cos_4dp", pa.float64())])
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cos_4dp", "vec_id"], kind="mergesort").head(k)
+
+    out = emb.map_batches(score, batch_format="pyarrow").groupby("label").map_groups(bottomk, batch_format="pandas")
+    return out.map_batches(
+        lambda t: t if t.num_rows else bottom_schema.empty_table(), batch_format="pyarrow"
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH flat AS (
+  SELECT label, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i AS dim, round(sum(CAST(e AS DOUBLE)) / count(*) * 10000) / 10000 AS c
+  FROM flat GROUP BY 1, 2
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY 1),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cv), 4) AS cos_4dp
+  FROM embeddings e JOIN cvec cv USING (label)
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(vec_id AS BIGINT) AS vec_id, cos_4dp
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY label ORDER BY cos_4dp, vec_id) <= 10
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10136,6 +10246,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "source_kl": q_source_kl,
     "zipf_fit": q_zipf_fit,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES = {
@@ -10315,6 +10426,7 @@ ORACLES = {
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "source_kl": SQL_SOURCE_KL,
     "zipf_fit": SQL_ZIPF_FIT,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5103,3 +5103,32 @@ class TestZipfFit:
         pq.write_table(t, str(tmp_path / "documents.parquet"))
         out = q_zipf_fit(str(tmp_path)).to_pandas().iloc[0]
         assert out["slope_micro"] == 0  # flat counts: boilerplate-flood signature
+
+
+class TestEmbeddingOutliers:
+    def test_planted_mislabel_surfaces_first(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_embedding_outliers
+
+        rng = np.random.default_rng(83)
+        # two tight clusters around opposite unit directions
+        a = rng.normal(0, 0.05, size=(30, 8)) + np.array([1, 0, 0, 0, 0, 0, 0, 0], np.float64)
+        b = rng.normal(0, 0.05, size=(30, 8)) + np.array([-1, 0, 0, 0, 0, 0, 0, 0], np.float64)
+        X = np.vstack([a, b]).astype(np.float32)
+        labels = np.array([0] * 30 + [1] * 30, np.int64)
+        labels[7] = 1  # plant a mislabel: an 'a'-cluster vector tagged label 1
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in X], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = q_embedding_outliers(str(tmp_path)).to_pandas()
+        # 10 per label
+        assert (out.groupby("label").size() == 10).all()
+        worst1 = out[out["label"] == 1].sort_values(["cos_4dp", "vec_id"]).iloc[0]
+        assert worst1["vec_id"] == 7  # the planted mislabel is label 1's worst fit
+        assert worst1["cos_4dp"] < 0
