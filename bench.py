@@ -438,6 +438,7 @@ def main() -> None:
         "source_kl",
         "zipf_fit",
         "embedding_outliers",
+        "doc_novelty",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10031,6 +10031,161 @@ QUALIFY row_number() OVER (PARTITION BY label ORDER BY cos_4dp, vec_id) <= 10
 """
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-document NOVELTY: the share of a document's distinct word
+    8-grams that appear in NO other document — the memorization-risk /
+    uniqueness score dual to `dup_passages` (novel ≈ safe to weight up;
+    low novelty ≈ boilerplate).  Output (doc_id, n_grams, n_novel,
+    novelty_micro = round(1e6·novel/grams), 0 for gram-less docs).
+
+    Shape: distinct (gram, doc) made batch-locally (a doc never spans
+    batches); global gram doc-frequency inside COARSE gram-hash
+    partitions (O(coarse) group calls), emitting per-doc novel-count
+    partials; per-doc totals ride a parallel batch-local stream; both
+    streams UNION into ONE groupby(doc_id) — no join, and the token
+    stream never shuffles."""
+    from ..functions.importance import _round_half_away
+    from ..functions.sampling import md5_u64
+    from ..functions.text import _split_tokens
+
+    N = 8
+    coarse = 256
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    part_schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_novel", pa.int64())])
+
+    def doc_grams(t: pa.Table):
+        parents, toks = _split_tokens(t)
+        words = toks.to_pandas().to_numpy()
+        m = len(words) - N + 1
+        if m <= 0:
+            return None
+        ok = parents[N - 1 : m + N - 1] == parents[:m]
+        s = pd.Series(words[:m][ok])
+        for j in range(1, N):
+            s = s + " " + pd.Series(words[j : m + j][ok])
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[parents[:m][ok]]
+        return pd.DataFrame({"doc_id": doc_ids, "gram": s.to_numpy()}).drop_duplicates()
+
+    def totals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = doc_grams(t)
+        cnt = np.zeros(t.num_rows, np.int64)
+        if df is not None:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            vc = df.groupby("doc_id").size()
+            pos = pd.Index(ids).get_indexer(vc.index)  # batch row order is arbitrary
+            cnt[pos] = vc.to_numpy()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(cnt, pa.int64()),
+                "n_novel": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        df = doc_grams(t) if t.num_rows else None
+        if df is None:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string()), "_pp": pa.array([], pa.int64())}
+            )
+        pp = (md5_u64(df["gram"].to_numpy()) % np.uint64(coarse)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "gram": pa.array(df["gram"].to_numpy(), pa.string()),
+                "_pp": pa.array(pp, pa.int64()),
+            }
+        )
+
+    def novel_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are globally-distinct (gram, doc): a gram's doc-frequency
+        # is its row count inside this (complete) hash partition
+        freq = df.groupby("gram")["gram"].transform("size")
+        nov = df[freq == 1].groupby("doc_id").size().reset_index(name="n_novel")
+        return pd.DataFrame(
+            {
+                "doc_id": nov["doc_id"].to_numpy(np.int64),
+                "n_grams": np.zeros(len(nov), np.int64),
+                "n_novel": nov["n_novel"].to_numpy(np.int64),
+            }
+        )
+
+    novel = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(novel_partials, batch_format="pandas")
+        # union() requires homogeneous block types: re-block as Arrow
+        # (schema-pinned when a partition emitted the zero-row frame)
+        .map_batches(
+            lambda t: t if t.num_rows else part_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+    agg = (
+        docs.map_batches(totals, batch_format="pyarrow")
+        .union(novel)
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"), Sum("n_novel", alias_name="n_novel"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty_micro": pa.array([], pa.int64()),
+                }
+            )
+        g = t.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("n_novel").to_numpy(zero_copy_only=False).astype(np.int64)
+        nov = np.zeros(len(g), np.int64)
+        nz = g > 0
+        nov[nz] = _round_half_away(1e6 * v[nz].astype(np.float64) / g[nz].astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(g, pa.int64()),
+                "n_novel": pa.array(v, pa.int64()),
+                "novelty_micro": pa.array(nov, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_DOC_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 6), i ->
+                list_aggregate(list_slice(ws, i, i + 7), 'string_agg', ' '))) AS gram
+  FROM toks
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+gcnt AS (SELECT gram, count(*) AS df FROM dg GROUP BY 1),
+per_doc AS (
+  SELECT d.doc_id, count(*) AS n_grams,
+         coalesce(sum(CASE WHEN g.df = 1 THEN 1 ELSE 0 END), 0) AS n_novel
+  FROM dg d JOIN gcnt g USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(round(1000000 * CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS novelty_micro
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10247,6 +10402,7 @@ QUERIES = {
     "source_kl": q_source_kl,
     "zipf_fit": q_zipf_fit,
     "embedding_outliers": q_embedding_outliers,
+    "doc_novelty": q_doc_novelty,
 }
 
 ORACLES = {
@@ -10427,6 +10583,7 @@ ORACLES = {
     "source_kl": SQL_SOURCE_KL,
     "zipf_fit": SQL_ZIPF_FIT,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "doc_novelty": SQL_DOC_NOVELTY,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5132,3 +5132,62 @@ class TestEmbeddingOutliers:
         worst1 = out[out["label"] == 1].sort_values(["cos_4dp", "vec_id"]).iloc[0]
         assert worst1["vec_id"] == 7  # the planted mislabel is label 1's worst fit
         assert worst1["cos_4dp"] < 0
+
+
+class TestDocNovelty:
+    def test_planted_duplicate_and_unique_docs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_novelty
+
+        rng = np.random.default_rng(89)
+        vocab = ["n%d" % i for i in range(400)]
+        unique_doc = " ".join(rng.choice(vocab, size=50))
+        dup_block = " ".join(rng.choice(vocab, size=50))
+        texts = [
+            unique_doc,            # 0: all grams unique -> novelty 1e6
+            dup_block,             # 1: identical to 2 -> novelty 0
+            dup_block,             # 2
+            "a b c",               # 3: < 8 tokens -> no grams
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_doc_novelty(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+        assert len(out) == 4
+        assert out.loc[0, "n_grams"] == 43 and out.loc[0, "novelty_micro"] == 1_000_000
+        assert out.loc[1, "novelty_micro"] == 0 and out.loc[2, "novelty_micro"] == 0
+        assert out.loc[3, "n_grams"] == 0 and out.loc[3, "novelty_micro"] == 0
+
+    def test_batchsize_invariant(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_novelty
+
+        rng = np.random.default_rng(97)
+        vocab = ["m%d" % i for i in range(60)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 40))) for _ in range(40)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 40, pa.string()),
+                "source": pa.array(["s"] * 40, pa.string()),
+            }
+        )
+        import os
+
+        os.makedirs(str(tmp_path / "one"), exist_ok=True)
+        os.makedirs(str(tmp_path / "many"), exist_ok=True)
+        pq.write_table(t, str(tmp_path / "one" / "documents.parquet"))
+        # many tiny row groups -> many read blocks, same single file name
+        pq.write_table(t, str(tmp_path / "many" / "documents.parquet"), row_group_size=5)
+        a = q_doc_novelty(str(tmp_path / "one")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q_doc_novelty(str(tmp_path / "many")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
