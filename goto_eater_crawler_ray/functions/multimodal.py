@@ -4,13 +4,15 @@ Images/audio/video are opaque ``binary`` columns with typed metadata.
 The decode libraries (Pillow, ffmpeg, etc.) are NOT in this container;
 the codec step is layered (per the build brief):
 
-  * real PNG bodies decode through :func:`png_decode_stdlib` — the seam
-    is CLOSED for PNG with stdlib only (zlib inflate + scanline
-    unfiltering + PLTE expansion); Pillow auto-upgrades all formats
-    when importable;
+  * real PNG bodies decode through :func:`png_decode_stdlib` (zlib
+    inflate + scanline unfiltering + PLTE expansion), real GIF bodies
+    through :func:`gif_decode_stdlib` (direct variable-width LZW), and
+    real BMP bodies through :func:`bmp_decode_stdlib` (uncompressed
+    DIB) — those three seams are CLOSED with stdlib only; Pillow
+    auto-upgrades all formats when importable;
   * ``DecodeImage(strict=True)`` raises ``NotImplementedError`` for
-    non-PNG formats without Pillow — the honest production behavior
-    without a codec (JPEG/GIF/WebP need real codec libraries);
+    the remaining formats without Pillow — the honest production
+    behavior without a codec (JPEG/WebP need entropy/DSP libraries);
   * ``DecodeImage(strict=False)`` runs a deterministic fake decode
     (dimensions derived from a content hash) for non-image payloads so
     the Ray-side plumbing — schema, actor signature, batch sizing,
@@ -133,6 +135,149 @@ def png_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
     return w, h, mode, px
 
 
+def gif_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Stdlib GIF decode (GIF87a/89a are public CompuServe/W3C specs;
+    the only compression is LZW, implemented here directly): parse the
+    logical screen descriptor + global color table, skip extension
+    blocks (GCE/comment/application), decode the FIRST image descriptor
+    (local color table honored) through variable-width LZW with
+    clear/EOI handling and 12-bit dictionary growth, and resolve the
+    indices through the active palette.  Returns ``(width, height, 'P',
+    pixels[h, w, 3] uint8)`` — the indexed mode name with pixels already
+    palette-expanded, matching the PNG path's convention.  Interlaced
+    images and missing color tables raise ``ValueError`` explicitly,
+    never silent garbage."""
+    import struct
+
+    if not (b.startswith(b"GIF87a") or b.startswith(b"GIF89a")):
+        raise ValueError("gif: bad signature")
+    if len(b) < 13:
+        raise ValueError("gif: truncated header")
+    _, _, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b):
+            sz = b[p]
+            p += 1
+            if sz == 0:
+                return p
+            p += sz
+        raise ValueError("gif: unterminated sub-blocks")
+
+    while pos < len(b):
+        intro = b[pos]
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif intro == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("gif: truncated image descriptor")
+            _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("gif: interlaced images unsupported")
+            if pal is None:
+                raise ValueError("gif: image without a color table")
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()  # concatenate the LZW sub-blocks
+            while pos < len(b):
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += b[pos : pos + sz]
+                pos += sz
+            # variable-width LZW (GIF flavor: clear + EOI codes,
+            # dictionary grows to 12 bits then freezes until clear)
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            acc = nbits = 0
+            out = bytearray()
+            prev = None
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                        width = mcs + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        nbits = 0
+                        acc = 0
+                        break
+                    if prev is None:
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):  # the KwKwK case
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        raise ValueError("gif: corrupt LZW stream")
+                    out += entry
+                    prev = entry
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+            if len(out) < w * h:
+                raise ValueError("gif: pixel data underrun")
+            idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("gif: palette index out of range")
+            return w, h, "P", pal[idx].reshape(h, w, 3)
+        elif intro == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{intro:02x}")
+    raise ValueError("gif: no image descriptor")
+
+
+def bmp_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Stdlib BMP decode (Windows DIB, a public Microsoft spec;
+    uncompressed BI_RGB at 24/32 bpp with a BITMAPINFOHEADER — the shape
+    virtually every real .bmp uses): rows are 4-byte aligned, stored
+    bottom-up (negative height = top-down), samples are BGR(A).  Returns
+    ``(width, height, mode, pixels[h, w, ch] uint8)`` in RGB(A) order.
+    Palette/RLE/16-bit variants raise ``ValueError`` explicitly."""
+    import struct
+
+    if not b.startswith(b"BM") or len(b) < 54:
+        raise ValueError("bmp: bad signature or truncated")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (hdr_size, w, h_signed, planes, bpp, comp) = struct.unpack("<IiiHHI", b[14:34])
+    if hdr_size < 40 or comp != 0 or bpp not in (24, 32) or planes != 1:
+        raise ValueError(f"bmp: unsupported variant (hdr={hdr_size} bpp={bpp} comp={comp})")
+    h = abs(h_signed)
+    spp = bpp // 8
+    stride = (w * spp + 3) & ~3
+    if data_off + stride * h > len(b):
+        raise ValueError("bmp: pixel data underrun")
+    rows = np.frombuffer(b, np.uint8, stride * h, data_off).reshape(h, stride)[:, : w * spp]
+    px = rows.reshape(h, w, spp)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    if spp == 3:
+        return w, h, "RGB", px[:, :, ::-1].copy()  # BGR -> RGB
+    return w, h, "RGBA", px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
+
+
 class DecodeImage:
     """binary -> (width, height, mode) — codec SEAM: rows whose bytes carry
     a real image magic (PNG/JPEG/GIF/BMP/WebP) decode through Pillow when
@@ -140,7 +285,9 @@ class DecodeImage:
     WITHOUT an image magic never reach the codec — they route to the
     deterministic fake (or raise under ``strict=True``), so a corpus of
     non-image binary payloads doesn't crash on UnidentifiedImageError just
-    because Pillow happens to be installed."""
+    because Pillow happens to be installed.  The PNG, GIF and BMP seams
+    are CLOSED with stdlib decoders; JPEG/WebP stay honestly gated (they
+    need real entropy/DSP codec libraries)."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -163,10 +310,18 @@ class DecodeImage:
             # unsupported-variant PNG raises ValueError explicitly
             w, h, mode, _ = png_decode_stdlib(b)
             return w, h, mode
+        if b.startswith(b"GIF87a") or b.startswith(b"GIF89a"):
+            # GIF seam CLOSED without Pillow: direct LZW decode
+            w, h, mode, _ = gif_decode_stdlib(b)
+            return w, h, mode
+        if b.startswith(b"BM"):
+            # BMP seam CLOSED without Pillow: uncompressed DIB decode
+            w, h, mode, _ = bmp_decode_stdlib(b)
+            return w, h, mode
         if self.strict:
             raise NotImplementedError(
-                "image decode requires Pillow for non-PNG formats "
-                "(JPEG/GIF/BMP/WebP need codecs not in this container)"
+                "image decode requires Pillow for non-PNG/GIF/BMP formats "
+                "(JPEG/WebP need entropy/DSP codecs not in this container)"
             )
         d = hashlib.md5(b).digest()
         return 64 + d[0], 64 + d[1], "RGB"  # deterministic fake dims

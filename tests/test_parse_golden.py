@@ -502,3 +502,199 @@ class TestCodecSeams:
         body[24] = 16  # IHDR bit-depth byte
         with pytest.raises(ValueError, match="unsupported"):
             png_decode_stdlib(bytes(body))
+
+
+def _gif_lzw_compress(indices, mcs: int) -> bytes:
+    """Spec-conformant GIF LZW compressor (test-side encoder): emits an
+    initial clear code, grows code width at dictionary size 2^width,
+    and terminates with EOI — so the decoder is exercised on a REAL
+    variable-width stream, not a hand-picked one."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for i in indices:
+        nxt = cur + bytes([i])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            # decoder grows width when its table REACHES 2^width
+            width += 1
+        cur = bytes([i])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _build_real_gif(indices, palette, mcs: int = 2, version=b"GIF89a", gce: bool = True) -> bytes:
+    """Minimal REAL GIF built with stdlib only: header + logical screen
+    descriptor + global color table + (optional) graphic control
+    extension + image descriptor + LZW sub-blocks + trailer."""
+    import struct
+
+    h, w = indices.shape
+    n = len(palette)
+    size_field = max((n - 1).bit_length() - 1, 0)
+    body = bytearray()
+    body += version
+    body += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * ((2 << size_field) - n))
+    body += pal
+    if gce:  # a skippable extension block before the image
+        body += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    body += bytes([mcs])
+    data = _gif_lzw_compress(indices.reshape(-1).tolist(), mcs)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        body += bytes([len(chunk)]) + chunk
+    body += b"\x00\x3b"
+    return bytes(body)
+
+
+def _build_real_bmp(px, top_down: bool = False) -> bytes:
+    """Minimal REAL BMP (BITMAPINFOHEADER, BI_RGB, 24/32 bpp) built with
+    stdlib only: BGR(A) samples, 4-byte row alignment, bottom-up rows
+    unless ``top_down``."""
+    import struct
+
+    h, w, spp = px.shape
+    stride = (w * spp + 3) & ~3
+    rows = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        line = bytearray()
+        for x in range(w):
+            p = px[y, x]
+            line += bytes([p[2], p[1], p[0]]) + (bytes([p[3]]) if spp == 4 else b"")
+        line += b"\x00" * (stride - len(line))
+        rows += line
+    data_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+    dib = struct.pack("<IiihHIIiiII", 40, w, (-h if top_down else h), 1, spp * 8, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + bytes(rows)
+
+
+class TestGifBmpSeams:
+    def test_real_gif_decode_stdlib(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage, gif_decode_stdlib
+
+        rng = np.random.default_rng(11)
+        palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = rng.integers(0, 4, (7, 11), dtype=np.uint8)
+        body = _build_real_gif(idx, palette)
+        w, h, mode, got = gif_decode_stdlib(body)
+        assert (w, h, mode) == (11, 7, "P")
+        assert np.array_equal(got, palette[idx])
+        out = DecodeImage()(pa.table({"doc_id": ["g"], "media_bytes": [body]}))
+        assert out.to_pylist()[0] == {"doc_id": "g", "width": 11, "height": 7, "mode": "P"}
+
+    def test_gif_width_growth_and_gif87a(self):
+        # >2^(mcs+1) dictionary entries force a code-width growth mid-stream
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import gif_decode_stdlib
+
+        rng = np.random.default_rng(13)
+        palette = np.array([[i, 2 * i, 3 * i] for i in range(16)], np.uint8)
+        idx = rng.integers(0, 16, (23, 31), dtype=np.uint8)
+        body = _build_real_gif(idx, palette, mcs=4, version=b"GIF87a", gce=False)
+        w, h, mode, got = gif_decode_stdlib(body)
+        assert (w, h) == (31, 23) and np.array_equal(got, palette[idx])
+
+    def test_gif_kwkwk_and_malformed(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import gif_decode_stdlib
+
+        # aaaa... forces the KwKwK (code == len(table)) LZW case
+        palette = np.array([[9, 9, 9], [1, 1, 1]], np.uint8)
+        idx = np.zeros((4, 8), np.uint8)
+        w, h, mode, got = gif_decode_stdlib(_build_real_gif(idx, palette))
+        assert np.array_equal(got, palette[idx])
+        with pytest.raises(ValueError, match="gif"):
+            gif_decode_stdlib(b"GIF89a garbage that is not a gif")
+        body = bytearray(_build_real_gif(idx, palette))
+        body[-12] |= 0  # keep valid; now flip the interlace flag in the descriptor
+        # find image descriptor: byte 0x2c after header+LSD+GCT+GCE
+        pos = body.index(0x2C)
+        body[pos + 9] |= 0x40
+        with pytest.raises(ValueError, match="interlaced"):
+            gif_decode_stdlib(bytes(body))
+
+    def test_real_bmp_decode_stdlib(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage, bmp_decode_stdlib
+
+        rng = np.random.default_rng(17)
+        px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        body = _build_real_bmp(px)
+        w, h, mode, got = bmp_decode_stdlib(body)
+        assert (w, h, mode) == (7, 5, "RGB")
+        assert np.array_equal(got, px)
+        out = DecodeImage()(pa.table({"doc_id": ["b"], "media_bytes": [body]}))
+        assert out.to_pylist()[0] == {"doc_id": "b", "width": 7, "height": 5, "mode": "RGB"}
+
+    def test_bmp_variants_and_malformed(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import bmp_decode_stdlib
+
+        rng = np.random.default_rng(19)
+        rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+        w, h, mode, got = bmp_decode_stdlib(_build_real_bmp(rgba))
+        assert (w, h, mode) == (4, 3, "RGBA") and np.array_equal(got, rgba)
+        td = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+        w, h, mode, got = bmp_decode_stdlib(_build_real_bmp(td, top_down=True))
+        assert np.array_equal(got, td)
+        with pytest.raises(ValueError, match="bmp"):
+            bmp_decode_stdlib(b"BM too short")
+        body = bytearray(_build_real_bmp(td))
+        body[28] = 16  # bpp field -> unsupported 16-bit
+        with pytest.raises(ValueError, match="unsupported"):
+            bmp_decode_stdlib(bytes(body))
+
+    def test_pillow_cross_check_when_present(self):
+        PIL = pytest.importorskip("PIL")  # noqa: F841
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from goto_eater_crawler_ray.functions.multimodal import bmp_decode_stdlib, gif_decode_stdlib
+
+        palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = np.random.default_rng(23).integers(0, 4, (6, 9), dtype=np.uint8)
+        with Image.open(io.BytesIO(_build_real_gif(idx, palette))) as im:
+            assert (im.width, im.height) == (9, 6)
+            assert np.array_equal(np.asarray(im.convert("RGB")), gif_decode_stdlib(_build_real_gif(idx, palette))[3])
+        px = np.random.default_rng(29).integers(0, 256, (4, 6, 3), dtype=np.uint8)
+        with Image.open(io.BytesIO(_build_real_bmp(px))) as im:
+            assert np.array_equal(np.asarray(im.convert("RGB")), bmp_decode_stdlib(_build_real_bmp(px))[3])
