@@ -278,6 +278,261 @@ def bmp_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
     return w, h, "RGBA", px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
 
 
+def _zigzag_order() -> np.ndarray:
+    """The JPEG zigzag scan as flat 8x8 indices (ITU T.81 Figure 5),
+    generated by the diagonal walk instead of a typed-in table."""
+    out = np.empty(64, np.int64)
+    x = y = 0
+    for i in range(64):
+        out[i] = y * 8 + x
+        if (x + y) % 2 == 0:  # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:  # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+
+# orthonormal 8-point DCT-II basis: F = M f Mᵀ, f = Mᵀ F M
+_DCT_M = np.array(
+    [
+        [0.5 * (np.sqrt(0.5) if u == 0 else 1.0) * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+        for u in range(8)
+    ],
+    np.float64,
+)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: MSB-first with 0xFF00 byte
+    unstuffing.  Hitting any real marker mid-symbol is an error — the
+    MCU loop byte-aligns and consumes RSTn markers itself, so a valid
+    stream never reads across one."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.b):
+                raise ValueError("jpeg: entropy data underrun")
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else None
+                if nxt != 0x00:
+                    raise ValueError("jpeg: hit marker during entropy decode")
+                self.pos += 2  # stuffed data byte 0xFF
+            else:
+                self.pos += 1
+            self.cur = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_consume_rst(self, index: int):
+        """Byte-align, then consume the expected RSTn marker."""
+        self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.b)
+            and self.b[self.pos] == 0xFF
+            and self.b[self.pos + 1] == 0xD0 + (index % 8)
+        ):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """ITU T.81 EXTEND: map the t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _huff_table(bits, vals):
+    """Canonical Huffman decode map {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def jpeg_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Stdlib BASELINE JPEG decode (ITU T.81 is a public spec; baseline
+    sequential DCT needs only Huffman coding + an 8x8 IDCT, both
+    implemented here directly): segment walk (DQT/SOF0/DHT/SOS, DRI +
+    RSTn restarts honored), canonical Huffman entropy decode with
+    0xFF00 unstuffing, DC prediction + AC run-length, dequantization,
+    inverse zigzag, orthonormal IDCT, chroma upsampling (1x1/2x1/1x2/
+    2x2 factors), and JFIF YCbCr→RGB.  Returns ``(width, height, mode,
+    pixels[h, w, ch] uint8)`` — mode 'L' for 1-component, 'RGB' for
+    3-component scans.  Progressive (SOF2), arithmetic, and 12-bit
+    variants raise ``ValueError`` explicitly, never silent garbage."""
+    import struct
+
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("jpeg: bad signature")
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("jpeg: segment sync lost")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        data = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(data[p + 1 : p + 65], np.uint8).astype(np.int32)
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+            prec, h, w, nc = data[0], struct.unpack(">H", data[1:3])[0], struct.unpack(">H", data[3:5])[0], data[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = data[6 + 3 * i], data[7 + 3 * i], data[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline sequential (SOF0/1) supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                bits = list(data[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(data[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = data[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = data[1 + 2 * i], data[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 15))
+            w, h, comps = sof
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax not in (1, 2) or vmax not in (1, 2):
+                raise ValueError("jpeg: sampling factors beyond 2 unsupported")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = {}
+            for c in comps:
+                planes[c["id"]] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+            order = []
+            for cs, td, ta in scan:
+                c = next(cc for cc in comps if cc["id"] == cs)
+                order.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]]))
+            reader = _JpegBitReader(b, pos + 2 + seglen)
+            pred = {c["id"]: 0 for c in comps}
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        reader.align_and_consume_rst(mcu_count // restart_interval - 1)
+                        pred = {c["id"]: 0 for c in comps}
+                    mcu_count += 1
+                    for c, hdc, hac, q in order:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coef = np.zeros(64, np.int32)
+                                t = _huff_decode(reader, hdc)
+                                diff = _jpeg_extend(reader.receive(t), t)
+                                pred[c["id"]] += diff
+                                coef[0] = pred[c["id"]]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(reader, hac)
+                                    if rs == 0:
+                                        break  # EOB
+                                    if rs == 0xF0:
+                                        k += 16
+                                        continue
+                                    k += rs >> 4
+                                    if k > 63:
+                                        raise ValueError("jpeg: AC index overflow")
+                                    s = rs & 15
+                                    coef[k] = _jpeg_extend(reader.receive(s), s)
+                                    k += 1
+                                block = np.zeros(64, np.float64)
+                                block[_ZIGZAG] = coef * q
+                                f = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M  # IDCT
+                                py0 = (my * c["v"] + by) * 8
+                                px0 = (mx * c["h"] + bx) * 8
+                                planes[c["id"]][py0 : py0 + 8, px0 : px0 + 8] = f + 128.0
+            full = []
+            for c in comps:
+                p = planes[c["id"]]
+                if c["h"] < hmax:
+                    p = np.repeat(p, hmax // c["h"], axis=1)
+                if c["v"] < vmax:
+                    p = np.repeat(p, vmax // c["v"], axis=0)
+                full.append(p[: h, : w])
+            if len(comps) == 1:
+                px = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)[:, :, None]
+                return w, h, "L", px
+            if len(comps) != 3:
+                raise ValueError("jpeg: only 1- or 3-component scans supported")
+            y, cb, cr = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bl = y + 1.772 * (cb - 128.0)
+            px = np.clip(np.stack([r, g, bl], axis=2) + 0.5, 0, 255).astype(np.uint8)
+            return w, h, "RGB", px
+        pos += 2 + seglen
+    raise ValueError("jpeg: no scan data")
+
+
 class DecodeImage:
     """binary -> (width, height, mode) — codec SEAM: rows whose bytes carry
     a real image magic (PNG/JPEG/GIF/BMP/WebP) decode through Pillow when
@@ -314,14 +569,19 @@ class DecodeImage:
             # GIF seam CLOSED without Pillow: direct LZW decode
             w, h, mode, _ = gif_decode_stdlib(b)
             return w, h, mode
+        if b.startswith(b"\xff\xd8"):
+            # baseline JPEG seam CLOSED without Pillow: Huffman + IDCT
+            w, h, mode, _ = jpeg_decode_stdlib(b)
+            return w, h, mode
         if b.startswith(b"BM"):
             # BMP seam CLOSED without Pillow: uncompressed DIB decode
             w, h, mode, _ = bmp_decode_stdlib(b)
             return w, h, mode
         if self.strict:
             raise NotImplementedError(
-                "image decode requires Pillow for non-PNG/GIF/BMP formats "
-                "(JPEG/WebP need entropy/DSP codecs not in this container)"
+                "image decode requires Pillow for formats beyond "
+                "PNG/GIF/BMP/baseline-JPEG (WebP/progressive-JPEG need "
+                "codecs not in this container)"
             )
         d = hashlib.md5(b).digest()
         return 64 + d[0], 64 + d[1], "RGB"  # deterministic fake dims

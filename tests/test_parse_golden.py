@@ -698,3 +698,277 @@ class TestGifBmpSeams:
         px = np.random.default_rng(29).integers(0, 256, (4, 6, 3), dtype=np.uint8)
         with Image.open(io.BytesIO(_build_real_bmp(px))) as im:
             assert np.array_equal(np.asarray(im.convert("RGB")), bmp_decode_stdlib(_build_real_bmp(px))[3])
+
+
+class _JpegWriter:
+    """Spec-conformant BASELINE JPEG encoder (test-side, stdlib+numpy):
+    JFIF YCbCr (or grayscale), optional 2x2 luma subsampling, flat
+    quant table, fixed-length canonical Huffman tables emitted via DHT,
+    byte stuffing, optional restart intervals — so the decoder is
+    exercised on real ITU T.81 streams it didn't write itself."""
+
+    def __init__(self, quant: int = 1, restart_interval: int = 0):
+        import numpy as np
+
+        self.q = quant
+        self.dri = restart_interval
+        from goto_eater_crawler_ray.functions.multimodal import _DCT_M, _ZIGZAG
+
+        self.M = _DCT_M
+        self.zz = _ZIGZAG
+        self.np = np
+
+    @staticmethod
+    def _category(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    def _block_symbols(self, block, pred):
+        """(dc_symbol, dc_bits), [(ac_symbol, ac_bits)...], new_pred"""
+        np = self.np
+        f = self.M @ (block - 128.0) @ self.M.T
+        coef = np.round(f / self.q).astype(np.int64)
+        zzc = coef.reshape(-1)[self.zz]
+        dc = int(zzc[0])
+        diff = dc - pred
+        t = self._category(diff)
+        dc_bits = (diff if diff >= 0 else diff + (1 << t) - 1, t)
+        acs = []
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zzc[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(zzc[k])
+            if v == 0:
+                run += 1
+                if run == 16:
+                    acs.append((0xF0, (0, 0)))
+                    run = 0
+                continue
+            s = self._category(v)
+            acs.append(((run << 4) | s, (v if v >= 0 else v + (1 << s) - 1, s)))
+            run = 0
+        if last_nz < 63:
+            acs.append((0x00, (0, 0)))  # EOB
+        return (t, dc_bits), acs, dc
+
+    def encode(self, px, subsample=False) -> bytes:
+        import struct
+
+        np = self.np
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, ch = px.shape
+        gray = ch == 1
+        if gray:
+            planes = [px[:, :, 0].astype(np.float64)]
+            sampling = [(1, 1)]
+        else:
+            r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            if subsample:
+                hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
+                yp = np.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
+                cbp = np.pad(cb, ((0, hp - h), (0, wp - w)), mode="edge")
+                crp = np.pad(cr, ((0, hp - h), (0, wp - w)), mode="edge")
+                cb = (cbp.reshape(hp // 2, 2, wp // 2, 2)).mean(axis=(1, 3))
+                cr = (crp.reshape(hp // 2, 2, wp // 2, 2)).mean(axis=(1, 3))
+                planes = [yp, cb, cr]
+                sampling = [(2, 2), (1, 1), (1, 1)]
+            else:
+                planes = [y, cb, cr]
+                sampling = [(1, 1), (1, 1), (1, 1)]
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        padded = []
+        for p, (sh, sv) in zip(planes, sampling):
+            ph, pw = mcuy * sv * 8, mcux * sh * 8
+            padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"))
+
+        # pass 1: gather every MCU's symbols (shared DC + AC tables)
+        preds = [0] * len(planes)
+        mcus = []
+        dc_syms, ac_syms = set(), set()
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if self.dri and n_mcu and n_mcu % self.dri == 0:
+                    preds = [0] * len(planes)
+                n_mcu += 1
+                parts = []
+                for ci, (p, (sh, sv)) in enumerate(zip(padded, sampling)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                            (t, dcb), acs, preds[ci] = self._block_symbols(
+                                p[y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                            )
+                            dc_syms.add(t)
+                            ac_syms.update(s for s, _ in acs)
+                            parts.append(((t, dcb), acs))
+                mcus.append(parts)
+
+        def fixed_table(symbols):
+            syms = sorted(symbols)
+            L = 2
+            while (1 << L) - 1 < len(syms):
+                L += 1
+            bits = [0] * 16
+            bits[L - 1] = len(syms)
+            codes = {s: (L, i) for i, s in enumerate(syms)}
+            return bits, syms, codes
+
+        dc_bits, dc_vals, dc_codes = fixed_table(dc_syms)
+        ac_bits, ac_vals, ac_codes = fixed_table(ac_syms)
+
+        out = bytearray(b"\xff\xd8")
+        qt = bytes([0]) + bytes([self.q] * 64)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+        nc = 1 if gray else 3
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        for i in range(nc):
+            sh, sv = sampling[i]
+            sof += bytes([i + 1, (sh << 4) | sv, 0])
+        out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+            seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+        if self.dri:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, self.dri)
+        sos = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) + bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        # pass 2: bitstream
+        buf = bytearray()
+        acc = nbits = 0
+
+        def put(code, length):
+            nonlocal acc, nbits
+            if length == 0:
+                return
+            acc = (acc << length) | code
+            nbits += length
+            while nbits >= 8:
+                byte = (acc >> (nbits - 8)) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+                nbits -= 8
+            acc &= (1 << nbits) - 1
+
+        def flush():
+            nonlocal acc, nbits
+            if nbits:
+                byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+                acc = nbits = 0
+
+        rst = 0
+        for i, parts in enumerate(mcus):
+            if self.dri and i and i % self.dri == 0:
+                flush()
+                buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+            for (t, (dcv, dct)), acs in parts:
+                cl, cc = dc_codes[t]
+                put(cc, cl)
+                put(dcv, dct)
+                for sym, (v, s) in acs:
+                    cl, cc = ac_codes[sym]
+                    put(cc, cl)
+                    put(v, s)
+        flush()
+        out += buf + b"\xff\xd9"
+        return bytes(out)
+
+
+class TestJpegSeam:
+    def test_baseline_444_rgb_roundtrip(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeImage, jpeg_decode_stdlib
+
+        rng = np.random.default_rng(31)
+        # smooth gradient + mild noise: with a flat quant=1 table the
+        # round-trip error is DCT rounding only
+        xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+        base = (xx * 5 + yy * 3) % 256
+        px = np.stack([base, 255 - base, (base * 2) % 256], axis=2).astype(np.uint8)
+        body = _JpegWriter(quant=1).encode(px)
+        w, h, mode, got = jpeg_decode_stdlib(body)
+        assert (w, h, mode) == (24, 16, "RGB")
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4  # DCT+color rounding
+        out = DecodeImage()(pa.table({"doc_id": ["j"], "media_bytes": [body]}))
+        assert out.to_pylist()[0] == {"doc_id": "j", "width": 24, "height": 16, "mode": "RGB"}
+
+    def test_grayscale_and_nonmultiple_dims(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import jpeg_decode_stdlib
+
+        rng = np.random.default_rng(37)
+        px = rng.integers(0, 256, (13, 19), dtype=np.uint8)  # non-8-multiple
+        w, h, mode, got = jpeg_decode_stdlib(_JpegWriter(quant=1).encode(px))
+        assert (w, h, mode) == (19, 13, "L")
+        assert np.abs(got[:, :, 0].astype(int) - px.astype(int)).max() <= 2
+
+    def test_420_subsampling(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import jpeg_decode_stdlib
+
+        # constant-chroma image: 4:2:0 subsampling loses nothing
+        xx = np.tile(np.arange(32, dtype=np.uint8) * 8, (24, 1))
+        px = np.stack([xx, xx, xx], axis=2)
+        body = _JpegWriter(quant=1).encode(px, subsample=True)
+        w, h, mode, got = jpeg_decode_stdlib(body)
+        assert (w, h) == (32, 24)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4
+
+    def test_restart_intervals(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import jpeg_decode_stdlib
+
+        rng = np.random.default_rng(41)
+        xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+        base = (xx * 7 + yy * 2) % 256
+        px = np.stack([base, base[::-1], base], axis=2).astype(np.uint8)
+        body = _JpegWriter(quant=1, restart_interval=2).encode(px)
+        assert b"\xff\xdd" in body and body.count(b"\xff\xd0") >= 1
+        w, h, mode, got = jpeg_decode_stdlib(body)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4
+
+    def test_progressive_and_malformed_raise(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import jpeg_decode_stdlib
+
+        with pytest.raises(ValueError, match="jpeg"):
+            jpeg_decode_stdlib(b"\xff\xd8 garbage")
+        body = bytearray(_JpegWriter(quant=1).encode(np.zeros((8, 8), np.uint8)))
+        i = body.index(b"\xff\xc0")
+        body[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            jpeg_decode_stdlib(bytes(body))
+
+    def test_pillow_cross_check_when_present(self):
+        PIL = pytest.importorskip("PIL")  # noqa: F841
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from goto_eater_crawler_ray.functions.multimodal import jpeg_decode_stdlib
+
+        xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+        base = (xx * 5 + yy * 3) % 256
+        px = np.stack([base, 255 - base, (base * 2) % 256], axis=2).astype(np.uint8)
+        body = _JpegWriter(quant=1).encode(px)
+        with Image.open(io.BytesIO(body)) as im:
+            ours = jpeg_decode_stdlib(body)[3]
+            theirs = np.asarray(im.convert("RGB"))
+            assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
