@@ -439,6 +439,7 @@ def main() -> None:
         "zipf_fit",
         "embedding_outliers",
         "doc_novelty",
+        "media_audio",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

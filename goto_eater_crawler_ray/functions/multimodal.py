@@ -533,6 +533,84 @@ def jpeg_decode_stdlib(b: bytes) -> tuple[int, int, str, np.ndarray]:
     raise ValueError("jpeg: no scan data")
 
 
+def wav_decode_stdlib(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Stdlib RIFF/WAVE PCM decode (a public Microsoft/IBM spec; PCM
+    needs no codec at all): chunk walk, 'fmt ' (PCM, 8/16-bit), 'data'.
+    Returns ``(n_channels, sample_rate, n_frames, samples[frames,
+    channels] int16)`` — 8-bit unsigned samples are centered to int16.
+    Compressed formats (ADPCM/MP3-in-WAV/float) raise ``ValueError``
+    explicitly."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("wav: bad signature")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(f"wav: unsupported format (fmt={audio_fmt} bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.int16)
+    else:
+        samples = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8).astype(np.int16)
+    n_frames = len(samples) // channels
+    return channels, rate, n_frames, samples[: n_frames * channels].reshape(n_frames, channels)
+
+
+class DecodeAudio:
+    """binary -> (n_channels, sample_rate, n_frames, duration_ms) — the
+    audio side of the codec SEAM: real RIFF/WAVE PCM bodies decode
+    through :func:`wav_decode_stdlib` (CLOSED, stdlib only); other real
+    audio containers (MP3/OGG/FLAC need entropy codecs) raise under
+    ``strict=True``; non-audio payloads route to the deterministic fake
+    so the Ray plumbing is testable on the synthetic corpus (fake
+    mirrored by the `media_audio` oracle twin)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _decode_one(self, b: bytes) -> tuple[int, int, int]:
+        if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+            ch, rate, frames, _ = wav_decode_stdlib(b)
+            return ch, rate, frames
+        if self.strict:
+            raise NotImplementedError(
+                "audio decode requires a codec library for non-PCM-WAV formats (MP3/OGG/FLAC)"
+            )
+        d = hashlib.md5(b).digest()
+        return 1 + (d[0] & 1), 8000 + 100 * d[1], 1000 + d[2] + (d[3] << 8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ch, rate, frames, dur = [], [], [], []
+        for b in batch.column("media_bytes").to_pylist():
+            c, r, f = self._decode_one(b)
+            ch.append(c)
+            rate.append(r)
+            frames.append(f)
+            dur.append(f * 1000 // r)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_channels": pa.array(ch, pa.int64()),
+                "sample_rate": pa.array(rate, pa.int64()),
+                "n_frames": pa.array(frames, pa.int64()),
+                "duration_ms": pa.array(dur, pa.int64()),
+            }
+        )
+
+
 class DecodeImage:
     """binary -> (width, height, mode) — codec SEAM: rows whose bytes carry
     a real image magic (PNG/JPEG/GIF/BMP/WebP) decode through Pillow when

@@ -1765,6 +1765,31 @@ FROM documents
 """
 
 
+def q_media_audio(sf_dir: str):
+    """STUB audio decode over the binary column (actor pool, small
+    batches) — ORACLE-pinned like `media_decode`: the deterministic fake
+    derives (n_channels, sample_rate, n_frames) from the payload's first
+    four md5 digest bytes, reproduced by the twin with
+    ``md5_number_upper`` byte arithmetic; duration is exact integer
+    division both sides.  Real RIFF/WAVE PCM bodies would re-route
+    through the CLOSED stdlib decoder (`wav_decode_stdlib`) — the corpus
+    payloads are utf-8 text, so every row pins the fake path."""
+    from ..functions.multimodal import DecodeAudio
+
+    return _docs_as_media(sf_dir).map_batches(DecodeAudio, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+SQL_MEDIA_AUDIO = """
+SELECT doc_id,
+       CAST(1 + (md5_number_upper(text) & 1) AS BIGINT) AS n_channels,
+       CAST(8000 + 100 * ((md5_number_upper(text) >> 8) & 255) AS BIGINT) AS sample_rate,
+       CAST(1000 + ((md5_number_upper(text) >> 16) & 255) + 256 * ((md5_number_upper(text) >> 24) & 255) AS BIGINT) AS n_frames,
+       CAST((1000 + ((md5_number_upper(text) >> 16) & 255) + 256 * ((md5_number_upper(text) >> 24) & 255)) * 1000
+            // (8000 + 100 * ((md5_number_upper(text) >> 8) & 255)) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def q_media_features(sf_dir: str):
     from ..functions.multimodal import ExtractFeatures
 
@@ -10403,6 +10428,7 @@ QUERIES = {
     "zipf_fit": q_zipf_fit,
     "embedding_outliers": q_embedding_outliers,
     "doc_novelty": q_doc_novelty,
+    "media_audio": q_media_audio,
 }
 
 ORACLES = {
@@ -10584,6 +10610,7 @@ ORACLES = {
     "zipf_fit": SQL_ZIPF_FIT,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "doc_novelty": SQL_DOC_NOVELTY,
+    "media_audio": SQL_MEDIA_AUDIO,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -972,3 +972,67 @@ class TestJpegSeam:
             ours = jpeg_decode_stdlib(body)[3]
             theirs = np.asarray(im.convert("RGB"))
             assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+class TestWavSeam:
+    def test_real_wav_decode_stdlib(self):
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeAudio, wav_decode_stdlib
+
+        rng = np.random.default_rng(43)
+        samples = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(samples.tobytes())
+        body = buf.getvalue()
+        ch, rate, frames, got = wav_decode_stdlib(body)
+        assert (ch, rate, frames) == (2, 44100, 500)
+        assert np.array_equal(got, samples)
+        out = DecodeAudio()(pa.table({"doc_id": ["a"], "media_bytes": [body]}))
+        row = out.to_pylist()[0]
+        assert row["n_channels"] == 2 and row["sample_rate"] == 44100 and row["n_frames"] == 500
+        assert row["duration_ms"] == 500 * 1000 // 44100
+
+    def test_wav_8bit_and_malformed(self):
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import wav_decode_stdlib
+
+        raw8 = np.arange(256, dtype=np.uint8)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(raw8.tobytes())
+        ch, rate, frames, got = wav_decode_stdlib(buf.getvalue())
+        assert (ch, rate, frames) == (1, 8000, 256)
+        assert np.array_equal(got[:, 0], ((raw8.astype(np.int16) - 128) << 8))
+        with pytest.raises(ValueError, match="wav"):
+            wav_decode_stdlib(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+        with pytest.raises(ValueError, match="wav"):
+            wav_decode_stdlib(b"not audio at all")
+
+    def test_fake_path_matches_md5_arithmetic(self):
+        import hashlib
+
+        from goto_eater_crawler_ray.functions.multimodal import DecodeAudio
+
+        body = b"plain text payload"
+        d = hashlib.md5(body).digest()
+        row = DecodeAudio()(pa.table({"doc_id": ["x"], "media_bytes": [body]})).to_pylist()[0]
+        assert row["n_channels"] == 1 + (d[0] & 1)
+        assert row["sample_rate"] == 8000 + 100 * d[1]
+        assert row["n_frames"] == 1000 + d[2] + (d[3] << 8)
+        with pytest.raises(NotImplementedError):
+            DecodeAudio(strict=True)(pa.table({"doc_id": ["x"], "media_bytes": [body]}))
