@@ -711,10 +711,49 @@ class ExtractFeatures:
         )
 
 
+def avi_mjpeg_frames_stdlib(b: bytes, every_n: int = 1):
+    """Stdlib MJPEG-in-AVI frame extraction (RIFF AVI is a public
+    Microsoft spec; MJPEG frames are plain baseline JPEGs, which
+    :func:`jpeg_decode_stdlib` already decodes): walk the RIFF chunk
+    tree into the 'movi' LIST, take the compressed-video chunks
+    (``##dc``/``##db``), decode every ``every_n``-th through the stdlib
+    JPEG path.  Returns ``[(frame_no, width, height, pixels), ...]``
+    where ``frame_no`` indexes the SAMPLED sequence.  Non-JPEG payloads
+    inside the video chunks raise ``ValueError`` explicitly."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("avi: bad signature")
+    import struct
+
+    frames = []
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_lo, body_hi = pos + 8, pos + 8 + clen
+            if cid in (b"RIFF", b"LIST"):
+                walk(body_lo + 4, body_hi)  # skip the 4-byte list type
+            elif cid[2:4] in (b"dc", b"db") and clen:
+                frames.append(b[body_lo:body_hi])
+            pos = body_hi + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    out = []
+    for i, fb in enumerate(frames[::every_n]):
+        w, h, _, px = jpeg_decode_stdlib(fb)
+        out.append((i, w, h, px))
+    return out
+
+
 class FrameSampler:
-    """'video' binary -> every Nth chunk as a frame ref — STUB: chunks the
-    byte stream; real impl would seek keyframes.  Demonstrates the
-    one-to-many (flat_map-shaped) media stage."""
+    """'video' binary -> every Nth frame ref — codec SEAM: real RIFF-AVI
+    payloads sample actual ``##dc`` MJPEG frames through
+    :func:`avi_mjpeg_frames_stdlib` (frame_md5 over the decoded RGB
+    pixel bytes); other payloads keep the deterministic byte-chunk fake
+    (the `media_frames` oracle twin pins that path — the corpus payloads
+    are utf-8 text).  Demonstrates the one-to-many (flat_map-shaped)
+    media stage."""
 
     def __init__(self, frame_bytes: int = 256, every_n: int = 4):
         self.frame_bytes = frame_bytes
@@ -723,6 +762,12 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out, frame_no, frame_md5 = [], [], []
         for doc_id, b in zip(batch.column("doc_id").to_pylist(), batch.column("media_bytes").to_pylist()):
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                for n, _, _, px in avi_mjpeg_frames_stdlib(b, self.every_n):
+                    ids_out.append(doc_id)
+                    frame_no.append(n)
+                    frame_md5.append(hashlib.md5(px.tobytes()).hexdigest())
+                continue
             chunks = [b[i : i + self.frame_bytes] for i in range(0, len(b), self.frame_bytes)]
             for n, c in enumerate(chunks[:: self.every_n]):
                 ids_out.append(doc_id)

@@ -1036,3 +1036,56 @@ class TestWavSeam:
         assert row["n_frames"] == 1000 + d[2] + (d[3] << 8)
         with pytest.raises(NotImplementedError):
             DecodeAudio(strict=True)(pa.table({"doc_id": ["x"], "media_bytes": [body]}))
+
+
+def _build_real_avi_mjpeg(jpeg_frames) -> bytes:
+    """Minimal REAL RIFF-AVI container with an hdrl stub and a movi LIST
+    of 00dc MJPEG chunks — enough structure to exercise the RIFF walk
+    (nested LISTs, word alignment, non-frame chunks skipped)."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56))
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body + chunk(b"idx1", b"\x00" * 16))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+class TestAviSeam:
+    def test_real_mjpeg_avi_frame_sampling(self):
+        import numpy as np
+
+        from goto_eater_crawler_ray.functions.multimodal import FrameSampler, avi_mjpeg_frames_stdlib
+
+        frames_px = []
+        enc = _JpegWriter(quant=1)
+        for i in range(5):
+            xx, yy = np.meshgrid(np.arange(16), np.arange(8))
+            base = (xx * 3 + yy * 5 + i * 40) % 256
+            frames_px.append(np.stack([base, base, base], axis=2).astype(np.uint8))
+        body = _build_real_avi_mjpeg([enc.encode(p) for p in frames_px])
+        got = avi_mjpeg_frames_stdlib(body, every_n=2)  # frames 0, 2, 4
+        assert [g[0] for g in got] == [0, 1, 2]
+        for (n, w, h, px), src in zip(got, frames_px[::2]):
+            assert (w, h) == (16, 8)
+            assert np.abs(px.astype(int) - src.astype(int)).max() <= 4
+        out = FrameSampler(every_n=2)(pa.table({"doc_id": ["v"], "media_bytes": [body]}))
+        assert out.num_rows == 3 and out.column("frame_no").to_pylist() == [0, 1, 2]
+
+    def test_malformed_avi_raises(self):
+        import pytest as _pytest
+
+        from goto_eater_crawler_ray.functions.multimodal import avi_mjpeg_frames_stdlib
+
+        with _pytest.raises(ValueError, match="avi"):
+            avi_mjpeg_frames_stdlib(b"RIFF\x04\x00\x00\x00WAVE")
+        body = _build_real_avi_mjpeg([b"not a jpeg"])
+        with _pytest.raises(ValueError, match="jpeg"):
+            avi_mjpeg_frames_stdlib(body)
