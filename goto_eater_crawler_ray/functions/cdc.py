@@ -106,12 +106,13 @@ def cdc_dedup_stats(docs_ds, divisor: int = DIVISOR):
             }
         )
 
-    agg = per_hash.map_batches(partials, batch_format="pyarrow").to_pandas().sum()
+    df = per_hash.map_batches(partials, batch_format="pyarrow").to_pandas()
+    agg = df.sum() if len(df) else {}  # token-less corpus: all-zero row
     return pa.table(
         {
-            "n_chunks": pa.array([int(agg["n_chunks"])], pa.int64()),
-            "n_distinct": pa.array([int(agg["n_distinct"])], pa.int64()),
-            "n_toks_total": pa.array([int(agg["n_toks_total"])], pa.int64()),
-            "n_toks_saved": pa.array([int(agg["n_toks_saved"])], pa.int64()),
+            "n_chunks": pa.array([int(agg.get("n_chunks", 0))], pa.int64()),
+            "n_distinct": pa.array([int(agg.get("n_distinct", 0))], pa.int64()),
+            "n_toks_total": pa.array([int(agg.get("n_toks_total", 0))], pa.int64()),
+            "n_toks_saved": pa.array([int(agg.get("n_toks_saved", 0))], pa.int64()),
         }
     )

@@ -9900,6 +9900,14 @@ def q_zipf_fit(sf_dir: str):
     )
     c = np.array([r["n"] for r in top], np.int64)
     n = len(c)
+    if n < 2:  # token-less corpus: no fit (schema-pinned degenerate row)
+        return pa.table(
+            {
+                "n_top": pa.array([n], pa.int64()),
+                "slope_micro": pa.array([0], pa.int64()),
+                "intercept_micro": pa.array([0], pa.int64()),
+            }
+        )
     rank = np.arange(1, n + 1, dtype=np.int64)
     x = _round_half_away(1e6 * np.log(rank.astype(np.float64)))
     y = _round_half_away(1e6 * np.log(c.astype(np.float64)))
@@ -9992,6 +10000,11 @@ def q_embedding_outliers(sf_dir: str):
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
         .to_pandas()  # |labels| × d rows — the legal small driver materialization
     )
+    empty_out = pa.table(
+        {"label": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cos_4dp": pa.array([], pa.float64())}
+    )
+    if cent_df.empty:  # no vectors at all: schema-pinned empty
+        return empty_out
     labels = np.sort(cent_df["label"].unique())
     d = int(cent_df["dim"].max()) + 1
     C = np.zeros((len(labels), d), np.float64)
