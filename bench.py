@@ -440,6 +440,7 @@ def main() -> None:
         "embedding_outliers",
         "doc_novelty",
         "media_audio",
+        "doc_token_entropy",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10224,6 +10224,74 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_doc_token_entropy(sf_dir: str):
+    """Per-document token Shannon ENTROPY in micro-nats — the
+    repetitiveness signal quality pipelines threshold on (low entropy =
+    keyword-stuffed / template text): H = ln(n) − (Σ c·ln c)/n over the
+    doc's token counts.  Fully batch-local (one value_counts per doc
+    segment, vectorized over the batch), no shuffle.
+
+    EXACT protocol: per-distinct-token term_micro = round(1e6·c·ln c)
+    is int64 (order-independent sum); H_micro = round(1e6·ln n − s/n)
+    is ONE shared double expression of exact ints, mirrored
+    token-identically in the twin.  Token-less docs emit H_micro=0."""
+    from ..functions.importance import _round_half_away
+    from ..functions.text import _split_tokens
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def entropy(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_toks": pa.array([], pa.int64()), "entropy_micro": pa.array([], pa.int64())}
+            )
+        parents, toks = _split_tokens(t)
+        n = np.zeros(t.num_rows, np.int64)
+        s = np.zeros(t.num_rows, np.int64)
+        if len(parents):
+            np.add.at(n, parents, 1)
+            df = pd.DataFrame({"p": parents, "w": toks.to_pandas().to_numpy()})
+            g = df.groupby(["p", "w"], sort=False).size()
+            c = g.to_numpy(np.int64)
+            terms = _round_half_away(1e6 * c.astype(np.float64) * np.log(c.astype(np.float64)))
+            np.add.at(s, g.index.get_level_values(0).to_numpy(np.int64), terms)
+        h = np.zeros(t.num_rows, np.int64)
+        nz = n > 0
+        h[nz] = _round_half_away(
+            1e6 * np.log(n[nz].astype(np.float64)) - s[nz].astype(np.float64) / n[nz].astype(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_toks": pa.array(n, pa.int64()),
+                "entropy_micro": pa.array(h, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_DOC_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+),
+occ AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+tc AS (SELECT doc_id, w, count(*) AS c FROM occ GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id, sum(CAST(round(1000000 * CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS s,
+         sum(c) AS n
+  FROM tc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS n_toks,
+       CASE WHEN coalesce(t.n, 0) > 0
+            THEN CAST(round(1000000 * ln(CAST(t.n AS DOUBLE)) - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS entropy_micro
+FROM documents d LEFT JOIN terms t USING (doc_id)
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10442,6 +10510,7 @@ QUERIES = {
     "embedding_outliers": q_embedding_outliers,
     "doc_novelty": q_doc_novelty,
     "media_audio": q_media_audio,
+    "doc_token_entropy": q_doc_token_entropy,
 }
 
 ORACLES = {
@@ -10624,6 +10693,7 @@ ORACLES = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "doc_novelty": SQL_DOC_NOVELTY,
     "media_audio": SQL_MEDIA_AUDIO,
+    "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5191,3 +5191,35 @@ class TestDocNovelty:
         a = q_doc_novelty(str(tmp_path / "one")).to_pandas().sort_values("doc_id").reset_index(drop=True)
         b = q_doc_novelty(str(tmp_path / "many")).to_pandas().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDocTokenEntropy:
+    def test_uniform_vs_repetitive_and_edge_docs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_token_entropy
+
+        texts = [
+            "a b c d e f g h",      # 0: all distinct -> H = ln(8)
+            "x x x x x x x x",      # 1: one token -> H = 0
+            "a a b b",              # 2: H = ln(2)
+            "",                     # 3: token-less -> 0
+            "solo",                 # 4: single token -> ln(1) = 0
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_doc_token_entropy(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "entropy_micro"] == round(np.log(8) * 1e6)
+        assert out.loc[1, "entropy_micro"] == round(1e6 * np.log(8) - round(1e6 * 8 * np.log(8)) / 8)
+        assert abs(out.loc[2, "entropy_micro"] - np.log(2) * 1e6) <= 1
+        assert out.loc[3, "entropy_micro"] == 0 and out.loc[3, "n_toks"] == 0
+        assert out.loc[4, "entropy_micro"] == 0 and out.loc[4, "n_toks"] == 1
+        # the repetitive doc scores (near) zero, far below the diverse doc
+        assert out.loc[1, "entropy_micro"] < 10 < out.loc[0, "entropy_micro"]
