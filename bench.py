@@ -441,6 +441,7 @@ def main() -> None:
         "doc_novelty",
         "media_audio",
         "doc_token_entropy",
+        "doc_clean",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10292,6 +10292,40 @@ FROM documents d LEFT JOIN terms t USING (doc_id)
 """
 
 
+def q_doc_clean(sf_dir: str):
+    """Corpus TEXT NORMALIZATION as a dataset op (the pre-tokenization
+    clean every pipeline runs): lowercase, collapse runs of whitespace
+    to single spaces, trim — zero-copy Arrow kernels end-to-end
+    (utf8_lower + RE2 replace + trim; DuckDB's regexp engine is RE2
+    too, so the twin is expression-identical).  Emits the cleaned text
+    plus the characters-removed accounting column."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(txt), pattern=r"\s+", replacement=" ")
+        )
+        removed = pc.subtract(pc.utf8_length(txt), pc.utf8_length(out))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "clean_text": out,
+                "n_chars_removed": removed.cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(clean, batch_format="pyarrow")
+
+
+SQL_DOC_CLEAN = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean_text,
+       CAST(len(text) - len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+FROM documents
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10511,6 +10545,7 @@ QUERIES = {
     "doc_novelty": q_doc_novelty,
     "media_audio": q_media_audio,
     "doc_token_entropy": q_doc_token_entropy,
+    "doc_clean": q_doc_clean,
 }
 
 ORACLES = {
@@ -10694,6 +10729,7 @@ ORACLES = {
     "doc_novelty": SQL_DOC_NOVELTY,
     "media_audio": SQL_MEDIA_AUDIO,
     "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
+    "doc_clean": SQL_DOC_CLEAN,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

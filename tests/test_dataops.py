@@ -5223,3 +5223,26 @@ class TestDocTokenEntropy:
         assert out.loc[4, "entropy_micro"] == 0 and out.loc[4, "n_toks"] == 1
         # the repetitive doc scores (near) zero, far below the diverse doc
         assert out.loc[1, "entropy_micro"] < 10 < out.loc[0, "entropy_micro"]
+
+
+class TestDocClean:
+    def test_lower_collapse_trim(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_clean
+
+        texts = ["  Hello   WORLD \t x ", "already clean", "", "   "]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_doc_clean(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "clean_text"] == "hello world x"
+        assert out.loc[0, "n_chars_removed"] == len(texts[0]) - len("hello world x")
+        assert out.loc[1, "clean_text"] == "already clean" and out.loc[1, "n_chars_removed"] == 0
+        assert out.loc[2, "clean_text"] == "" and out.loc[3, "clean_text"] == ""
