@@ -442,6 +442,7 @@ def main() -> None:
         "media_audio",
         "doc_token_entropy",
         "doc_clean",
+        "curate_pipeline",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10326,6 +10326,81 @@ FROM documents
 """
 
 
+def q_curate_pipeline(sf_dir: str):
+    """The END-TO-END curation run a pretraining corpus goes through,
+    composed from this repo's oracle-twinned stages in the CCNet order:
+    (1) Gopher multi-rule quality GATE (stateless batch filter),
+    (2) exact DEDUP among survivors (md5 groupby-Min keep-set + hash
+    semi-join — only (hash, id) rows shuffle, the text never does),
+    (3) bigram-LM perplexity scoring TRAINED ON THE SURVIVORS and
+    per-language head/middle/tail tertile bucketing, keeping
+    head+middle.  Output: (doc_id, lang, avg_nll_micro, bucket) of the
+    curated set.  The deduped stream is consumed twice (LM train, then
+    score) and recomputed rather than materialized — at corpus scale a
+    mid-pipeline text materialization is the thing to avoid; the gate
+    and hash join are cheap relative to holding the corpus.  The twin
+    replays gate → dedup → LM → tertiles in one CTE chain, so the hash
+    check covers the whole composition."""
+    from ray.data.aggregate import Min
+
+    from ..functions.dedup import content_hash_batch
+    from ..functions.lm import ccnet_buckets, lm_doc_nll, lm_nll_weights, lm_train
+    from ..functions.text import gopher_rules_batch
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.equal(gopher_rules_batch(t).column("gopher_pass"), 1))
+
+    kept = docs.map_batches(gate, batch_format="pyarrow")
+    keep_ids = (
+        kept.map_batches(
+            lambda t: content_hash_batch(t, "text").select(["content_hash", "doc_id"]), batch_format="pyarrow"
+        )
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .select_columns(["keep_id"])
+    )
+    n_parts = auto_num_partitions(docs.count())
+    deduped = kept.join(keep_ids, join_type="inner", num_partitions=n_parts, on=("doc_id",), right_on=("keep_id",)).select_columns(
+        ["doc_id", "text", "lang"]
+    )
+    nll1, nll2 = lm_nll_weights(*lm_train(deduped))
+    out = ccnet_buckets(lm_doc_nll(deduped, nll1, nll2, carry_cols=("lang",)))
+    return out.filter(expr="bucket != 'tail'")
+
+
+def _curate_sql() -> str:
+    lm_inner = _SQL_LM_SCORED_CTE.strip()
+    assert lm_inner.startswith("WITH")
+    lm_inner = lm_inner[len("WITH") :].replace("FROM documents", "FROM kept_docs")
+    return f"""
+WITH gpass AS (SELECT doc_id FROM ({SQL_GOPHER_QUALITY}) WHERE gopher_pass = 1),
+g1 AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN gpass USING (doc_id)),
+keepset AS (SELECT min(doc_id) AS doc_id FROM g1 GROUP BY md5(text)),
+kept_docs AS (SELECT g1.* FROM g1 JOIN keepset USING (doc_id)),
+{lm_inner},
+ranked AS (
+  SELECT s.doc_id, k.lang, s.avg_nll_micro,
+         row_number() OVER (PARTITION BY k.lang ORDER BY s.avg_nll_micro, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY k.lang) AS n
+  FROM scored s JOIN kept_docs k USING (doc_id)
+),
+th AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n - 1) * 1 // 3 + 1 THEN avg_nll_micro END) AS t1,
+         max(CASE WHEN rn = (n - 1) * 2 // 3 + 1 THEN avg_nll_micro END) AS t2
+  FROM ranked GROUP BY 1
+)
+SELECT r.doc_id, r.lang, r.avg_nll_micro,
+       CASE WHEN r.avg_nll_micro <= th.t1 THEN 'head' ELSE 'middle' END AS bucket
+FROM ranked r JOIN th USING (lang)
+WHERE r.avg_nll_micro <= th.t2
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10546,6 +10621,7 @@ QUERIES = {
     "media_audio": q_media_audio,
     "doc_token_entropy": q_doc_token_entropy,
     "doc_clean": q_doc_clean,
+    "curate_pipeline": q_curate_pipeline,
 }
 
 ORACLES = {
@@ -10730,6 +10806,7 @@ ORACLES = {
     "media_audio": SQL_MEDIA_AUDIO,
     "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
     "doc_clean": SQL_DOC_CLEAN,
+    "curate_pipeline": _curate_sql(),
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5246,3 +5246,18 @@ class TestDocClean:
         assert out.loc[0, "n_chars_removed"] == len(texts[0]) - len("hello world x")
         assert out.loc[1, "clean_text"] == "already clean" and out.loc[1, "n_chars_removed"] == 0
         assert out.loc[2, "clean_text"] == "" and out.loc[3, "clean_text"] == ""
+
+
+class TestCuratePipeline:
+    def test_composition_semantics(self, ray_session):
+        from goto_eater_crawler_ray.pipelines.queries import q_curate_pipeline, q_gopher_filter
+
+        sf = "/root/testdata/sf0.001"
+        out = q_curate_pipeline(sf).to_pandas()
+        passed = set(q_gopher_filter(sf).to_pandas()["doc_id"])
+        # every curated doc passed the gate, no tail bucket, no dup ids
+        assert set(out["doc_id"]) <= passed
+        assert set(out["bucket"]) <= {"head", "middle"}
+        assert out["doc_id"].is_unique
+        # the tail third was dropped: curated < gate survivors
+        assert 0 < len(out) < len(passed)
