@@ -443,6 +443,7 @@ def main() -> None:
         "doc_token_entropy",
         "doc_clean",
         "curate_pipeline",
+        "curate_export",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

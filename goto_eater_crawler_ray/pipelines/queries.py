@@ -10401,6 +10401,49 @@ WHERE r.avg_nll_micro <= th.t2
 """
 
 
+def q_curate_export(sf_dir: str):
+    """The curated corpus WRITTEN as resumable partitioned parquet —
+    the sink contract a 100-TB run needs (one directory per
+    (lang, bucket) partition so a failed run skips finished
+    partitions; never one giant file): runs `curate_pipeline`, streams
+    it to ``write_parquet(partition_cols=["lang", "bucket"])`` under a
+    scratch dir, then reports the written MANIFEST (lang, bucket,
+    n_docs) from parquet FILE METADATA ONLY (no data re-read).  The
+    twin aggregates the same chain in SQL, so the hash check verifies
+    the partitioned sink actually wrote every curated row to the right
+    partition."""
+    import shutil as _sh
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="curate_export_", dir="/tmp")
+    try:
+        q_curate_pipeline(sf_dir).write_parquet(out_dir, partition_cols=["lang", "bucket"])
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        rows = {}
+        for f in _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(f, out_dir).split(os.sep)
+            lang = next(p.split("=", 1)[1] for p in rel if p.startswith("lang="))
+            bucket = next(p.split("=", 1)[1] for p in rel if p.startswith("bucket="))
+            rows[(lang, bucket)] = rows.get((lang, bucket), 0) + _pq.ParquetFile(f).metadata.num_rows
+        keys = sorted(rows)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "bucket": pa.array([k[1] for k in keys], pa.string()),
+                "n_docs": pa.array([rows[k] for k in keys], pa.int64()),
+            }
+        )
+    finally:
+        _sh.rmtree(out_dir, ignore_errors=True)
+
+
+def _curate_export_sql() -> str:
+    return f"SELECT lang, bucket, count(*) AS n_docs FROM ({_curate_sql()}) GROUP BY 1, 2"
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10622,6 +10665,7 @@ QUERIES = {
     "doc_token_entropy": q_doc_token_entropy,
     "doc_clean": q_doc_clean,
     "curate_pipeline": q_curate_pipeline,
+    "curate_export": q_curate_export,
 }
 
 ORACLES = {
@@ -10807,6 +10851,7 @@ ORACLES = {
     "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
     "doc_clean": SQL_DOC_CLEAN,
     "curate_pipeline": _curate_sql(),
+    "curate_export": _curate_export_sql(),
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

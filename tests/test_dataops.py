@@ -5261,3 +5261,17 @@ class TestCuratePipeline:
         assert out["doc_id"].is_unique
         # the tail third was dropped: curated < gate survivors
         assert 0 < len(out) < len(passed)
+
+
+class TestCurateExport:
+    def test_manifest_matches_pipeline(self, ray_session):
+        from goto_eater_crawler_ray.pipelines.queries import q_curate_export, q_curate_pipeline
+
+        sf = "/root/testdata/sf0.001"
+        manifest = q_curate_export(sf).to_pandas().set_index(["lang", "bucket"])["n_docs"]
+        want = q_curate_pipeline(sf).to_pandas().groupby(["lang", "bucket"]).size()
+        assert manifest.sort_index().to_dict() == want.sort_index().to_dict()
+        # scratch dir is cleaned up
+        import glob
+
+        assert not glob.glob("/tmp/curate_export_*")
