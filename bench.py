@@ -444,6 +444,7 @@ def main() -> None:
         "doc_clean",
         "curate_pipeline",
         "curate_export",
+        "dsir_auc",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

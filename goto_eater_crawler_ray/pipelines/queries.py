@@ -10444,6 +10444,94 @@ def _curate_export_sql() -> str:
     return f"SELECT lang, bucket, count(*) AS n_docs FROM ({_curate_sql()}) GROUP BY 1, 2"
 
 
+def q_dsir_auc(sf_dir: str):
+    """Exact ROC-AUC of the DSIR importance score as an 'is-target-
+    domain' classifier (lang='en' positives) — the eval a curation run
+    uses to judge whether a cheap scorer separates the target before
+    trusting it for selection.  Tie-aware rank-sum (Mann-Whitney):
+    AUC = (Σ avg-rank(pos) − n⁺(n⁺+1)/2)/(n⁺n⁻).
+
+    Distributed shape: score-join-label, ONE groupby to per-DISTINCT-
+    score (n, n_pos) rows, then the two-pass distributed prefix-sum
+    (`functions/scan.py`) gives every score its exact count-below —
+    no global sort, no corpus-sized driver table; 3 scalars reach the
+    driver.  All rank arithmetic is integer (2·Σavg-rank stays int64);
+    the final AUC is ONE shared double expression, micro-rounded —
+    mirrored token-identically in the twin's window-sum SQL."""
+    from ..functions.importance import _round_half_away
+    from ..functions.scan import prefix_sum
+
+    scored = q_dsir_score(sf_dir)  # (doc_id, dsir_score)
+    langs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    n_parts = auto_num_partitions(langs.count())
+    lab = scored.join(langs, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"sc": pa.array([], pa.int64()), "p": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "sc": t.column("dsir_score").cast(pa.int64()),
+                "p": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
+            }
+        )
+
+    per = lab.map_batches(mark, batch_format="pyarrow").groupby("sc").aggregate(
+        Count(alias_name="n"), Sum("p", alias_name="np")
+    )
+    mn = per.aggregate(Min("sc", alias_name="m"))["m"]
+    mn = int(mn) if mn is not None else 0
+    shifted = per.map_batches(
+        lambda t: t.append_column("_k", pc.cast(pc.subtract(t.column("sc"), mn), pa.int64())),
+        batch_format="pyarrow",
+    )
+    ranked = prefix_sum(shifted, key_col="_k", value_col="n", out_col="cl")
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        np_ = t.column("np").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t.column("cl").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s2": pa.array([int((np_ * (2 * cl + 1 + n)).sum())], pa.int64()),
+                "npos": pa.array([int(np_.sum())], pa.int64()),
+                "ntot": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(partials, batch_format="pyarrow").to_pandas().sum()
+    s2, npos, ntot = int(agg["s2"]), int(agg["npos"]), int(agg["ntot"])
+    nneg = ntot - npos
+    auc = int(_round_half_away(np.float64(1e6 * float(s2 - npos * (npos + 1)) / float(2 * npos * nneg)))) if npos and nneg else 0
+    return pa.table(
+        {
+            "n_pos": pa.array([npos], pa.int64()),
+            "n_neg": pa.array([nneg], pa.int64()),
+            "auc_micro": pa.array([auc], pa.int64()),
+        }
+    )
+
+
+SQL_DSIR_AUC = _SQL_DSIR_SCORES_CTE + """,
+lab AS (
+  SELECT s.dsir_score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM scores s JOIN documents d USING (doc_id)
+),
+per AS (SELECT sc, count(*) AS n, sum(p) AS np FROM lab GROUP BY 1),
+wk AS (
+  SELECT sc, n, np,
+         coalesce(sum(n) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+  FROM per
+),
+agg AS (SELECT sum(np * (2 * cl + 1 + n)) AS s2, sum(np) AS npos, sum(n) AS ntot FROM wk)
+SELECT CAST(npos AS BIGINT) AS n_pos,
+       CAST(ntot - npos AS BIGINT) AS n_neg,
+       CAST(round(1000000 * CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                  / CAST(2 * npos * (ntot - npos) AS DOUBLE)) AS BIGINT) AS auc_micro
+FROM agg
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10666,6 +10754,7 @@ QUERIES = {
     "doc_clean": q_doc_clean,
     "curate_pipeline": q_curate_pipeline,
     "curate_export": q_curate_export,
+    "dsir_auc": q_dsir_auc,
 }
 
 ORACLES = {
@@ -10852,6 +10941,7 @@ ORACLES = {
     "doc_clean": SQL_DOC_CLEAN,
     "curate_pipeline": _curate_sql(),
     "curate_export": _curate_export_sql(),
+    "dsir_auc": SQL_DSIR_AUC,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5275,3 +5275,45 @@ class TestCurateExport:
         import glob
 
         assert not glob.glob("/tmp/curate_export_*")
+
+
+class TestDsirAuc:
+    def test_separable_and_random_labels(self, ray_session):
+        from goto_eater_crawler_ray.pipelines.queries import q_dsir_auc
+
+        out = q_dsir_auc("/root/testdata/sf0.001").to_pandas().iloc[0]
+        # DSIR scores en-vs-rest on a corpus with real en docs: better
+        # than chance, bounded by 1
+        assert out["n_pos"] > 0 and out["n_neg"] > 0
+        assert 500_000 < out["auc_micro"] <= 1_000_000
+
+    def test_exact_against_sklearn_style_reference(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_dsir_auc, q_dsir_score
+
+        # local tie-aware rank-sum reference over the same scores
+        sf = "/root/testdata/sf0.001"
+        sc = q_dsir_score(sf).to_pandas()
+        import duckdb
+
+        lang = duckdb.sql(f"SELECT doc_id, lang FROM read_parquet('{sf}/documents.parquet')").df()
+        df = sc.merge(lang, on="doc_id")
+        s = df["dsir_score"].to_numpy()
+        y = (df["lang"] == "en").to_numpy()
+        order = np.argsort(s, kind="mergesort")
+        ranks = np.empty(len(s), np.float64)
+        sorted_s = s[order]
+        i = 0
+        pos = 1
+        while i < len(s):
+            j = i
+            while j < len(s) and sorted_s[j] == sorted_s[i]:
+                j += 1
+            ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+            pos += j - i
+            i = j
+        npos, nneg = int(y.sum()), int((~y).sum())
+        want = (ranks[y].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+        got = q_dsir_auc(sf).to_pandas().iloc[0]
+        assert abs(got["auc_micro"] - round(want * 1e6)) <= 1
