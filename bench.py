@@ -445,6 +445,7 @@ def main() -> None:
         "curate_pipeline",
         "curate_export",
         "dsir_auc",
+        "user_streaks",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

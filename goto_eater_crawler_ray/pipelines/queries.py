@@ -10532,6 +10532,84 @@ FROM agg
 """
 
 
+def q_user_streaks(sf_dir: str):
+    """Per-user activity STREAKS — the gaps-and-islands pattern over
+    consecutive CALENDAR DAYS (distinct from `events_sessionize`'s
+    time-gap sessions): for each user, the number of maximal runs of
+    consecutive active days, the longest run, and total active days.
+
+    Shape: ONE groupby to distinct (user, day) rows (day = epoch-micros
+    // 86400e6, exact int both sides), then the coarse-hash partition
+    idiom — each partition holds ALL of its users' rows, so the island
+    detection (day − per-user row_number = island anchor) is
+    segment-vectorized pandas inside O(coarse) group calls and the
+    per-user outputs are final with no second exchange."""
+    coarse = 256
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())})
+        d = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() // 86_400_000_000
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(zero_copy_only=False), "day": d}).drop_duplicates()
+        return pa.table(
+            {"user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()), "day": pa.array(df["day"].to_numpy(np.int64), pa.int64())}
+        )
+
+    distinct = (
+        ev.map_batches(days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["user_id", "day"]).append_column(
+                "_pp", pc.cast(pc.bit_wise_and(t.column("user_id"), coarse - 1), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "day"], kind="mergesort")
+        rn = df.groupby("user_id", sort=False).cumcount()
+        anchor = df["day"].to_numpy() - rn.to_numpy()
+        runs = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "a": anchor})
+            .groupby(["user_id", "a"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        g = runs.groupby("user_id", sort=False)["len"]
+        out = pd.DataFrame(
+            {
+                "user_id": g.count().index.to_numpy(np.int64),
+                "n_streaks": g.count().to_numpy(np.int64),
+                "longest_streak": g.max().to_numpy(np.int64),
+                "n_active_days": g.sum().to_numpy(np.int64),
+            }
+        )
+        return out
+
+    return distinct.groupby("_pp").map_groups(islands, batch_format="pandas")
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM d
+),
+i AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM i GROUP BY 1
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10755,6 +10833,7 @@ QUERIES = {
     "curate_pipeline": q_curate_pipeline,
     "curate_export": q_curate_export,
     "dsir_auc": q_dsir_auc,
+    "user_streaks": q_user_streaks,
 }
 
 ORACLES = {
@@ -10942,6 +11021,7 @@ ORACLES = {
     "curate_pipeline": _curate_sql(),
     "curate_export": _curate_export_sql(),
     "dsir_auc": SQL_DSIR_AUC,
+    "user_streaks": SQL_USER_STREAKS,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5317,3 +5317,33 @@ class TestDsirAuc:
         want = (ranks[y].sum() - npos * (npos + 1) / 2) / (npos * nneg)
         got = q_dsir_auc(sf).to_pandas().iloc[0]
         assert abs(got["auc_micro"] - round(want * 1e6)) <= 1
+
+
+class TestUserStreaks:
+    def test_planted_streaks(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from goto_eater_crawler_ray.pipelines.queries import q_user_streaks
+
+        day = 86_400_000_000
+        rows = []
+        # user 1: days 0,1,2, 5,6, 9 -> streaks [3,2,1]
+        for d in (0, 1, 2, 5, 6, 9):
+            rows.append((len(rows), d * day + 123, 1, "view", 1.0, "{}"))
+        # user 2: one day, three events -> one streak of 1
+        for _ in range(3):
+            rows.append((len(rows), 4 * day + 50, 2, "view", 1.0, "{}"))
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_user_streaks(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+        assert out.loc[1].to_dict() == {"n_streaks": 3, "longest_streak": 3, "n_active_days": 6}
+        assert out.loc[2].to_dict() == {"n_streaks": 1, "longest_streak": 1, "n_active_days": 1}
