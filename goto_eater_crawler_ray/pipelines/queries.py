@@ -10458,25 +10458,29 @@ def q_dsir_auc(sf_dir: str):
     driver.  All rank arithmetic is integer (2·Σavg-rank stays int64);
     the final AUC is ONE shared double expression, micro-rounded —
     mirrored token-identically in the twin's window-sum SQL."""
-    from ..functions.importance import _round_half_away
+    from ..functions.importance import _round_half_away, dsir_weights, gram_buckets_batch, gram_distribution
     from ..functions.scan import prefix_sum
 
-    scored = q_dsir_score(sf_dir)  # (doc_id, dsir_score)
-    langs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
-    n_parts = auto_num_partitions(langs.count())
-    lab = scored.join(langs, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+    # score and label in ONE pass (lang rides the scoring batch), so no
+    # corpus-sized join is needed before the per-score aggregate
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text", "lang"])
+    w = np.asarray(dsir_weights(*gram_distribution(docs, target_langs=("en",))), np.int64)
 
     def mark(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"sc": pa.array([], pa.int64()), "p": pa.array([], pa.int64())})
+        s = np.zeros(t.num_rows, np.int64)
+        parents, buckets = gram_buckets_batch(t, len(w))
+        if len(buckets):
+            np.add.at(s, parents, w[buckets])
         return pa.table(
             {
-                "sc": t.column("dsir_score").cast(pa.int64()),
+                "sc": pa.array(s, pa.int64()),
                 "p": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
             }
         )
 
-    per = lab.map_batches(mark, batch_format="pyarrow").groupby("sc").aggregate(
+    per = docs.map_batches(mark, batch_format="pyarrow").groupby("sc").aggregate(
         Count(alias_name="n"), Sum("p", alias_name="np")
     )
     mn = per.aggregate(Min("sc", alias_name="m"))["m"]
