@@ -446,6 +446,7 @@ def main() -> None:
         "curate_export",
         "dsir_auc",
         "user_streaks",
+        "doc_length_gini",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10614,6 +10614,76 @@ FROM i GROUP BY 1
 """
 
 
+def q_doc_length_gini(sf_dir: str):
+    """EXACT Gini coefficient of document lengths (n_chars) in
+    micro-units — the corpus-balance inequality report (G→0: uniform
+    docs; G→1: a few giants carry the mass).  Ties handled by the
+    grouped closed form: with distinct lengths v (count c, count-below
+    cl), Σ rank·x = Σ v·(c·cl + c(c+1)/2) under ANY within-tie order,
+    so G = (2·Σrank·x − (n+1)·T)/(n·T) is a pure integer expression.
+
+    Shape: one groupby to per-distinct-length rows, the distributed
+    prefix-sum for count-below (no global sort), int64 partials, 3
+    scalars to the driver; the final G is ONE shared double expression,
+    micro-rounded and twin-mirrored.  Intermediates are exact while
+    n·T < 2^63 (asserted) — beyond that the accumulators need 128-bit
+    arithmetic (DuckDB's HUGEINT side is already fine)."""
+    from ..functions.importance import _round_half_away
+    from ..functions.scan import prefix_sum
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"])
+    per = (
+        docs.map_batches(
+            lambda t: pa.table({"v": t.column("n_chars").cast(pa.int64())}), batch_format="pyarrow"
+        )
+        .groupby("v")
+        .aggregate(Count(alias_name="c"))
+    )
+    ranked = prefix_sum(per, key_col="v", value_col="c", out_col="cl")
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t.column("cl").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = int((v * (c * cl + c * (c + 1) // 2)).sum())
+        return pa.table(
+            {
+                "s": pa.array([s], pa.int64()),
+                "t": pa.array([int((v * c).sum())], pa.int64()),
+                "n": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(partials, batch_format="pyarrow").to_pandas().sum()
+    s, total, n = int(agg["s"]), int(agg["t"]), int(agg["n"])
+    assert n * max(total, 1) < (1 << 63), "gini accumulators need 128-bit arithmetic at this scale"
+    gini = int(_round_half_away(np.float64(1e6 * float(2 * s - (n + 1) * total) / float(n * total)))) if n and total else 0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_chars": pa.array([total], pa.int64()),
+            "gini_micro": pa.array([gini], pa.int64()),
+        }
+    )
+
+
+SQL_DOC_LENGTH_GINI = """
+WITH per AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents GROUP BY 1),
+wk AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+  FROM per
+),
+agg AS (
+  SELECT sum(v * (c * cl + c * (c + 1) // 2)) AS s, sum(v * c) AS t, sum(c) AS n FROM wk
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(t AS BIGINT) AS total_chars,
+       CAST(round(1000000 * CAST(2 * s - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)) AS BIGINT) AS gini_micro
+FROM agg
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10838,6 +10908,7 @@ QUERIES = {
     "curate_export": q_curate_export,
     "dsir_auc": q_dsir_auc,
     "user_streaks": q_user_streaks,
+    "doc_length_gini": q_doc_length_gini,
 }
 
 ORACLES = {
@@ -11026,6 +11097,7 @@ ORACLES = {
     "curate_export": _curate_export_sql(),
     "dsir_auc": SQL_DSIR_AUC,
     "user_streaks": SQL_USER_STREAKS,
+    "doc_length_gini": SQL_DOC_LENGTH_GINI,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

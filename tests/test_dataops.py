@@ -5347,3 +5347,46 @@ class TestUserStreaks:
         out = q_user_streaks(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
         assert out.loc[1].to_dict() == {"n_streaks": 3, "longest_streak": 3, "n_active_days": 6}
         assert out.loc[2].to_dict() == {"n_streaks": 1, "longest_streak": 1, "n_active_days": 1}
+
+
+class TestDocLengthGini:
+    def _write(self, tmp_path, lengths):
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(lengths)), pa.int64()),
+                "text": pa.array(["x" * int(n) for n in lengths], pa.string()),
+                "lang": pa.array(["en"] * len(lengths), pa.string()),
+                "source": pa.array(["s"] * len(lengths), pa.string()),
+                "n_chars": pa.array([int(n) for n in lengths], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_uniform_zero_and_concentrated_high(self, ray_session, tmp_path):
+        import os
+
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_length_gini
+
+        d1 = tmp_path / "u"
+        os.makedirs(d1)
+        out = q_doc_length_gini(self._write(d1, [100] * 40)).to_pandas().iloc[0]
+        assert out["gini_micro"] == 0 and out["n_docs"] == 40 and out["total_chars"] == 4000
+        d2 = tmp_path / "c"
+        os.makedirs(d2)
+        # one giant + 39 tiny: near-max inequality
+        out2 = q_doc_length_gini(self._write(d2, [1] * 39 + [10_000])).to_pandas().iloc[0]
+        assert out2["gini_micro"] > 900_000
+
+    def test_matches_local_reference_with_ties(self, ray_session, tmp_path):
+        from goto_eater_crawler_ray.pipelines.queries import q_doc_length_gini
+
+        rng = np.random.default_rng(101)
+        lens = rng.integers(1, 50, size=100).tolist()  # heavy ties
+        got = q_doc_length_gini(self._write(tmp_path, lens)).to_pandas().iloc[0]
+        x = np.sort(np.array(lens, np.float64))
+        n = len(x)
+        want = (2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+        assert abs(got["gini_micro"] - round(want * 1e6)) <= 1
