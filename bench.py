@@ -447,6 +447,7 @@ def main() -> None:
         "dsir_auc",
         "user_streaks",
         "doc_length_gini",
+        "events_autocorr",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10684,6 +10684,73 @@ FROM agg
 """
 
 
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 AUTOCORRELATION of the hourly event-volume series — the
+    time-series health diagnostic (r₁→1: smooth load; r₁→0: white
+    noise; r₁<0: alternating bursts).  The series is the gap-filled
+    hour grid from min to max hour (missing hours count 0, the
+    `events_gap_fill` convention).
+
+    Shape: ONE distributed groupby to per-hour counts; the hour grid is
+    time-range-sized, not corpus-sized (the bounded-domain driver step,
+    same justification as `events_gap_fill`), so r₁ is computed on the
+    driver from six integer sums (S11=Σcₜcₜ₊₁, A, B, T, S2, n) with the
+    mean-centered expansion num = S11 − m(A+B) + (n−1)m²,
+    den = S2 − T²/n, m = T/n — ONE shared double expression of exact
+    ints, micro-rounded and twin-mirrored."""
+    from ..functions.importance import _round_half_away
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t.column("ts").cast(pa.timestamp("us")), unit="hour").cast(pa.int64())
+        return pa.table({"h": pc.divide(h, 3_600_000_000)})
+
+    per = ev.map_batches(hours, batch_format="pyarrow").groupby("h").aggregate(Count(alias_name="c")).to_pandas()
+    if len(per) < 2:
+        return pa.table({"n_hours": pa.array([len(per)], pa.int64()), "r1_micro": pa.array([0], pa.int64())})
+    per = per.sort_values("h")
+    lo, hi = int(per["h"].iloc[0]), int(per["h"].iloc[-1])
+    c = np.zeros(hi - lo + 1, np.int64)
+    c[per["h"].to_numpy(np.int64) - lo] = per["c"].to_numpy(np.int64)
+    n = len(c)
+    s11 = int((c[:-1] * c[1:]).sum())
+    a, b = int(c[:-1].sum()), int(c[1:].sum())
+    t_, s2 = int(c.sum()), int((c * c).sum())
+    m = t_ / n
+    num = float(s11) - m * float(a + b) + (n - 1) * m * m
+    den = float(s2) - float(t_) * float(t_) / n
+    r1 = int(_round_half_away(np.float64(1e6 * num / den))) if den != 0 else 0
+    return pa.table({"n_hours": pa.array([n], pa.int64()), "r1_micro": pa.array([r1], pa.int64())})
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH per AS (
+  SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS h,
+         count(*) AS c
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT g.h, coalesce(p.c, 0) AS c
+  FROM (SELECT unnest(range((SELECT min(h) FROM per), (SELECT max(h) FROM per) + 1)) AS h) g
+  LEFT JOIN per p USING (h)
+),
+lagd AS (SELECT h, c, lead(c) OVER (ORDER BY h) AS cn FROM grid),
+sums AS (
+  SELECT sum(c * cn) FILTER (WHERE cn IS NOT NULL) AS s11,
+         sum(c) FILTER (WHERE cn IS NOT NULL) AS a,
+         sum(cn) FILTER (WHERE cn IS NOT NULL) AS b,
+         sum(c) AS t, sum(c * c) AS s2, count(*) AS n
+  FROM lagd
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       CAST(round(1000000 * (CAST(s11 AS DOUBLE) - (CAST(t AS DOUBLE) / n) * CAST(a + b AS DOUBLE)
+                             + (n - 1) * (CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n))
+                  / (CAST(s2 AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n)) AS BIGINT) AS r1_micro
+FROM sums
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10909,6 +10976,7 @@ QUERIES = {
     "dsir_auc": q_dsir_auc,
     "user_streaks": q_user_streaks,
     "doc_length_gini": q_doc_length_gini,
+    "events_autocorr": q_events_autocorr,
 }
 
 ORACLES = {
@@ -11098,6 +11166,7 @@ ORACLES = {
     "dsir_auc": SQL_DSIR_AUC,
     "user_streaks": SQL_USER_STREAKS,
     "doc_length_gini": SQL_DOC_LENGTH_GINI,
+    "events_autocorr": SQL_EVENTS_AUTOCORR,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5390,3 +5390,48 @@ class TestDocLengthGini:
         n = len(x)
         want = (2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
         assert abs(got["gini_micro"] - round(want * 1e6)) <= 1
+
+
+class TestEventsAutocorr:
+    def _write(self, tmp_path, hours_counts):
+        import pyarrow.parquet as pq
+
+        rows = []
+        for h, c in hours_counts:
+            for i in range(c):
+                rows.append((len(rows), h * 3_600_000_000 + i, 1, "view", 1.0, "{}"))
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_alternating_negative_smooth_positive(self, ray_session, tmp_path):
+        import os
+
+        from goto_eater_crawler_ray.pipelines.queries import q_events_autocorr
+
+        d1 = tmp_path / "alt"
+        os.makedirs(d1)
+        alt = [(h, 10 if h % 2 else 1) for h in range(24)]
+        out = q_events_autocorr(self._write(d1, alt)).to_pandas().iloc[0]
+        assert out["n_hours"] == 24 and out["r1_micro"] < -800_000
+        d2 = tmp_path / "smooth"
+        os.makedirs(d2)
+        smooth = [(h, 10 + h) for h in range(24)]  # monotone ramp
+        out2 = q_events_autocorr(self._write(d2, smooth)).to_pandas().iloc[0]
+        assert out2["r1_micro"] > 700_000
+
+    def test_gap_hours_count_zero(self, ray_session, tmp_path):
+        from goto_eater_crawler_ray.pipelines.queries import q_events_autocorr
+
+        # hours 0 and 5 only: grid length 6 with four zero hours
+        out = q_events_autocorr(self._write(tmp_path, [(0, 4), (5, 4)])).to_pandas().iloc[0]
+        assert out["n_hours"] == 6
