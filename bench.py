@@ -448,6 +448,7 @@ def main() -> None:
         "user_streaks",
         "doc_length_gini",
         "events_autocorr",
+        "langid_confusion",
     ]
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -10751,6 +10751,35 @@ FROM sums
 """
 
 
+def q_langid_confusion(sf_dir: str):
+    """Confusion matrix of the heuristic language-ID against the true
+    labels — the accuracy report a curation run produces before
+    trusting the cheap classifier for routing: (true lang, predicted,
+    n_docs).  The classifier pass is stateless and batch-local; the
+    matrix is |langs|² rows from ONE groupby."""
+    from ..functions.text import LangId
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    lid = LangId()  # compile the script/stopword machinery once, in the closure
+
+    def pred(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()), "lang_pred": pa.array([], pa.string())})
+        out = lid(t)
+        return pa.table({"lang": t.column("lang"), "lang_pred": out.column("lang_pred")})
+
+    return docs.map_batches(pred, batch_format="pyarrow").groupby(["lang", "lang_pred"]).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM ({SQL_LANGID}) p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 SQL_CCNET_BUCKETS = _SQL_LM_SCORED_CTE + """,
 ranked AS (
   SELECT s.doc_id, d.lang, s.avg_nll_micro,
@@ -10977,6 +11006,7 @@ QUERIES = {
     "user_streaks": q_user_streaks,
     "doc_length_gini": q_doc_length_gini,
     "events_autocorr": q_events_autocorr,
+    "langid_confusion": q_langid_confusion,
 }
 
 ORACLES = {
@@ -11167,6 +11197,7 @@ ORACLES = {
     "user_streaks": SQL_USER_STREAKS,
     "doc_length_gini": SQL_DOC_LENGTH_GINI,
     "events_autocorr": SQL_EVENTS_AUTOCORR,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     # minhash_pairs / simhash_groups / lsh_ann / ivf_ann / media_decode /
     # media_features / crawl_lineage / doc_spans: non-SQL-expressible
     # (probabilistic, stateful, or nested output) -> rows-only check.

@@ -5435,3 +5435,17 @@ class TestEventsAutocorr:
         # hours 0 and 5 only: grid length 6 with four zero hours
         out = q_events_autocorr(self._write(tmp_path, [(0, 4), (5, 4)])).to_pandas().iloc[0]
         assert out["n_hours"] == 6
+
+
+class TestLangidConfusion:
+    def test_diagonal_dominates_and_totals(self, ray_session):
+        from goto_eater_crawler_ray.pipelines.queries import q_langid_confusion
+
+        sf = "/root/testdata/sf0.001"
+        out = q_langid_confusion(sf).to_pandas()
+        import duckdb
+
+        n_docs = int(duckdb.sql(f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')").df().iloc[0, 0])
+        assert out["n_docs"].sum() == n_docs  # every doc lands in exactly one cell
+        diag = out[out["lang"] == out["lang_pred"]]["n_docs"].sum()
+        assert diag / n_docs > 0.5  # the heuristic is better than chance on its corpus
